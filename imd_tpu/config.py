@@ -1,0 +1,515 @@
+"""Runtime configuration and IMD-compatible parameter-file parser.
+
+The reference configures itself through two mechanisms: a compile-time
+feature algebra (Makefile target grammar + config.h implication rules) and a
+runtime tag-based parameter file (imd_param.c:251 getparamfile, ~230 tags,
+multi-phase via `simulation N` sections).  Here both collapse into one
+runtime `SimConfig`; features (EAM, TTM, TMM, FDTD, NRB, FILTER, ...) are
+switched on by the presence of their parameters or explicit flags.
+
+Parameter files written for the reference parse unmodified: same tag names,
+same `simulation N` phase semantics (a phase-k read applies every tag from
+the top of the file through the end of section k; imd_param.c:314-318).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# raw tag parsing
+# ---------------------------------------------------------------------------
+
+def _coerce(tok: str):
+    """Parse one whitespace token into int, float, or str (in that order)."""
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def parse_param_text(text: str, phase: int = 1) -> Dict[str, Any]:
+    """Parse IMD parameter-file text for the given simulation phase.
+
+    Returns a flat dict tag -> value, where value is a scalar for
+    single-token tags and a list for multi-token tags.  Tags seen later
+    override earlier ones (reference semantics: the file is re-read for each
+    phase and assignments simply overwrite).  Reading stops at the start of
+    `simulation` section phase+1 (imd_param.c:314-318).
+    """
+    params: Dict[str, Any] = {}
+    cur_phase = 1
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        toks = line.split()
+        tag, vals = toks[0], [_coerce(t) for t in toks[1:]]
+        if tag.lower() == "simulation":
+            cur_phase = int(vals[0]) if vals else cur_phase + 1
+            if cur_phase > phase:
+                break
+            continue
+        if not vals:
+            params[tag] = True
+        elif len(vals) == 1:
+            params[tag] = vals[0]
+        else:
+            params[tag] = vals
+    return params
+
+
+def read_param_file(path: str, phase: int = 1) -> Dict[str, Any]:
+    with open(path) as f:
+        return parse_param_text(f.read(), phase)
+
+
+def num_phases(text: str) -> int:
+    n = 1
+    for line in text.splitlines():
+        toks = line.split("#", 1)[0].split()
+        if toks and toks[0].lower() == "simulation":
+            n = max(n, int(toks[1]) if len(toks) > 1 else n + 1)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# configuration dataclasses
+# ---------------------------------------------------------------------------
+
+def _vec3(v, default=(0.0, 0.0, 0.0)) -> Tuple[float, float, float]:
+    if v is None:
+        return tuple(default)
+    if isinstance(v, (int, float)):
+        return (float(v), float(v), float(v))
+    v = list(v) + list(default)[len(v):]
+    return (float(v[0]), float(v[1]), float(v[2]))
+
+
+@dataclasses.dataclass
+class LaserConfig:
+    """Legacy Lambert-Beer laser rescale (imd_laser.c) + pulse shape."""
+    rescale_mode: int = 0            # laser_rescale_mode (4 = feed TTM source)
+    sigma_e: float = 0.0             # areal fluence (energy/area, IMD units)
+    sigma_t: float = 0.0             # pulse sigma (time units)
+    t_0: float = 0.0                 # pulse peak time
+    sigma_e1: float = 0.0            # second pulse
+    sigma_t1: float = 0.0
+    t_1: float = 0.0
+    mu: float = 0.0                  # absorption coefficient 1/A
+    delta_temp: float = 0.0          # laser_delta_temp for maxwell init
+    offset: float = 0.0              # laser_offset: surface position
+    dir: Tuple[float, float, float] = (1.0, 0.0, 0.0)   # must be axis-aligned
+    atom_vol: float = 0.0            # per-atom volume (A^3)
+    tem_mode: Tuple[int, int] = (0, 0)
+
+
+@dataclasses.dataclass
+class TTMConfig:
+    """Two-temperature-model electron FD grid (imd_ttm.c)."""
+    enabled: bool = False
+    fd_nx: int = 1                   # ttmdimx: global FD cells along x
+    fd_ny: int = 1
+    fd_nz: int = 1
+    fd_update_steps: int = 1         # MD steps per TTM update
+    fd_min_atoms: int = 1            # cell activation threshold
+    fd_ext: Tuple[int, int, int] = (1, 1, 1)  # MD cells per FD cell (fd_ext)
+    init_t_el: float = 0.0           # initial electron temperature (eV); 0 -> T_i
+    fix_t_el: bool = False
+    rho_min: float = 0.05            # RHOMIN activation fraction (ttm.c)
+    # constant-coefficient fallbacks (fd_k, fd_g, fd_c); wide-range models
+    # take over when EOS/wide-range tables are configured.
+    fd_k: float = 0.0                # electronic kappa (const model)
+    fd_g: float = 0.0                # e-ph coupling (const model)
+    fd_c: float = 0.0                # electronic C_e = fd_c * T_e (Sommerfeld)
+    fd_gamma: float = 0.0            # alias for sommerfeld gamma
+    wide_range: bool = False         # Povarnitsyn kappa/g + EOS C_e
+    eos_dir: str = "."               # directory holding EOS_*.txt tables
+    atomic_z: float = 13.0           # nuclear charge (Al default)
+    atomic_mass: float = 26.9815     # amu
+    max_substeps: int = 64           # static bound on CFL diffusion substeps
+    cfl_safety: float = 0.9          # dt <= cfl_safety * min(C dx^2 / 2k)
+    vlatdim: int = 0                 # virtual-lattice continuum tail cells
+    vlatbuffer: int = 0
+
+
+@dataclasses.dataclass
+class TMMConfig:
+    """1-D Helmholtz transfer-matrix laser solver (imd_tmm.c)."""
+    enabled: bool = False
+    lambda_um: float = 0.8           # vacuum wavelength (micron); tag 'lambda'
+    theta_deg: float = 0.0           # incidence angle
+    threshold: float = 1e-4          # tmm_threshold: laser-on intensity frac
+    bb_table: str = ""               # bound-band epsilon table (alu_eps_bb.dat)
+    k12_table: str = ""              # K1/K2 integral table (K12.dat)
+
+
+@dataclasses.dataclass
+class FDTDConfig:
+    """1-D/2-D Yee FDTD Maxwell solver (imd_fdtd.c)."""
+    enabled: bool = False
+    mode: int = 1                    # 1 = 1D, 2 = 2D
+    Sc: float = 0.5                  # Courant number
+    pml: int = 8                     # PML thickness (cells)
+    srcx: int = 2                    # source position (cells)
+    srcw: float = 0.0
+    lambda_um: float = 0.8
+    # Drude-Lorentz defaults (static medium test); per-cell DL fits override
+    drude_wp: float = 0.0
+    drude_gamma: float = 0.0
+
+
+@dataclasses.dataclass
+class NRBConfig:
+    """Non-reflecting rear boundary (imd_nrb.c)."""
+    enabled: bool = False
+    alat: float = 4.05               # nrb_alat: fcc lattice constant
+    k: float = 0.0                   # nrb_k: impedance spring constant
+    eps: float = 0.1                 # nrb_eps: layer detection tolerance
+    overwrite: bool = False
+
+
+@dataclasses.dataclass
+class FilterConfig:
+    """Ablation-plume atom deletion (imd_filter.c)."""
+    enabled: bool = False
+    interval: int = 0                # filter_int
+    min_x: float = -math.inf
+    max_x: float = math.inf
+    min_y: float = -math.inf
+    max_y: float = math.inf
+    min_z: float = -math.inf
+    max_z: float = math.inf
+
+
+@dataclasses.dataclass
+class RelaxConfig:
+    """Quasistatic relaxation control (GLOK/FIRE/CG; imd_main_3d.c, imd_cg.c)."""
+    ekin_threshold: float = 0.0
+    fnorm_threshold: float = 0.0
+    delta_epot_threshold: float = 0.0
+    glok_ekin_threshold: float = 0.0
+    fire_incfac: float = 1.1
+    fire_decfac: float = 0.5
+    fire_mix: float = 0.1
+    fire_mixdec: float = 0.99
+    fire_minsteps: int = 5
+    fire_maxtimestep: float = 0.0    # max dt as multiple of base dt
+    cg_mode: int = 0
+    linmin_maxsteps: int = 100
+    linmin_tol: float = 1e-4
+
+
+@dataclasses.dataclass
+class SimConfig:
+    # --- identity / files ---------------------------------------------------
+    coordname: str = ""              # input config (.chkpt) or _lattice spec
+    outfiles: str = "out"            # output basename
+    potfile: str = ""                # pair potential table
+    itrname: str = ""
+    use_header: int = 0
+    # EAM tables (imd_forces_eam2.c)
+    core_potential_file: str = ""
+    embedding_energy_file: str = ""
+    el_density_file: str = ""
+    # --- types / masses -----------------------------------------------------
+    ntypes: int = 1
+    total_types: int = 0             # vtypes incl. restriction-only types
+    masses: Tuple[float, ...] = (1.0,)
+    types: Tuple[int, ...] = ()      # vtype -> real type map
+    restrictions: Tuple[Tuple[float, float, float], ...] = ()
+    fbc_forces: Tuple[Tuple[float, float, float], ...] = ()
+    # --- box / geometry -------------------------------------------------------
+    box_x: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    box_y: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    box_z: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    box_from_header: int = 0
+    pbc_dirs: Tuple[int, int, int] = (1, 1, 1)
+    size_per_cpu: int = 0
+    box_param: Tuple[int, int, int] = (0, 0, 0)   # lattice generator size
+    box_unit: float = 1.0                          # lattice constant
+    # --- run control ----------------------------------------------------------
+    ensemble: str = "nve"
+    simulation_phase: int = 1
+    maxsteps: int = 0
+    startstep: int = 0
+    timestep: float = 0.0            # dt in IMD time units
+    seed: int = 42
+    # --- thermostats ----------------------------------------------------------
+    starttemp: float = 0.0           # k_B T in eV
+    endtemp: float = 0.0
+    do_maxwell: bool = False
+    tau_eta: float = 0.0             # Nose-Hoover
+    isq_tau_eta: float = 0.0
+    eta: float = 0.0
+    tau_berendsen: float = 0.0
+    tempintv: int = 0                # Andersen rethermalization interval
+    inv_tau_eta: float = 0.0
+    # NPT
+    tau_xi: float = 0.0
+    isq_tau_xi: float = 0.0
+    xi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    pressure_start: float = 0.0
+    pressure_end: float = 0.0
+    # Langevin / viscous
+    viscous_friction: float = 0.0
+    damptemp: float = 0.0
+    # pdecay momentum-damping ramp (integrate.c:232-249)
+    pdecay_mode: int = 0
+    ramp_start: float = 0.0
+    ramp_end: float = 0.0
+    ramp_fraction: float = 0.0
+    xipdecay: float = 0.0
+    pdecay_surfx: float = 0.0
+    # --- neighbor / cells -------------------------------------------------------
+    nbl_margin: float = 0.4          # Verlet skin (A); reference default 0.4
+    nbl_size: float = 1.1            # capacity growth factor
+    cell_size_tol: float = 1.05
+    cell_capacity: int = 0           # 0 = auto from density
+    # --- I/O intervals ----------------------------------------------------------
+    checkpt_int: int = 0
+    eng_int: int = 0
+    dist_int: int = 0
+    pic_int: int = 0
+    ttm_int: int = 0
+    filter_int: int = 0
+    flush_int: int = 0
+    parallel_output: int = 0
+    binary_output: int = 0
+    dist_dim: Tuple[int, int, int] = (1, 1, 1)
+    dist_flags: Dict[str, int] = dataclasses.field(default_factory=dict)
+    # --- subsystems ------------------------------------------------------------
+    laser: LaserConfig = dataclasses.field(default_factory=LaserConfig)
+    ttm: TTMConfig = dataclasses.field(default_factory=TTMConfig)
+    tmm: TMMConfig = dataclasses.field(default_factory=TMMConfig)
+    fdtd: FDTDConfig = dataclasses.field(default_factory=FDTDConfig)
+    nrb: NRBConfig = dataclasses.field(default_factory=NRBConfig)
+    filter: FilterConfig = dataclasses.field(default_factory=FilterConfig)
+    relax: RelaxConfig = dataclasses.field(default_factory=RelaxConfig)
+    # analytic potentials (when no potfile)
+    lj_epsilon: Tuple[float, ...] = ()
+    lj_sigma: Tuple[float, ...] = ()
+    r_cut: Tuple[float, ...] = ()
+    # --- raw passthrough ---------------------------------------------------------
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # number of real types
+    @property
+    def vtypes(self) -> int:
+        return self.total_types if self.total_types else self.ntypes
+
+    @classmethod
+    def from_params(cls, p: Dict[str, Any]) -> "SimConfig":
+        c = cls()
+        c.raw = dict(p)
+        g = p.get
+
+        def as_tuple(key, default=()):
+            v = g(key)
+            if v is None:
+                return tuple(default)
+            if isinstance(v, (int, float)):
+                return (v,)
+            return tuple(v)
+
+        # identity / files
+        c.coordname = str(g("coordname", c.coordname))
+        c.outfiles = str(g("outfiles", c.outfiles))
+        c.potfile = str(g("potfile", c.potfile))
+        c.itrname = str(g("itrname", c.itrname))
+        c.use_header = int(g("use_header", c.use_header))
+        c.core_potential_file = str(g("core_potential_file", ""))
+        c.embedding_energy_file = str(g("embedding_energy_file", ""))
+        c.el_density_file = str(g("el_density_file", ""))
+        # types
+        c.ntypes = int(g("ntypes", c.ntypes))
+        c.total_types = int(g("total_types", 0))
+        c.masses = as_tuple("masses", (1.0,) * c.ntypes)
+        c.types = tuple(int(t) for t in as_tuple("types", range(c.vtypes)))
+        # per-vtype restriction vectors arrive as repeated 'restrictionvector'
+        # tags in the reference; here we accept a flat list of 3*vtypes values
+        rv = as_tuple("restrictionvector")
+        if rv:
+            c.restrictions = tuple(tuple(map(float, rv[i:i + 3]))
+                                   for i in range(0, len(rv), 3))
+        ef = as_tuple("extra_startforce") or as_tuple("extf")
+        if ef:
+            c.fbc_forces = tuple(tuple(map(float, ef[i:i + 3]))
+                                 for i in range(0, len(ef), 3))
+        # box
+        c.box_x = _vec3(g("box_x"), c.box_x)
+        c.box_y = _vec3(g("box_y"), c.box_y)
+        c.box_z = _vec3(g("box_z"), c.box_z)
+        c.box_from_header = int(g("box_from_header", 0))
+        pbc = g("pbc_dirs")
+        if pbc is not None:
+            c.pbc_dirs = tuple(int(x) for x in (pbc if isinstance(pbc, list) else [pbc] * 3))
+        bp = g("box_param")
+        if bp is not None:
+            c.box_param = tuple(int(x) for x in (bp if isinstance(bp, list) else [bp] * 3))
+        c.box_unit = float(g("box_unit", 1.0))
+        # run control
+        c.ensemble = str(g("ensemble", c.ensemble)).lower()
+        c.maxsteps = int(g("maxsteps", c.maxsteps))
+        c.startstep = int(g("startstep", c.startstep))
+        c.timestep = float(g("timestep", c.timestep))
+        c.seed = int(g("seed", c.seed))
+        # thermostats
+        c.starttemp = float(g("starttemp", c.starttemp))
+        c.endtemp = float(g("endtemp", c.endtemp))
+        c.do_maxwell = bool(g("do_maxwell", False))
+        c.tau_eta = float(g("tau_eta", 0.0))
+        if g("inv_tau_eta") is not None:
+            c.inv_tau_eta = float(g("inv_tau_eta"))
+            c.isq_tau_eta = c.inv_tau_eta ** 2
+        elif c.tau_eta:
+            c.isq_tau_eta = 1.0 / c.tau_eta ** 2
+        if g("isq_tau_eta") is not None:
+            c.isq_tau_eta = float(g("isq_tau_eta"))
+        c.eta = float(g("eta", 0.0))
+        c.tau_berendsen = float(g("tau_berendsen", 0.0))
+        c.tempintv = int(g("tempintv", 0))
+        c.tau_xi = float(g("tau_xi", 0.0))
+        if c.tau_xi:
+            c.isq_tau_xi = 1.0 / c.tau_xi ** 2
+        if g("isq_tau_xi") is not None:
+            c.isq_tau_xi = float(g("isq_tau_xi"))
+        c.pressure_start = float(g("pressure_start", 0.0))
+        c.pressure_end = float(g("pressure_end", c.pressure_start))
+        c.viscous_friction = float(g("viscous_friction", 0.0))
+        c.damptemp = float(g("damptemp", 0.0))
+        c.pdecay_mode = int(g("pdecay_mode", 0))
+        c.ramp_start = float(g("ramp_start", 0.0))
+        c.ramp_end = float(g("ramp_end", 0.0))
+        c.ramp_fraction = float(g("ramp_fraction", 0.0))
+        c.xipdecay = float(g("xipdecay", 0.0))
+        c.pdecay_surfx = float(g("pdecay_surfx", 0.0))
+        # neighbor / cells
+        c.nbl_margin = float(g("nbl_margin", c.nbl_margin))
+        c.nbl_size = float(g("nbl_size", c.nbl_size))
+        c.cell_size_tol = float(g("cell_size_tol", c.cell_size_tol))
+        c.cell_capacity = int(g("cell_capacity", 0))
+        # intervals
+        for k in ("checkpt_int", "eng_int", "dist_int", "pic_int", "ttm_int",
+                  "filter_int", "flush_int", "parallel_output", "binary_output"):
+            if g(k) is not None:
+                setattr(c, k, int(g(k)))
+        dd = g("dist_dim")
+        if dd is not None:
+            c.dist_dim = tuple(int(x) for x in (dd if isinstance(dd, list) else [dd] * 3))
+        c.dist_flags = {k[len("dist_"):-len("_flag")]: int(v)
+                        for k, v in p.items()
+                        if k.startswith("dist_") and k.endswith("_flag")}
+        # analytic potentials
+        c.lj_epsilon = as_tuple("lj_epsilon")
+        c.lj_sigma = as_tuple("lj_sigma")
+        c.r_cut = as_tuple("r_cut")
+        # --- laser ---
+        L = c.laser
+        L.rescale_mode = int(g("laser_rescale_mode", 0))
+        L.sigma_e = float(g("laser_sigma_e", 0.0))
+        L.sigma_t = float(g("laser_sigma_t", 0.0))
+        L.t_0 = float(g("laser_t_0", 0.0))
+        L.sigma_e1 = float(g("laser_sigma_e1", 0.0))
+        L.sigma_t1 = float(g("laser_sigma_t1", 0.0))
+        L.t_1 = float(g("laser_t_1", 0.0))
+        L.mu = float(g("laser_mu", 0.0))
+        L.delta_temp = float(g("laser_delta_temp", 0.0))
+        L.offset = float(g("laser_offset", 0.0))
+        L.dir = _vec3(g("laser_dir"), L.dir)
+        L.atom_vol = float(g("laser_atom_vol", 0.0))
+        # --- TTM ---
+        T = c.ttm
+        if g("ttmdimx") is not None or str(c.ensemble) == "ttm":
+            T.enabled = True
+        T.fd_nx = int(g("ttmdimx", T.fd_nx))
+        T.fd_ny = int(g("ttmdimy", T.fd_ny))
+        T.fd_nz = int(g("ttmdimz", T.fd_nz))
+        T.fd_update_steps = int(g("fd_update_steps", T.fd_update_steps))
+        T.fd_min_atoms = int(g("fd_min_atoms", T.fd_min_atoms))
+        fe = g("fd_ext")
+        if fe is not None:
+            T.fd_ext = tuple(int(x) for x in (fe if isinstance(fe, list) else [fe] * 3))
+        T.init_t_el = float(g("init_t_el", 0.0))
+        T.fix_t_el = bool(g("fix_t_el", False))
+        T.fd_k = float(g("fd_k", 0.0))
+        T.fd_g = float(g("fd_g", 0.0))
+        T.fd_c = float(g("fd_c", 0.0))
+        T.fd_gamma = float(g("fd_gamma", T.fd_c))
+        T.vlatdim = int(g("vlatdim", 0))
+        T.vlatbuffer = int(g("vlatbuffer", 0))
+        T.wide_range = bool(g("wide_range", False))
+        T.eos_dir = str(g("eos_dir", "."))
+        if g("atomic_z") is not None:
+            T.atomic_z = float(g("atomic_z"))
+        if c.masses:
+            T.atomic_mass = float(c.masses[0])
+        # --- TMM ---
+        M = c.tmm
+        if g("tmm_threshold") is not None or bool(g("tmm", False)):
+            M.enabled = True
+        if g("lambda") is not None:
+            M.lambda_um = float(g("lambda"))
+        M.threshold = float(g("tmm_threshold", M.threshold))
+        # --- FDTD ---
+        F = c.fdtd
+        if g("Sc") is not None or bool(g("fdtd", False)):
+            F.enabled = True
+        F.Sc = float(g("Sc", F.Sc))
+        F.srcx = int(g("srcx", F.srcx))
+        F.srcw = float(g("srcw", F.srcw))
+        if g("lambda") is not None:
+            F.lambda_um = float(g("lambda"))
+        F.pml = int(g("bw", F.pml))
+        # --- NRB ---
+        N = c.nrb
+        if g("nrb_k") is not None:
+            N.enabled = True
+        N.alat = float(g("nrb_alat", N.alat))
+        N.k = float(g("nrb_k", N.k))
+        N.eps = float(g("nrb_eps", N.eps))
+        N.overwrite = bool(g("nrb_overwrite", False))
+        # --- FILTER ---
+        Fl = c.filter
+        if g("filter_int") is not None:
+            Fl.enabled = True
+            Fl.interval = int(g("filter_int"))
+        for attr, tag in (("min_x", "filter_min_x"), ("max_x", "filter_max_x"),
+                          ("min_y", "filter_min_y"), ("max_y", "filter_max_y"),
+                          ("min_z", "filter_min_z"), ("max_z", "filter_max_z")):
+            if g(tag) is not None:
+                setattr(Fl, attr, float(g(tag)))
+        # --- relax ---
+        R = c.relax
+        for attr, tag in (("ekin_threshold", "ekin_threshold"),
+                          ("fnorm_threshold", "fnorm_threshold"),
+                          ("delta_epot_threshold", "delta_epot_threshold"),
+                          ("glok_ekin_threshold", "glok_ekin_threshold"),
+                          ("fire_incfac", "fire_incfac"), ("fire_decfac", "fire_decfac"),
+                          ("fire_mix", "fire_mix"), ("fire_mixdec", "fire_mixdec"),
+                          ("fire_maxtimestep", "fire_maxtimestep"),
+                          ("linmin_tol", "linmin_tol")):
+            if g(tag) is not None:
+                setattr(R, attr, float(g(tag)))
+        for attr, tag in (("fire_minsteps", "fire_minsteps"), ("cg_mode", "cg_mode"),
+                          ("linmin_maxsteps", "linmin_maxsteps")):
+            if g(tag) is not None:
+                setattr(R, attr, int(g(tag)))
+        return c
+
+    @classmethod
+    def from_file(cls, path: str, phase: int = 1) -> "SimConfig":
+        cfg = cls.from_params(read_param_file(path, phase))
+        cfg.simulation_phase = phase
+        return cfg
+
+    def box(self):
+        """Return the 3x3 box matrix (rows = box vectors)."""
+        return (self.box_x, self.box_y, self.box_z)

@@ -1,0 +1,221 @@
+"""Integrators / ensembles (imd_integrate.c re-designed functionally).
+
+All reference ensembles are leapfrog ("velocity-Verlet-style"):
+``p += dt * F`` then ``x += dt * p / m`` (imd_integrate.c:260-420), with the
+time-centered kinetic energy ``(p_old^2 + p_new^2) / (4 m)`` accumulated for
+the .eng output (integrate.c:390-397).  Per-virtual-type restriction masks
+zero forces (integrate.c:209-213), FBC adds per-vtype external forces
+(173-189), viscous friction and the PDECAY absorbing ramp damp momenta
+(191-206, 232-249).
+
+Each ensemble here is a pure function Scene -> (Scene, StepStats); the
+dispatch that the reference does via a `move_atoms` function pointer
+(imd_param.c:5288-5301) happens in simulation.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from imd_tpu.scene import Scene
+
+
+class StepStats(struct.PyTreeNode):
+    tot_kin_energy: jnp.ndarray     # time-centered Ekin (eV)
+    fnorm: jnp.ndarray              # sum F.F
+    pnorm: jnp.ndarray              # sum p.p
+    pxf: jnp.ndarray                # sum p.F (GLOK/MIK criterion)
+    ekin_new: jnp.ndarray           # Ekin of the new momenta
+
+
+class IntegratorParams(struct.PyTreeNode):
+    """Traced per-step knobs shared by all ensembles."""
+    timestep: jnp.ndarray
+    temperature: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # Nose-Hoover
+    eta: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    isq_tau_eta: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # Berendsen
+    tau_berendsen: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # viscous / Langevin
+    viscous_friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # PDECAY ramp
+    xipdecay: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    ramp_start: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    ramp_end: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    # per-vtype tables (padded to vtypes); zeros when unused
+    restrictions: Optional[jnp.ndarray] = None   # [vtypes, 3] 0/1 mask
+    fbc_forces: Optional[jnp.ndarray] = None     # [vtypes, 3]
+
+
+def _apply_force_mods(scene: Scene, params: IntegratorParams,
+                      pdecay: bool = False) -> jnp.ndarray:
+    """FBC extra forces, viscous damping, PDECAY ramp, restriction masks."""
+    F = scene.force
+    m = scene.fmask()[..., None]
+    if params.fbc_forces is not None:
+        vt = jnp.clip(scene.vtype, 0, params.fbc_forces.shape[0] - 1)
+        F = F + params.fbc_forces[vt] * m
+    if params.viscous_friction is not None:
+        # viscous: F -= p * friction / dt (integrate.c:201-206)
+        sfric = params.viscous_friction / params.timestep
+        F = F - scene.mom * sfric * m
+    if pdecay:
+        # quadratic momentum-damping ramp toward +x (integrate.c:232-249)
+        a = 1.0 / jnp.maximum(params.ramp_end - params.ramp_start, 1e-30) ** 2
+        x = scene.pos[..., 0]
+        ramp = jnp.where(x > params.ramp_start,
+                         params.xipdecay * a * (x - params.ramp_start) ** 2,
+                         0.0)
+        F = F.at[..., 0].add(-scene.mom[..., 0] / jnp.maximum(scene.mass, 1e-30)
+                             * ramp * m[..., 0])
+    if params.restrictions is not None:
+        vt = jnp.clip(scene.vtype, 0, params.restrictions.shape[0] - 1)
+        F = F * params.restrictions[vt]
+    return F * m
+
+
+def _finish(scene: Scene, params, F, p_new) -> Tuple[Scene, StepStats]:
+    mask = scene.fmask()
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    p_old = scene.mom
+    x_new = scene.pos + params.timestep * p_new * inv_m[..., None]
+    k1 = jnp.sum(jnp.sum(p_old * p_old, -1) * inv_m)
+    k2 = jnp.sum(jnp.sum(p_new * p_new, -1) * inv_m)
+    stats = StepStats(
+        tot_kin_energy=(k1 + k2) / 4.0,
+        fnorm=jnp.sum(F * F * mask[..., None]),
+        pnorm=jnp.sum(p_new * p_new * mask[..., None]),
+        pxf=jnp.sum(p_new * F * mask[..., None]),
+        ekin_new=k2 / 2.0,
+    )
+    new_scene = scene.replace(pos=x_new, mom=p_new)
+    return new_scene, stats
+
+
+def nve(scene: Scene, params: IntegratorParams,
+        pdecay: bool = False) -> Tuple[Scene, StepStats]:
+    """Plain leapfrog NVE (move_atoms_nve, integrate.c:35)."""
+    F = _apply_force_mods(scene, params, pdecay)
+    p_new = scene.mom + params.timestep * F
+    return _finish(scene, params, F, p_new)
+
+
+def mik(scene: Scene, params: IntegratorParams) -> Tuple[Scene, StepStats]:
+    """Microconvergence relaxation: zero p where p.F < 0 (integrate.c:831)."""
+    F = _apply_force_mods(scene, params)
+    p_new = scene.mom + params.timestep * F
+    pf = jnp.sum(p_new * F, axis=-1, keepdims=True)
+    p_new = jnp.where(pf < 0.0, 0.0, p_new)
+    return _finish(scene, params, F, p_new)
+
+
+def berendsen(scene: Scene, params: IntegratorParams, nactive,
+              tot_kin_energy) -> Tuple[Scene, StepStats]:
+    """NVE + Berendsen velocity rescale (Ju Li variant, integrate.c:60-68).
+
+    ``tot_kin_energy`` is last step's kinetic energy (the reference uses the
+    running global).
+    """
+    eps = 8.6174101569719990e-06  # reference's additive epsilon (~0.1 K)
+    cc = 1.0 - params.timestep / params.tau_berendsen * (
+        (2.0 * tot_kin_energy / nactive + eps) / (params.temperature + eps) - 1.0)
+    cc = jnp.sqrt(jnp.clip(cc, 0.5, 2.0))
+    F = _apply_force_mods(scene, params)
+    p_new = (scene.mom + params.timestep * F) * cc
+    return _finish(scene, params, F, p_new)
+
+
+def nvt(scene: Scene, params: IntegratorParams, nactive,
+        eta) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """Nose-Hoover NVT (move_atoms_nvt, integrate.c:1047).
+
+    Discretization matches the reference: momenta are advanced with the
+    friction half-implicitly,
+        p_new = p_old * (1 - dt*eta/2)/(1 + dt*eta/2) + dt * F * 1/(1+dt*eta/2)
+    and eta integrates d(eta)/dt = (T_cur/T_ext - 1) / tau_eta^2.
+    Returns the updated eta as third output.
+    """
+    F = _apply_force_mods(scene, params)
+    dt = params.timestep
+    reib = 0.5 * dt * eta
+    fac1 = (1.0 - reib) / (1.0 + reib)
+    fac2 = dt / (1.0 + reib)
+    p_new = scene.mom * fac1 + fac2 * F
+    scene2, stats = _finish(scene, params, F, p_new)
+    t_cur = 2.0 * stats.tot_kin_energy / jnp.maximum(nactive, 1)
+    eta_new = eta + dt * params.isq_tau_eta * (
+        t_cur / jnp.maximum(params.temperature, 1e-30) - 1.0)
+    return scene2, stats, eta_new
+
+
+def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
+        vcom_atom: jnp.ndarray, pdecay: bool = False
+        ) -> Tuple[Scene, StepStats]:
+    """TTM electron-phonon coupled leapfrog (move_atoms_ttm, integrate.c:581).
+
+    ``xi_atom`` [gx,gy,gz,cap] is the per-atom coupling strength gathered
+    from the FD grid, ``vcom_atom`` [gx,gy,gz,cap,3] the center-of-mass
+    velocity of the atom's FD cell:   p += dt (F + xi m (v - v_com)).
+    """
+    F = _apply_force_mods(scene, params, pdecay)
+    m = scene.fmask()
+    v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
+    F_coupled = F + (xi_atom * scene.mass * m)[..., None] * (v - vcom_atom)
+    p_new = scene.mom + params.timestep * F_coupled
+    return _finish(scene, params, F_coupled, p_new)
+
+
+# ---------------------------------------------------------------------------
+# velocity initialization (imd_maxwell.c:45)
+# ---------------------------------------------------------------------------
+
+def maxwell(scene: Scene, temperature, key: jax.Array,
+            restrictions: Optional[jnp.ndarray] = None,
+            exact: bool = True) -> Scene:
+    """Maxwell-Boltzmann momenta at (k_B T) = ``temperature`` (eV).
+
+    Momenta are Gaussian with variance m*T per component, the total momentum
+    is removed, and (like the reference's rescale) the temperature is made
+    exact over the active degrees of freedom.
+    """
+    dtype = scene.pos.dtype
+    mask = scene.fmask()
+    g = jax.random.normal(key, scene.mom.shape, dtype)
+    sigma = jnp.sqrt(jnp.maximum(scene.mass, 0.0) *
+                     jnp.asarray(temperature, dtype))[..., None]
+    p = g * sigma * mask[..., None]
+    if restrictions is not None:
+        vt = jnp.clip(scene.vtype, 0, restrictions.shape[0] - 1)
+        active = restrictions[vt] * mask[..., None]
+    else:
+        active = jnp.broadcast_to(mask[..., None], p.shape)
+    p = p * active
+    # remove center-of-mass drift of the active components
+    n_act = jnp.maximum(jnp.sum(active, axis=(0, 1, 2, 3)), 1.0)
+    mass_tot = jnp.sum(scene.mass * mask)
+    p_tot = jnp.sum(p, axis=(0, 1, 2, 3))
+    p = p - (p_tot / jnp.maximum(mass_tot, 1e-30)) * scene.mass[..., None] * active
+    if exact:
+        inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+        ekin = 0.5 * jnp.sum(jnp.sum(p * p, -1) * inv_m)
+        ndof = jnp.sum(active)
+        t_cur = 2.0 * ekin / jnp.maximum(ndof, 1.0)
+        scale = jnp.sqrt(jnp.asarray(temperature, dtype) /
+                         jnp.maximum(t_cur, 1e-30))
+        p = p * jnp.where(temperature > 0, scale, 0.0)
+    return scene.replace(mom=p)
+
+
+def count_active_dof(scene: Scene,
+                     restrictions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """nactive: number of unrestricted degrees of freedom (imd_misc.c)."""
+    mask = scene.fmask()
+    if restrictions is None:
+        return 3.0 * jnp.sum(mask)
+    vt = jnp.clip(scene.vtype, 0, restrictions.shape[0] - 1)
+    return jnp.sum(restrictions[vt] * mask[..., None])

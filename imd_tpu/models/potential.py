@@ -1,0 +1,363 @@
+"""Tabulated and analytic interaction potentials.
+
+File compatibility with the reference (imd_potential.c):
+
+- **format 1** (`read_pot_table1`, imd_potential.c:297): lines of
+  ``r^2 V00 V01 ... VNN`` at equidistant r^2; radial tables are shifted so the
+  last sample is zero; ``end``/``len`` track the last nonzero sample per column.
+- **format 2** (`read_pot_table2`, imd_potential.c:394): per-column header
+  ``begin end step`` then one value per line, blank-line separated columns.
+- header: ``#F <format> <ncols>`` ... ``#E`` (imd_potential.c:180-210).
+
+Interpolation matches the reference default 3-point quadratic
+(`PAIR_INT2`, potaccess.h:323): tables are functions of r^2 with equidistant
+sampling, the "gradient" returned is ``2*dV/dr^2 = (1/r) dV/dr``, and two
+continuation samples extend each column (`init_threepoint`,
+imd_potential.c:1260) so interpolation stays valid at the table end.
+
+Analytic Lennard-Jones/Morse table generation mirrors `create_pot_table`
+(imd_potential.c:476): sampled in r^2 with a quadratic smoothing tail
+``A (rc^2 - r^2)^2`` over the last ``POT_TAIL`` = 5% of rc^2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POT_TAIL = 0.05  # fraction of r2_cut smoothed to zero (reference config.h:124)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PotTable:
+    """An equidistantly sampled function table (usually of r^2).
+
+    ``table`` has shape [ncols, maxsteps+2]; the two trailing samples per
+    column are quadratic continuations.  ``begin``, ``step``, ``invstep``,
+    ``end``, ``len`` are per-column [ncols] arrays.
+    """
+    table: jnp.ndarray     # [ncols, maxsteps+2]
+    begin: jnp.ndarray     # [ncols]
+    end: jnp.ndarray       # [ncols]  last valid abscissa (clamp point)
+    step: jnp.ndarray      # [ncols]
+    invstep: jnp.ndarray   # [ncols]
+    length: jnp.ndarray    # [ncols] int32, number of real samples
+
+    def tree_flatten(self):
+        return ((self.table, self.begin, self.end, self.step, self.invstep,
+                 self.length), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ncols(self) -> int:
+        return self.table.shape[0]
+
+    # -- interpolation -------------------------------------------------------
+
+    def interp(self, col, x):
+        """Quadratic interpolation; returns (value, 2*d/dx) like PAIR_INT2.
+
+        ``col`` may be a scalar int or an integer array broadcastable with
+        ``x``.  Out-of-range low x clamps to the table start (the reference's
+        ``is_short`` path); x past ``end`` clamps to the cutoff value.
+        """
+        begin = self.begin[col]
+        invstep = self.invstep[col]
+        xa = jnp.minimum(x, self.end[col]) - begin
+        xa = jnp.maximum(xa, 0.0) * invstep
+        k = jnp.floor(xa).astype(jnp.int32)
+        k = jnp.minimum(k, self.table.shape[1] - 3)
+        chi = xa - k
+        if isinstance(col, int):
+            tab = self.table[col]
+            p0 = tab[k]
+            p1 = tab[k + 1]
+            p2 = tab[k + 2]
+        else:
+            p0 = self.table[col, k]
+            p1 = self.table[col, k + 1]
+            p2 = self.table[col, k + 2]
+        dv = p1 - p0
+        d2v = p2 - 2.0 * p1 + p0
+        val = p0 + chi * dv + 0.5 * chi * (chi - 1.0) * d2v
+        grad = 2.0 * invstep * (dv + (chi - 0.5) * d2v)
+        return val, grad
+
+    def value(self, col, x):
+        return self.interp(col, x)[0]
+
+    @property
+    def max_end(self) -> float:
+        return float(np.max(np.asarray(self.end)))
+
+
+# ---------------------------------------------------------------------------
+# construction helpers
+# ---------------------------------------------------------------------------
+
+def _with_continuation(cols: Sequence[np.ndarray]) -> np.ndarray:
+    """Pad columns to a common length + 2 continuation samples (init_threepoint)."""
+    maxlen = max(len(c) for c in cols)
+    out = np.zeros((len(cols), maxlen + 2), dtype=np.float64)
+    for i, c in enumerate(cols):
+        n = len(c)
+        out[i, :n] = c
+        if n >= 3:
+            out[i, n] = 3 * c[n - 1] - 3 * c[n - 2] + c[n - 3]
+            out[i, n + 1] = 6 * c[n - 1] - 8 * c[n - 2] + 3 * c[n - 3]
+    return out
+
+
+def _make_table(cols, begin, end, step, dtype=jnp.float32) -> PotTable:
+    table = _with_continuation(cols)
+    begin = np.asarray(begin, np.float64)
+    end = np.asarray(end, np.float64)
+    step = np.asarray(step, np.float64)
+    return PotTable(
+        table=jnp.asarray(table, dtype),
+        begin=jnp.asarray(begin, dtype),
+        end=jnp.asarray(end, dtype),
+        step=jnp.asarray(step, dtype),
+        invstep=jnp.asarray(1.0 / np.where(step == 0, 1.0, step), dtype),
+        length=jnp.asarray([len(c) for c in cols], jnp.int32),
+    )
+
+
+def read_pot_table(path_or_text, ncols: int, radial: bool = True,
+                   dtype=jnp.float32) -> PotTable:
+    """Read an IMD potential table (auto-detects format 1 vs 2 from header)."""
+    if "\n" in str(path_or_text):
+        text = path_or_text
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+    lines = text.splitlines()
+    fmt = 1
+    body_start = 0
+    have_header = False
+    for i, line in enumerate(lines):
+        if line.startswith("#"):
+            have_header = True
+            if len(line) > 1 and line[1] == "F":
+                parts = line[2:].split()
+                fmt = int(parts[0])
+                size = int(parts[1])
+                if size != ncols:
+                    raise ValueError(
+                        f"potential table has {size} columns, expected {ncols}")
+            if len(line) > 1 and line[1] == "E":
+                body_start = i + 1
+                break
+        elif have_header:
+            raise ValueError("corrupted potential file header")
+        else:
+            break
+    body = "\n".join(lines[body_start:])
+    if fmt == 1:
+        return _read_format1(body, ncols, radial, dtype)
+    elif fmt == 2:
+        return _read_format2(body, ncols, radial, dtype)
+    raise ValueError(f"unknown potential format {fmt}")
+
+
+def _read_format1(body: str, ncols: int, radial: bool, dtype) -> PotTable:
+    data = np.loadtxt(io.StringIO(body))
+    data = np.atleast_2d(data)
+    if data.shape[1] != ncols + 1:
+        raise ValueError(
+            f"format-1 table rows have {data.shape[1]} values, expected {ncols + 1}")
+    r2 = data[:, 0]
+    npot = len(r2)
+    r2_start, r2_step = r2[0], (r2[-1] - r2[0]) / (npot - 1)
+    cols, begin, end, length = [], [], [], []
+    for i in range(ncols):
+        col = data[:, i + 1].copy()
+        nz = np.nonzero(col)[0]
+        n = int(nz[-1]) + 1 if len(nz) else 0
+        e = r2[n - 1] if n else 0.0
+        # shift radial potentials so the value at the final sample is zero
+        if radial and n and col[npot - 1] != 0.0:
+            col[:npot] -= col[npot - 1]
+        cols.append(col)
+        begin.append(r2_start)
+        end.append(e)
+        length.append(n)
+    step = [r2_step] * ncols
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def _read_format2(body: str, ncols: int, radial: bool, dtype) -> PotTable:
+    toks = body.split()
+    vals = [float(t) for t in toks]
+    begin, end, step, length = [], [], [], []
+    pos = 0
+    for i in range(ncols):
+        b, e, s = vals[pos], vals[pos + 1], vals[pos + 2]
+        pos += 3
+        begin.append(b)
+        end.append(e)
+        step.append(s)
+        numstep = 1 + (e - b) / s
+        length.append(int(numstep + 0.49))
+    cols = []
+    for i in range(ncols):
+        cols.append(np.asarray(vals[pos:pos + length[i]], np.float64))
+        pos += length[i]
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def write_pot_table(pt: PotTable, path: str):
+    """Write a table in IMD format 2 (readable by the reference)."""
+    table = np.asarray(pt.table, np.float64)
+    begin = np.asarray(pt.begin, np.float64)
+    end = np.asarray(pt.end, np.float64)
+    step = np.asarray(pt.step, np.float64)
+    length = np.asarray(pt.length)
+    with open(path, "w") as f:
+        f.write(f"#F 2 {pt.ncols}\n#E\n")
+        for i in range(pt.ncols):
+            f.write(f"{begin[i]:.16e} {end[i]:.16e} {step[i]:.16e}\n")
+        for i in range(pt.ncols):
+            for v in table[i, :length[i]]:
+                f.write(f"{v:.16e}\n")
+            f.write("\n")
+
+
+# ---------------------------------------------------------------------------
+# analytic generation (mirrors create_pot_table, imd_potential.c:476)
+# ---------------------------------------------------------------------------
+
+def _smoothed_samples(fn, dfn_dr2, r2: np.ndarray, r2_cut: float):
+    """Sample fn(r2) with the reference's quadratic smoothing tail.
+
+    For r2 >= (1-POT_TAIL) r2_cut the potential continues as A (r2_cut-r2)^2
+    with A chosen to match the derivative at the splice, and the inner branch
+    is shifted for continuity (imd_potential.c:858-863).
+    """
+    x0 = (1.0 - POT_TAIL) * r2_cut
+    dv0 = dfn_dr2(x0)
+    A = -dv0 / (2.0 * POT_TAIL * r2_cut)
+    shift = fn(x0) - A * (r2_cut - x0) ** 2
+    inner = fn(r2) - shift
+    tail = A * np.maximum(r2_cut - r2, 0.0) ** 2
+    out = np.where(r2 < x0, inner, np.where(r2 <= r2_cut, tail, 0.0))
+    return out
+
+
+def lj_table(epsilon, sigma, r_cut, ntypes: int = 1, r_begin=None,
+             res: int = 1000, dtype=jnp.float32) -> PotTable:
+    """Tabulated (smoothly cut) Lennard-Jones for all type pairs.
+
+    Uses IMD's LJ convention V = eps * ((sig/r)^12 - 2 (sig/r)^6)
+    (minimum -eps at r = sig; potaccess.h PAIR_INT_LJ).
+    ``epsilon``/``sigma``/``r_cut`` are upper-triangular-linearized per-pair
+    sequences of length ntypes*(ntypes+1)/2, or scalars for ntypes=1.
+    """
+    def tri(v, i, j):
+        if np.isscalar(v):
+            return float(v)
+        a, b = min(i, j), max(i, j)
+        return float(v[a * ntypes - a * (a + 1) // 2 + b])
+
+    cols, begin, end, step = [], [], [], []
+    for i in range(ntypes):
+        for j in range(ntypes):
+            eps, sig, rc = tri(epsilon, i, j), tri(sigma, i, j), tri(r_cut, i, j)
+            rb = 0.1 * sig if r_begin is None else tri(r_begin, i, j)
+            r2b, r2c = rb * rb, rc * rc
+            r2 = np.linspace(r2b, r2c, res)
+
+            def V(x, eps=eps, sig=sig):
+                s2 = sig * sig / x
+                s6 = s2 ** 3
+                return eps * (s6 * s6 - 2.0 * s6)
+
+            def dV(x, eps=eps, sig=sig):
+                s2 = sig * sig / x
+                s6 = s2 ** 3
+                return -6.0 * eps / x * (2.0 * s6 * s6 - 2.0 * s6)
+
+            cols.append(_smoothed_samples(V, dV, r2, r2c))
+            begin.append(r2b)
+            end.append(r2c)
+            step.append((r2c - r2b) / (res - 1))
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def morse_table(epsilon, alpha, sigma, r_cut, ntypes: int = 1,
+                res: int = 1000, dtype=jnp.float32) -> PotTable:
+    """Tabulated Morse potential (PAIR_INT_MORSE convention)."""
+    def tri(v, i, j):
+        if np.isscalar(v):
+            return float(v)
+        a, b = min(i, j), max(i, j)
+        return float(v[a * ntypes - a * (a + 1) // 2 + b])
+
+    cols, begin, end, step = [], [], [], []
+    for i in range(ntypes):
+        for j in range(ntypes):
+            eps, al, sig, rc = (tri(epsilon, i, j), tri(alpha, i, j),
+                                tri(sigma, i, j), tri(r_cut, i, j))
+            r2b, r2c = (0.1 * sig) ** 2, rc * rc
+            r2 = np.linspace(r2b, r2c, res)
+
+            def V(x, eps=eps, al=al, sig=sig):
+                r = np.sqrt(x)
+                ex = np.exp(-al * (r - sig))
+                return eps * ((1.0 - ex) ** 2 - 1.0)
+
+            def dV(x, eps=eps, al=al, sig=sig):
+                r = np.sqrt(x)
+                ex = np.exp(-al * (r - sig))
+                return eps * al * ex * (1.0 - ex) / r
+
+            cols.append(_smoothed_samples(V, dV, r2, r2c))
+            begin.append(r2b)
+            end.append(r2c)
+            step.append((r2c - r2b) / (res - 1))
+    return _make_table(cols, begin, end, step, dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EAMPotential:
+    """EAM2 potential set (imd_forces_eam2.c): pair + transfer + embedding.
+
+    - ``pair``:  phi(r^2), [ntypes^2] columns
+    - ``rho``:   electron-density transfer rho_h(r^2), [ntypes^2] columns
+      (column i*ntypes+j = contribution of a j-atom at an i-atom site)
+    - ``embed``: embedding energy F(rho), [ntypes] columns (not radial)
+    """
+    pair: PotTable
+    rho: PotTable
+    embed: PotTable
+
+    def tree_flatten(self):
+        return ((self.pair, self.rho, self.embed), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def cutoff2(self) -> float:
+        return max(self.pair.max_end, self.rho.max_end)
+
+
+def read_eam(core_potential_file: str, embedding_energy_file: str,
+             el_density_file: str, ntypes: int, dtype=jnp.float32) -> EAMPotential:
+    """Load the reference's three EAM2 tables (setup_potentials, imd_potential.c:43)."""
+    return EAMPotential(
+        pair=read_pot_table(core_potential_file, ntypes * ntypes, True, dtype),
+        rho=read_pot_table(el_density_file, ntypes * ntypes, True, dtype),
+        embed=read_pot_table(embedding_energy_file, ntypes, False, dtype),
+    )

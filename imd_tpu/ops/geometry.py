@@ -1,0 +1,144 @@
+"""Box geometry and the linked-cell grid.
+
+Mirrors the behavior of the reference's make_box/init_cells
+(imd_geom_3d.c:52/118): a general (triclinic) simulation box given by three
+box vectors, with the linked-cell grid laid out in fractional coordinates.
+The number of cells per direction is chosen so that the perpendicular height
+of one cell is at least sqrt(cellsz) = cutoff + skin, guaranteeing that all
+interacting pairs live in adjacent cells (27-stencil).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class Box(struct.PyTreeNode):
+    """Simulation box: rows of ``h`` are the box vectors (IMD box_x/y/z)."""
+    h: jnp.ndarray        # [3,3] box matrix, rows = box vectors
+    inv_h: jnp.ndarray    # [3,3] inverse (fractional = pos @ inv_h)
+    pbc: Tuple[int, int, int] = struct.field(pytree_node=False, default=(1, 1, 1))
+
+    @classmethod
+    def create(cls, box_x, box_y, box_z, pbc=(1, 1, 1), dtype=jnp.float32) -> "Box":
+        h = np.asarray([box_x, box_y, box_z], np.float64)
+        if abs(np.linalg.det(h)) < 1e-12:
+            raise ValueError("box has zero volume")
+        inv_h = np.linalg.inv(h)
+        return cls(h=jnp.asarray(h, dtype), inv_h=jnp.asarray(inv_h, dtype),
+                   pbc=tuple(int(p) for p in pbc))
+
+    @classmethod
+    def cubic(cls, L: float, pbc=(1, 1, 1), dtype=jnp.float32) -> "Box":
+        return cls.create([L, 0, 0], [0, L, 0], [0, 0, L], pbc, dtype)
+
+    @property
+    def volume(self) -> jnp.ndarray:
+        return jnp.abs(jnp.linalg.det(self.h))
+
+    def heights(self) -> np.ndarray:
+        """Perpendicular heights of the box along each direction (host)."""
+        h = np.asarray(self.h, np.float64)
+        v = abs(np.linalg.det(h))
+        out = np.empty(3)
+        for i in range(3):
+            a, b = h[(i + 1) % 3], h[(i + 2) % 3]
+            out[i] = v / np.linalg.norm(np.cross(a, b))
+        return out
+
+    def to_frac(self, pos):
+        return pos @ self.inv_h
+
+    def to_cart(self, frac):
+        return frac @ self.h
+
+    def wrap(self, pos):
+        """Wrap positions into the box along periodic directions."""
+        frac = self.to_frac(pos)
+        period = jnp.asarray(self.pbc, frac.dtype)
+        wrapped = frac - jnp.floor(frac) * period
+        return self.to_cart(wrapped)
+
+    def min_image(self, dr):
+        """Minimum-image convention for displacement vectors."""
+        frac = self.to_frac(dr)
+        period = jnp.asarray(self.pbc, frac.dtype)
+        frac = frac - jnp.round(frac) * period
+        return self.to_cart(frac)
+
+
+class CellGrid(struct.PyTreeNode):
+    """Static linked-cell grid metadata.
+
+    dims/capacity are static (hashable) so jitted code specializes on them;
+    the box matrix is a traced leaf so NPT box changes don't retrigger
+    compilation.
+    """
+    box: Box
+    dims: Tuple[int, int, int] = struct.field(pytree_node=False)
+    capacity: int = struct.field(pytree_node=False)
+    cutoff: float = struct.field(pytree_node=False)   # interaction cutoff (A)
+    skin: float = struct.field(pytree_node=False)     # nbl_margin (A)
+
+    @property
+    def n_cells(self) -> int:
+        return self.dims[0] * self.dims[1] * self.dims[2]
+
+    def cell_index(self, pos):
+        """Flat cell id for (wrapped) cartesian positions [N,3] -> [N]."""
+        gx, gy, gz = self.dims
+        frac = self.box.to_frac(pos)
+        dims = jnp.asarray(self.dims, frac.dtype)
+        ijk = jnp.floor(frac * dims).astype(jnp.int32)
+        ijk = jnp.clip(ijk, 0, jnp.asarray(self.dims, jnp.int32) - 1)
+        return (ijk[..., 0] * gy + ijk[..., 1]) * gz + ijk[..., 2]
+
+    def cell_ijk(self, pos):
+        gx, gy, gz = self.dims
+        frac = self.box.to_frac(pos)
+        dims = jnp.asarray(self.dims, frac.dtype)
+        ijk = jnp.floor(frac * dims).astype(jnp.int32)
+        return jnp.clip(ijk, 0, jnp.asarray(self.dims, jnp.int32) - 1)
+
+
+def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
+                capacity: int = 0, n_atoms: int = 0,
+                min_dims: Tuple[int, int, int] = (1, 1, 1),
+                dims_multiple: Tuple[int, int, int] = (1, 1, 1),
+                headroom: float = 1.6) -> CellGrid:
+    """Pick cell-grid dims and capacity (init_cells, imd_geom_3d.c:118).
+
+    Cells must have perpendicular height >= cutoff + skin.  ``capacity`` 0
+    lets us size from the mean density with ``headroom`` slack.
+    ``dims_multiple`` forces divisibility (for even sharding over a mesh).
+    """
+    reach = cutoff + skin
+    heights = box.heights()
+    dims = []
+    for d in range(3):
+        n = max(1, int(math.floor(heights[d] / reach)))
+        n = max(n, min_dims[d])
+        m = dims_multiple[d]
+        if n % m:
+            n = max(m, (n // m) * m)  # round down to multiple, keep >= m
+        dims.append(n)
+    dims = tuple(dims)
+    n_cells = dims[0] * dims[1] * dims[2]
+    # validity: cell height must still cover the reach after rounding
+    for d in range(3):
+        if dims[d] > 1 and heights[d] / dims[d] < reach - 1e-9:
+            dims = tuple(max(1, x - (1 if i == d else 0)) for i, x in enumerate(dims))
+    if capacity <= 0:
+        if n_atoms <= 0:
+            raise ValueError("need n_atoms to size cell capacity")
+        mean = n_atoms / n_cells
+        capacity = max(4, int(math.ceil(mean * headroom)))
+        # round to a multiple of 8 for TPU-friendly layouts
+        capacity = ((capacity + 7) // 8) * 8
+    return CellGrid(box=box, dims=dims, capacity=int(capacity),
+                    cutoff=float(cutoff), skin=float(skin))

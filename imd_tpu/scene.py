@@ -1,0 +1,192 @@
+"""Scene: the atom state pytree, stored as fixed-capacity per-cell SoA arrays.
+
+The reference stores atoms in dynamically sized per-cell SoA blocks
+(`cell` struct, types.h:188-349, realloc'd by alloc_cell).  On TPU every
+shape must be static, so a Scene holds padded arrays
+
+    pos, mom, force : [gx, gy, gz, cap, 3]
+    epot, mass      : [gx, gy, gz, cap]
+    type, vtype, id : [gx, gy, gz, cap]  (int32; type == -1 marks empty slots)
+
+over the linked-cell grid (gx, gy, gz) with per-cell capacity ``cap``.
+Neighbor-cell access is a lattice `jnp.roll` (plus a static PBC box shift),
+which shards cleanly (roll along a sharded axis lowers to a ppermute halo) —
+this replaces both the reference's cell-pair lists and its MPI halo exchange.
+
+Atoms are (re)binned by sorting on cell id (the static-shape equivalent of
+`fix_cells`, imd_fix_cells_3d.c:43); overflowing a cell's capacity is
+detected and reported, mirroring the reference's "cell too full" errors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from imd_tpu.ops.geometry import Box, CellGrid
+
+
+class Scene(struct.PyTreeNode):
+    # per-atom state, cell-major [gx, gy, gz, cap, ...]
+    pos: jnp.ndarray         # [gx, gy, gz, cap, 3] cartesian, wrapped into box
+    mom: jnp.ndarray         # [gx, gy, gz, cap, 3] momentum (amu A / time unit)
+    force: jnp.ndarray       # [gx, gy, gz, cap, 3]
+    epot: jnp.ndarray        # [gx, gy, gz, cap] per-atom potential energy
+    mass: jnp.ndarray        # [gx, gy, gz, cap]
+    type: jnp.ndarray        # [gx, gy, gz, cap] int32 real type, -1 = empty
+    vtype: jnp.ndarray       # [gx, gy, gz, cap] int32 virtual type
+    id: jnp.ndarray          # [gx, gy, gz, cap] int32 atom number
+    # bookkeeping
+    nbl_ref_pos: jnp.ndarray  # positions at last rebin (skin check, forces_nbl:1062)
+    overflow: jnp.ndarray     # int32 scalar: atoms dropped by capacity overflow
+    # geometry: a pytree whose box matrix is traced but whose dims/capacity
+    # are static aux data (CellGrid fields with pytree_node=False)
+    grid: CellGrid
+
+    # ------------------------------------------------------------------
+    @property
+    def mask(self) -> jnp.ndarray:
+        """Boolean [gx, gy, gz, cap] — True where a real atom lives."""
+        return self.type >= 0
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[3]
+
+    def n_atoms(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def fmask(self, dtype=None) -> jnp.ndarray:
+        return self.mask.astype(dtype or self.pos.dtype)
+
+    # ------------------------------------------------------------------
+    def flatten_atoms(self):
+        """Return flat [M, ...] views (M = n_cells * cap) plus the mask."""
+        cap = self.capacity
+        M = int(np.prod(self.pos.shape[:3])) * cap
+        return {
+            "pos": self.pos.reshape(M, 3),
+            "mom": self.mom.reshape(M, 3),
+            "force": self.force.reshape(M, 3),
+            "epot": self.epot.reshape(M),
+            "mass": self.mass.reshape(M),
+            "type": self.type.reshape(M),
+            "vtype": self.vtype.reshape(M),
+            "id": self.id.reshape(M),
+            "mask": self.mask.reshape(M),
+        }
+
+
+def _bin_flat(grid: CellGrid, pos, arrays, cap, dtype):
+    """Scatter flat per-atom arrays into the padded cell layout.
+
+    ``pos`` [N,3]; arrays is a dict of [N,...] arrays that must include
+    'mask'.  Returns cell-shaped dict plus overflow count.  Dead atoms and
+    overflow atoms are dropped (scatter mode='drop').
+    """
+    gx, gy, gz = grid.dims
+    n_cells = gx * gy * gz
+    N = pos.shape[0]
+    mask = arrays["mask"]
+
+    wrapped = grid.box.wrap(pos)
+    cidx = grid.cell_index(wrapped)                       # [N] flat cell id
+    cidx = jnp.where(mask, cidx, n_cells)                 # dead atoms sort last
+    order = jnp.argsort(cidx)
+    cidx_s = cidx[order]
+    # rank within each run of equal cell ids
+    ar = jnp.arange(N, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                cidx_s[1:] != cidx_s[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_start, ar, 0))
+    rank = ar - run_start
+    alive_s = cidx_s < n_cells
+    over = alive_s & (rank >= cap)
+    target = jnp.where(alive_s & (rank < cap), cidx_s * cap + rank, -1)
+
+    out = {}
+    for name, a in arrays.items():
+        if name == "mask":
+            continue
+        a_s = a[order]
+        fill_shape = (n_cells * cap,) + a.shape[1:]
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            fill = jnp.full(fill_shape, -1, a.dtype)
+        else:
+            fill = jnp.zeros(fill_shape, a.dtype)
+        binned = fill.at[target].set(a_s, mode="drop")
+        out[name] = binned.reshape((gx, gy, gz, cap) + a.shape[1:])
+    wrapped_s = wrapped[order]
+    pos_binned = jnp.zeros((n_cells * cap, 3), dtype).at[target].set(
+        wrapped_s, mode="drop")
+    out["pos"] = pos_binned.reshape(gx, gy, gz, cap, 3)
+    overflow = jnp.sum(over.astype(jnp.int32))
+    return out, overflow
+
+
+def make_scene(grid: CellGrid, pos, *, mom=None, mass=None, type=None,
+               vtype=None, id=None, epot=None, mask=None,
+               dtype=jnp.float32) -> Scene:
+    """Build a Scene from flat per-atom arrays (host-side entry point)."""
+    pos = jnp.asarray(pos, dtype)
+    N = pos.shape[0]
+    mom = jnp.zeros((N, 3), dtype) if mom is None else jnp.asarray(mom, dtype)
+    mass = jnp.ones((N,), dtype) if mass is None else jnp.asarray(mass, dtype)
+    type_ = jnp.zeros((N,), jnp.int32) if type is None else jnp.asarray(type, jnp.int32)
+    vtype = type_ if vtype is None else jnp.asarray(vtype, jnp.int32)
+    id_ = jnp.arange(N, dtype=jnp.int32) if id is None else jnp.asarray(id, jnp.int32)
+    epot = jnp.zeros((N,), dtype) if epot is None else jnp.asarray(epot, dtype)
+    mask = jnp.ones((N,), bool) if mask is None else jnp.asarray(mask, bool)
+    type_ = jnp.where(mask, type_, -1)
+
+    cap = grid.capacity
+    arrays = {"mask": mask, "mom": mom, "mass": mass, "type": type_,
+              "vtype": vtype, "id": id_, "epot": epot}
+    out, overflow = _bin_flat(grid, pos, arrays, cap, dtype)
+    return Scene(
+        pos=out["pos"], mom=out["mom"],
+        force=jnp.zeros_like(out["pos"]),
+        epot=out["epot"], mass=out["mass"], type=out["type"],
+        vtype=out["vtype"], id=out["id"],
+        nbl_ref_pos=out["pos"], overflow=jnp.asarray(overflow, jnp.int32),
+        grid=grid,
+    )
+
+
+def rebin(scene: Scene) -> Scene:
+    """Re-sort all atoms into their current cells (fix_cells equivalent).
+
+    jit-safe: static shapes throughout.  Also resets the skin-check
+    reference positions.
+    """
+    flat = scene.flatten_atoms()
+    arrays = {"mask": flat["mask"], "mom": flat["mom"], "mass": flat["mass"],
+              "type": flat["type"], "vtype": flat["vtype"], "id": flat["id"],
+              "epot": flat["epot"]}
+    out, overflow = _bin_flat(scene.grid, flat["pos"], arrays,
+                              scene.capacity, scene.pos.dtype)
+    return scene.replace(
+        pos=out["pos"], mom=out["mom"], force=jnp.zeros_like(out["pos"]),
+        epot=out["epot"], mass=out["mass"], type=out["type"],
+        vtype=out["vtype"], id=out["id"], nbl_ref_pos=out["pos"],
+        overflow=scene.overflow + overflow,
+    )
+
+
+def max_displacement2(scene: Scene) -> jnp.ndarray:
+    """Max squared displacement since last rebin (check_nblist, forces_nbl:1062)."""
+    d = scene.pos - scene.nbl_ref_pos
+    # wrap displacement differences for atoms that crossed the boundary
+    d = scene.grid.box.min_image(d)
+    d2 = jnp.sum(d * d, axis=-1)
+    return jnp.max(jnp.where(scene.mask, d2, 0.0))
+
+
+def needs_rebin(scene: Scene, margin: float) -> jnp.ndarray:
+    """True when an atom moved more than half the skin (forces_nbl:1062)."""
+    return max_displacement2(scene) > (0.5 * margin) ** 2

@@ -1,0 +1,82 @@
+"""Potential table round-trip and interpolation accuracy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu.models.potential import (
+    PotTable, lj_table, morse_table, read_pot_table, write_pot_table, POT_TAIL)
+
+
+def test_lj_table_matches_analytic():
+    eps, sig, rc = 0.3, 2.5, 6.0
+    pt = lj_table(eps, sig, rc, res=4000, dtype=jnp.float64)
+    r = np.linspace(0.8 * sig, (1 - POT_TAIL - 0.01) * rc, 200)
+    val, grad = pt.interp(0, jnp.asarray(r * r))
+    s6 = (sig / r) ** 6
+    v_ref = eps * (s6 * s6 - 2 * s6)
+    # table is shifted for the smooth tail: compare differences
+    shift = float(val[0] - v_ref[0])
+    np.testing.assert_allclose(np.asarray(val) - shift, v_ref, atol=1e-6)
+    # grad = (1/r) dV/dr
+    dv_dr = -12 * eps / r * (s6 * s6 - s6)
+    np.testing.assert_allclose(np.asarray(grad), dv_dr / r, rtol=2e-3, atol=1e-4)
+
+
+def test_lj_table_smooth_at_cutoff():
+    pt = lj_table(1.0, 1.0, 2.5, res=2000, dtype=jnp.float64)
+    r2c = 2.5 ** 2
+    val, grad = pt.interp(0, jnp.asarray([r2c * 0.999, r2c]))
+    assert abs(float(val[1])) < 1e-8
+    assert abs(float(val[0])) < 1e-4
+    assert abs(float(grad[1])) < 1e-3
+
+
+def test_short_distance_clamps():
+    pt = lj_table(1.0, 1.0, 2.5, dtype=jnp.float64)
+    v_begin, _ = pt.interp(0, pt.begin[0])
+    v_short, _ = pt.interp(0, jnp.asarray(0.5 * float(pt.begin[0])))
+    assert np.isfinite(float(v_short))
+    np.testing.assert_allclose(float(v_short), float(v_begin), rtol=1e-12)
+
+
+def test_format2_roundtrip(tmp_path):
+    pt = lj_table([1.0, 0.5, 0.8], [1.0, 1.1, 1.2], [2.5, 2.6, 2.8],
+                  ntypes=2, dtype=jnp.float64)
+    path = tmp_path / "pot2.dat"
+    write_pot_table(pt, str(path))
+    pt2 = read_pot_table(str(path), ncols=4, dtype=jnp.float64)
+    r2 = jnp.linspace(float(pt.begin[0]) * 1.01, 2.4 ** 2, 50)
+    for col in range(4):
+        v1, g1 = pt.interp(col, r2)
+        v2, g2 = pt2.interp(col, r2)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9,
+                                   atol=1e-12)
+
+
+def test_format1_parse():
+    # minimal format-1 file: equidistant r^2, one column, shifted to zero
+    r2 = np.linspace(1.0, 9.0, 33)
+    v = 1.0 / r2
+    lines = ["#F 1 1", "#E"]
+    for x, y in zip(r2, v):
+        lines.append(f"{x:.10f} {y:.10f}")
+    pt = read_pot_table("\n".join(lines) + "\n", ncols=1, dtype=jnp.float64)
+    val, _ = pt.interp(0, jnp.asarray([4.0]))
+    np.testing.assert_allclose(float(val[0]), 1 / 4.0 - 1 / 9.0, rtol=1e-6)
+    # value at cutoff is zero after shift
+    val_c, _ = pt.interp(0, jnp.asarray([9.0]))
+    assert abs(float(val_c[0])) < 1e-10
+
+
+def test_vector_cols():
+    pt = lj_table([1.0, 0.5, 0.8], [1.0, 1.1, 1.2], [2.5, 2.5, 2.5],
+                  ntypes=2, dtype=jnp.float64)
+    r2 = jnp.full((4,), 2.0)
+    cols = jnp.asarray([0, 1, 2, 3])
+    v, g = pt.interp(cols, r2)
+    for i in range(4):
+        vi, gi = pt.interp(i, jnp.asarray(2.0))
+        np.testing.assert_allclose(float(v[i]), float(vi), rtol=1e-12)
+        np.testing.assert_allclose(float(g[i]), float(gi), rtol=1e-12)
