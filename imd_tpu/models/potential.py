@@ -72,6 +72,7 @@ class PotTable:
         """
         begin = self.begin[col]
         invstep = self.invstep[col]
+        is_short = x < begin
         xa = jnp.minimum(x, self.end[col]) - begin
         xa = jnp.maximum(xa, 0.0) * invstep
         k = jnp.floor(xa).astype(jnp.int32)
@@ -90,6 +91,10 @@ class PotTable:
         d2v = p2 - 2.0 * p1 + p0
         val = p0 + chi * dv + 0.5 * chi * (chi - 1.0) * d2v
         grad = 2.0 * invstep * (dv + (chi - 0.5) * d2v)
+        # below-table-start clamp: the reference keeps the k=0 gradient and
+        # warns (`is_short`); we zero it so the clamped region is flat and
+        # the dynamics stay conservative even in pathological overlaps.
+        grad = jnp.where(is_short, jnp.zeros_like(grad), grad)
         return val, grad
 
     def value(self, col, x):
@@ -361,3 +366,52 @@ def read_eam(core_potential_file: str, embedding_energy_file: str,
         rho=read_pot_table(el_density_file, ntypes * ntypes, True, dtype),
         embed=read_pot_table(embedding_energy_file, ntypes, False, dtype),
     )
+
+
+def analytic_eam(r_cut: float = 5.0, r0: float = 2.86, E_c: float = 3.39,
+                 beta: float = 6.0, A: float = 0.25, alpha: float = 2.0,
+                 rho_scale: float = 1.0, res: int = 2000,
+                 dtype=jnp.float32) -> EAMPotential:
+    """Johnson-style analytic single-species EAM, tabulated.
+
+    A smooth, physically-shaped test/benchmark potential (defaults roughly
+    Cu-like): pair = Morse well A*E_c*((1-exp(-alpha(r-r0)))^2 - 1) with the
+    reference's quadratic cutoff tail, transfer rho(r) = exp(-beta(r/r0-1))
+    likewise smoothed, embedding F(rho) = -E_c*sqrt(rho/rho_ref) sampled on
+    [0, 4*rho_ref].  Bound and stable around fcc spacing ~r0.  Useful when
+    no reference EAM table files are at hand; real simulations read the
+    reference's 3-table format via `read_eam`.
+    """
+    r2b, r2c = (0.5 * r0) ** 2, r_cut * r_cut
+    r2 = np.linspace(r2b, r2c, res)
+
+    def pair(x):
+        r = np.sqrt(x)
+        ex = np.exp(-alpha * (r - r0))
+        return A * E_c * ((1.0 - ex) ** 2 - 1.0)
+
+    def dpair(x):
+        r = np.sqrt(x)
+        ex = np.exp(-alpha * (r - r0))
+        return A * E_c * alpha * ex * (1.0 - ex) / r
+
+    def rho_f(x):
+        r = np.sqrt(x)
+        return rho_scale * np.exp(-beta * (r / r0 - 1.0))
+
+    def drho(x):
+        r = np.sqrt(x)
+        return -0.5 * rho_scale * beta / (r0 * r) * np.exp(-beta * (r / r0 - 1.0))
+
+    pair_tab = _make_table([_smoothed_samples(pair, dpair, r2, r2c)],
+                           [r2b], [r2c], [(r2c - r2b) / (res - 1)], dtype)
+    rho_tab = _make_table([_smoothed_samples(rho_f, drho, r2, r2c)],
+                          [r2b], [r2c], [(r2c - r2b) / (res - 1)], dtype)
+    # reference density: 12 fcc nearest neighbors at r0
+    rho_ref = 12.0 * rho_scale
+    rho_max = 4.0 * rho_ref
+    rr = np.linspace(0.0, rho_max, res)
+    embed_col = -E_c * np.sqrt(np.maximum(rr, 0.0) / rho_ref)
+    embed_tab = _make_table([embed_col], [0.0], [rho_max],
+                            [rho_max / (res - 1)], dtype)
+    return EAMPotential(pair=pair_tab, rho=rho_tab, embed=embed_tab)
