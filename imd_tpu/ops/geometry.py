@@ -125,14 +125,14 @@ def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
         n = max(n, min_dims[d])
         m = dims_multiple[d]
         if n % m:
-            n = max(m, (n // m) * m)  # round down to multiple, keep >= m
+            n = (n // m) * m  # round down to the sharding multiple
+        if n < 1 or (n > 1 and heights[d] / n < reach - 1e-9):
+            raise ValueError(
+                f"box height {heights[d]:.3f} along axis {d} cannot hold "
+                f"a multiple of {m} cells of size >= {reach:.3f}")
         dims.append(n)
     dims = tuple(dims)
     n_cells = dims[0] * dims[1] * dims[2]
-    # validity: cell height must still cover the reach after rounding
-    for d in range(3):
-        if dims[d] > 1 and heights[d] / dims[d] < reach - 1e-9:
-            dims = tuple(max(1, x - (1 if i == d else 0)) for i, x in enumerate(dims))
     if capacity <= 0:
         if n_atoms <= 0:
             raise ValueError("need n_atoms to size cell capacity")

@@ -174,7 +174,7 @@ def rebin(scene: Scene) -> Scene:
         pos=out["pos"], mom=out["mom"], force=jnp.zeros_like(out["pos"]),
         epot=out["epot"], mass=out["mass"], type=out["type"],
         vtype=out["vtype"], id=out["id"], nbl_ref_pos=out["pos"],
-        overflow=scene.overflow + overflow,
+        overflow=(scene.overflow + overflow).astype(jnp.int32),
     )
 
 

@@ -1,0 +1,339 @@
+"""Simulation driver: the main_loop equivalent (imd.c:31, imd_main_3d.c:35).
+
+Orchestrates per-step work: forces -> (laser/TTM hooks) -> integrate ->
+temperature ramp -> periodic I/O -> rebin check.  The whole step is one
+jitted function; rebinning happens inside jit under a `lax.cond` so steady
+state runs without host round-trips.  A `run_block` path scans many steps
+per dispatch for benchmarking/production throughput.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from imd_tpu import integrate
+from imd_tpu.config import SimConfig
+from imd_tpu.io.chkpt import ChkptData, read_chkpt, write_chkpt, write_itr, read_itr
+from imd_tpu.io.eng import EngWriter
+from imd_tpu.models.potential import (EAMPotential, PotTable, lj_table,
+                                      read_eam, read_pot_table)
+from imd_tpu.ops import forces as forces_mod
+from imd_tpu.ops.geometry import Box, CellGrid, choose_grid
+from imd_tpu.scene import Scene, make_scene, needs_rebin, rebin
+from imd_tpu.utils.generate import generate_atoms
+
+
+class SimState(struct.PyTreeNode):
+    """Traced per-run state threaded through the jitted step."""
+    scene: Scene
+    step: jnp.ndarray                 # int32 global step counter
+    eta: jnp.ndarray                  # Nose-Hoover friction
+    epot_total: jnp.ndarray
+    virial: jnp.ndarray
+    presstens: jnp.ndarray            # [6]
+    stats: integrate.StepStats
+    nbl_count: jnp.ndarray            # number of rebins so far
+
+
+def _initial_stats(dtype):
+    z = jnp.zeros((), dtype)
+    return integrate.StepStats(tot_kin_energy=z, fnorm=z, pnorm=z, pxf=z,
+                               ekin_new=z)
+
+
+class Simulation:
+    """Host-side driver owning config, potentials, I/O, and the jitted step."""
+
+    def __init__(self, cfg: SimConfig, workdir: str = ".",
+                 dtype=jnp.float32, grid_dims_multiple=(1, 1, 1)):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.dtype = dtype
+        self.eng: Optional[EngWriter] = None
+        self._load_potential()
+        self._load_atoms(grid_dims_multiple)
+        self._select_integrator()
+        self._step_jit = None
+        self.ttm = None          # attached by imd_tpu.models.ttm when enabled
+        self.laser = None
+        self.start_time = time.time()
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return name if os.path.isabs(name) else os.path.join(self.workdir, name)
+
+    def _load_potential(self):
+        cfg = self.cfg
+        self.eam: Optional[EAMPotential] = None
+        self.pair: Optional[PotTable] = None
+        if cfg.core_potential_file:
+            self.eam = read_eam(self._path(cfg.core_potential_file),
+                                self._path(cfg.embedding_energy_file),
+                                self._path(cfg.el_density_file),
+                                cfg.ntypes, self.dtype)
+            self.cutoff = math.sqrt(self.eam.cutoff2)
+        elif cfg.potfile:
+            self.pair = read_pot_table(self._path(cfg.potfile),
+                                       cfg.ntypes * cfg.ntypes, True,
+                                       self.dtype)
+            self.cutoff = math.sqrt(self.pair.max_end)
+        elif cfg.lj_epsilon:
+            rc = cfg.r_cut or tuple(2.5 * s for s in cfg.lj_sigma)
+            self.pair = lj_table(list(cfg.lj_epsilon), list(cfg.lj_sigma),
+                                 list(rc), cfg.ntypes, dtype=self.dtype)
+            self.cutoff = math.sqrt(self.pair.max_end)
+        else:
+            raise ValueError("no potential configured "
+                             "(potfile / EAM files / lj_* parameters)")
+
+    def _load_atoms(self, grid_dims_multiple):
+        cfg = self.cfg
+        itr = {}
+        if cfg.coordname.startswith("_"):
+            pos, typ, box_diag = generate_atoms(cfg.coordname, cfg.box_param,
+                                                cfg.box_unit, cfg.ntypes)
+            number = np.arange(len(pos))
+            mass = np.asarray(cfg.masses)[typ]
+            vel = None
+            box_x = [box_diag[0], 0, 0]
+            box_y = [0, box_diag[1], 0]
+            box_z = [0, 0, box_diag[2]]
+            self.do_maxwell = True
+        else:
+            d = read_chkpt(self._path(cfg.coordname))
+            if cfg.itrname:
+                itr = read_itr(self._path(cfg.itrname))
+            pos, vel, typ, number = d.pos, d.vel, d.type, d.number
+            mass = d.mass
+            box_x = itr.get("box_x", d.box_x if d.box_x is not None
+                            else cfg.box_x)
+            box_y = itr.get("box_y", d.box_y if d.box_y is not None
+                            else cfg.box_y)
+            box_z = itr.get("box_z", d.box_z if d.box_z is not None
+                            else cfg.box_z)
+            self.do_maxwell = cfg.do_maxwell or not d.have_vel
+        if not np.any(np.asarray(box_x)):
+            raise ValueError("no box: neither header #X/#Y/#Z nor box_x params")
+        self.box = Box.create(box_x, box_y, box_z, pbc=cfg.pbc_dirs,
+                              dtype=self.dtype)
+        n = len(pos)
+        self.grid = choose_grid(self.box, self.cutoff, skin=cfg.nbl_margin,
+                                capacity=cfg.cell_capacity, n_atoms=n,
+                                dims_multiple=grid_dims_multiple,
+                                headroom=1.6 * cfg.nbl_size)
+        # vtype -> real type map (cfg.types); vtype kept for restrictions/FBC
+        vtyp = np.asarray(typ, np.int32)
+        types_map = np.asarray(cfg.types if cfg.types else range(max(cfg.vtypes, vtyp.max() + 1)), np.int32)
+        rtyp = types_map[np.clip(vtyp, 0, len(types_map) - 1)]
+        mom = None
+        if vel is not None and not self.do_maxwell:
+            mom = np.asarray(vel) * np.asarray(mass)[:, None]
+        self.scene = make_scene(self.grid, pos, mom=mom, mass=mass,
+                                type=rtyp, vtype=vtyp, id=number,
+                                dtype=self.dtype)
+        self.step_count = int(itr.get("startstep", cfg.startstep))
+        if self.do_maxwell and cfg.starttemp > 0:
+            key = jax.random.PRNGKey(cfg.seed)
+            self.scene = integrate.maxwell(
+                self.scene, cfg.starttemp, key,
+                restrictions=self._restrictions())
+
+    def _restrictions(self):
+        cfg = self.cfg
+        if not cfg.restrictions:
+            return None
+        r = np.ones((cfg.vtypes, 3), np.float64)
+        for i, v in enumerate(cfg.restrictions[:cfg.vtypes]):
+            r[i] = v
+        return jnp.asarray(r, self.dtype)
+
+    def _fbc(self):
+        cfg = self.cfg
+        if not cfg.fbc_forces:
+            return None
+        r = np.zeros((cfg.vtypes, 3), np.float64)
+        for i, v in enumerate(cfg.fbc_forces[:cfg.vtypes]):
+            r[i] = v
+        return jnp.asarray(r, self.dtype)
+
+    def _select_integrator(self):
+        ens = self.cfg.ensemble
+        if ens not in ("nve", "nvt", "mik", "glok", "ttm", "ber"):
+            raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
+        self.ensemble = ens
+
+    # ------------------------------------------------------------------
+    # the jitted step
+    # ------------------------------------------------------------------
+    def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
+        if self.eam is not None:
+            return forces_mod.compute_eam_forces(
+                scene, self.eam, self.cfg.ntypes,
+                count_neighbors=count_neighbors)
+        return forces_mod.compute_pair_forces(
+            scene, self.pair, self.cfg.ntypes,
+            count_neighbors=count_neighbors)
+
+    def integrator_params(self, temperature: jnp.ndarray) -> integrate.IntegratorParams:
+        cfg = self.cfg
+        return integrate.IntegratorParams(
+            timestep=jnp.asarray(cfg.timestep, self.dtype),
+            temperature=jnp.asarray(temperature, self.dtype),
+            isq_tau_eta=jnp.asarray(cfg.isq_tau_eta, self.dtype),
+            tau_berendsen=jnp.asarray(cfg.tau_berendsen, self.dtype),
+            viscous_friction=jnp.asarray(cfg.viscous_friction, self.dtype),
+            xipdecay=jnp.asarray(cfg.xipdecay, self.dtype),
+            ramp_start=jnp.asarray(cfg.ramp_start, self.dtype),
+            ramp_end=jnp.asarray(cfg.ramp_end, self.dtype),
+            restrictions=self._restrictions(),
+            fbc_forces=self._fbc(),
+        )
+
+    def _ramp_temperature(self, step):
+        cfg = self.cfg
+        if cfg.endtemp > 0 and cfg.maxsteps > 0 and cfg.endtemp != cfg.starttemp:
+            frac = jnp.clip(step.astype(self.dtype) / cfg.maxsteps, 0.0, 1.0)
+            return cfg.starttemp + (cfg.endtemp - cfg.starttemp) * frac
+        return jnp.asarray(max(cfg.starttemp, 0.0), self.dtype)
+
+    def make_step_fn(self) -> Callable[[SimState], SimState]:
+        """Build the pure jittable step; ensembles without extra subsystem
+        state close over static config."""
+        cfg = self.cfg
+        nactive = integrate.count_active_dof(self.scene, self._restrictions())
+        pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
+
+        def step_fn(state: SimState) -> SimState:
+            scene = state.scene
+            # rebin when any atom moved more than half the skin
+            do_it = needs_rebin(scene, self.grid.skin)
+            scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
+            nbl_count = state.nbl_count + do_it.astype(jnp.int32)
+            res = self._compute_forces(scene)
+            scene = scene.replace(force=res.force, epot=res.epot)
+            temp = self._ramp_temperature(state.step)
+            params = self.integrator_params(temp)
+            eta = state.eta
+            if self.ensemble in ("nve", "glok"):
+                scene, stats = integrate.nve(scene, params, pdecay=pdecay)
+            elif self.ensemble == "mik":
+                scene, stats = integrate.mik(scene, params)
+            elif self.ensemble == "ber":
+                scene, stats = integrate.berendsen(
+                    scene, params, nactive, state.stats.tot_kin_energy)
+            elif self.ensemble == "nvt":
+                scene, stats, eta = integrate.nvt(scene, params, nactive, eta)
+            else:
+                raise NotImplementedError(self.ensemble)
+            return SimState(scene=scene, step=state.step + 1, eta=eta,
+                            epot_total=jnp.sum(res.epot), virial=res.virial,
+                            presstens=res.presstens, stats=stats,
+                            nbl_count=nbl_count)
+
+        return step_fn
+
+    def init_state(self) -> SimState:
+        z = jnp.zeros((), self.dtype)
+        return SimState(scene=self.scene,
+                        step=jnp.asarray(self.step_count, jnp.int32),
+                        eta=jnp.asarray(self.cfg.eta, self.dtype),
+                        epot_total=z, virial=z,
+                        presstens=jnp.zeros((6,), self.dtype),
+                        stats=_initial_stats(self.dtype),
+                        nbl_count=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    # host loop with I/O
+    # ------------------------------------------------------------------
+    def run(self, steps: Optional[int] = None, block: int = 0,
+            on_interval: Optional[Callable] = None) -> SimState:
+        """Run ``steps`` (default cfg.maxsteps) steps with periodic I/O.
+
+        ``block`` > 1 scans that many steps per device dispatch (I/O
+        intervals must divide into blocks).
+        """
+        cfg = self.cfg
+        steps = cfg.maxsteps if steps is None else steps
+        step_fn = self.make_step_fn()
+        intervals = [i for i in (cfg.eng_int, cfg.checkpt_int) if i > 0]
+        if block <= 0:
+            block = min([steps] + intervals) if intervals else min(steps, 100)
+            block = max(block, 1)
+
+        @jax.jit
+        def run_block(state):
+            return jax.lax.fori_loop(0, block, lambda i, s: step_fn(s), state)
+
+        state = self.init_state()
+        nactive = float(integrate.count_active_dof(self.scene,
+                                                   self._restrictions()))
+        if cfg.eng_int > 0 and self.eng is None:
+            self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
+                                 nvt=(self.ensemble == "nvt"))
+        done = 0
+        while done < steps:
+            state = run_block(state)
+            done += block
+            gstep = int(state.step)
+            if cfg.eng_int > 0 and done % cfg.eng_int == 0:
+                self._write_eng(state, nactive)
+            if cfg.checkpt_int > 0 and done % cfg.checkpt_int == 0:
+                self.write_checkpoint(state, gstep // cfg.checkpt_int)
+            if on_interval is not None:
+                on_interval(self, state)
+        self.scene = state.scene
+        self.step_count = int(state.step)
+        return state
+
+    def _write_eng(self, state: SimState, nactive: float):
+        n = max(int(state.scene.n_atoms()), 1)
+        vol = float(state.scene.grid.box.volume)
+        ekin = float(state.stats.tot_kin_energy)
+        self.eng.write(
+            time=float(state.step) * self.cfg.timestep,
+            epot_per_atom=float(state.epot_total) / n,
+            temperature=2.0 * ekin / max(nactive, 1.0),
+            pressure=(2.0 * ekin + float(state.virial)) / (3.0 * vol),
+            volume=vol,
+            eta=float(state.eta) * self.cfg.tau_eta
+            if self.ensemble == "nvt" else None,
+        )
+
+    def write_checkpoint(self, state: SimState, fzhlr: int):
+        flat = state.scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        mass = np.asarray(flat["mass"])[mask]
+        d = ChkptData(
+            number=np.asarray(flat["id"])[mask],
+            type=np.asarray(flat["vtype"])[mask],
+            mass=mass,
+            pos=np.asarray(flat["pos"])[mask],
+            vel=np.asarray(flat["mom"])[mask] / mass[:, None],
+            data=np.asarray(flat["epot"])[mask][:, None],
+            box_x=np.asarray(self.box.h)[0],
+            box_y=np.asarray(self.box.h)[1],
+            box_z=np.asarray(self.box.h)[2],
+        )
+        base = self._path(f"{self.cfg.outfiles}.{fzhlr:05d}")
+        write_chkpt(base + ".chkpt", d, binary=bool(self.cfg.binary_output))
+        write_itr(base + ".itr", checkpoint=fzhlr,
+                  startstep=int(state.step) + 1,
+                  box_x=d.box_x, box_y=d.box_y, box_z=d.box_z)
+
+    # convenience constructors ------------------------------------------------
+    @classmethod
+    def from_param_file(cls, path: str, phase: int = 1, **kw) -> "Simulation":
+        cfg = SimConfig.from_file(path, phase)
+        kw.setdefault("workdir", os.path.dirname(os.path.abspath(path)))
+        return cls(cfg, **kw)

@@ -1,0 +1,97 @@
+"""End-to-end param-file-driven runs: generator, chkpt round-trip, .eng."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imd_tpu.config import SimConfig, parse_param_text
+from imd_tpu.io.chkpt import read_chkpt
+from imd_tpu.simulation import Simulation
+
+PARAM_LJ = """
+coordname   _fcc
+outfiles    {out}
+box_param   4 4 4
+box_unit    1.5874
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    60
+starttemp   0.03
+eng_int     20
+checkpt_int 60
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+pbc_dirs    1 1 1
+seed        11
+"""
+
+
+def test_param_file_run(tmp_path):
+    out = str(tmp_path / "run")
+    cfg = SimConfig.from_params(parse_param_text(PARAM_LJ.format(out=out)))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    state = sim.run()
+    assert int(state.step) == 60
+    # .eng exists with 3 data lines
+    eng = open(out + ".eng").read().strip().splitlines()
+    assert eng[0].startswith("# time Epot temperature")
+    assert len(eng) == 1 + 3
+    vals = [float(x) for x in eng[-1].split()]
+    assert vals[1] < 0            # bound LJ crystal
+    assert 0 < vals[2] < 0.1      # sane temperature
+    # checkpoint written and readable
+    d = read_chkpt(out + ".00001.chkpt")
+    assert d.n == 4 * 4 * 4 * 4
+    assert d.box_x is not None and abs(d.box_x[0] - 4 * 1.5874) < 1e-10
+
+
+def test_checkpoint_restart_continuity(tmp_path):
+    out = str(tmp_path / "runA")
+    cfg = SimConfig.from_params(parse_param_text(PARAM_LJ.format(out=out)))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    sim.run()
+
+    # restart from the checkpoint; energy must continue smoothly
+    cfg2 = SimConfig.from_params(parse_param_text(PARAM_LJ.format(out=str(tmp_path / "runB"))))
+    cfg2.coordname = out + ".00001.chkpt"
+    cfg2.itrname = out + ".00001.itr"
+    cfg2.maxsteps = 20
+    cfg2.starttemp = 0.0   # no re-thermalization
+    cfg2.do_maxwell = False
+    sim2 = Simulation(cfg2, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim2.step_count == 61
+    st1 = sim2.init_state()
+    step_fn = sim2.make_step_fn()
+    st2 = jax.jit(step_fn)(st1)
+    e1 = float(st2.epot_total) + float(st2.stats.tot_kin_energy)
+    # compare with the original runs' final energy per atom from .eng
+    eng = open(out + ".eng").read().strip().splitlines()
+    epot_end = float(eng[-1].split()[1])
+    n = 256
+    assert abs(float(st2.epot_total) / n - epot_end) < 5e-3
+
+
+def test_binary_checkpoint_roundtrip(tmp_path):
+    from imd_tpu.io.chkpt import ChkptData, write_chkpt
+    rng = np.random.default_rng(0)
+    n = 17
+    d = ChkptData(number=np.arange(n), type=np.zeros(n, np.int32),
+                  mass=np.full(n, 26.98), pos=rng.uniform(0, 10, (n, 3)),
+                  vel=rng.normal(size=(n, 3)), data=rng.normal(size=(n, 1)),
+                  box_x=np.array([10., 0, 0]), box_y=np.array([0, 10., 0]),
+                  box_z=np.array([0, 0, 10.]))
+    p = str(tmp_path / "b.chkpt")
+    write_chkpt(p, d, binary=True, double=True)
+    d2 = read_chkpt(p)
+    np.testing.assert_array_equal(d.number, d2.number)
+    np.testing.assert_allclose(d.pos, d2.pos, rtol=1e-15)
+    np.testing.assert_allclose(d.vel, d2.vel, rtol=1e-15)
+    # single precision too
+    write_chkpt(p, d, binary=True, double=False)
+    d3 = read_chkpt(p)
+    np.testing.assert_allclose(d.pos, d3.pos, rtol=1e-6)
