@@ -27,15 +27,20 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from imd_tpu import integrate
-    from imd_tpu.ops.forces import compute_eam_forces
+    from imd_tpu.ops.forces_fast import compute_eam_forces_fast as compute_eam_forces
     from imd_tpu.scene import needs_rebin, rebin
 
     from __graft_entry__ import _build
+
+    from imd_tpu.models.potential import eam_to_chebyshev
 
     # fcc Al: 4 atoms per unit cell
     ncell = max(2, round((args.atoms / 4) ** (1 / 3)))
     dtype = getattr(jnp, args.dtype)
     scene, eam, grid = _build((ncell, ncell, ncell), dtype=dtype)
+    # Chebyshev-compiled potentials: gather-free evaluation (table gathers
+    # are ~1000x slower on TPU)
+    eam = eam_to_chebyshev(eam, deg=24)
     n_atoms = int(scene.n_atoms())
     scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
     params = integrate.IntegratorParams(

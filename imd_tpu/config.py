@@ -134,7 +134,7 @@ class TTMConfig:
     eos_dir: str = "."               # directory holding EOS_*.txt tables
     atomic_z: float = 13.0           # nuclear charge (Al default)
     atomic_mass: float = 26.9815     # amu
-    max_substeps: int = 64           # static bound on CFL diffusion substeps
+    max_substeps: int = 65536        # backstop on CFL diffusion substeps
     cfl_safety: float = 0.9          # dt <= cfl_safety * min(C dx^2 / 2k)
     vlatdim: int = 0                 # virtual-lattice continuum tail cells
     vlatbuffer: int = 0

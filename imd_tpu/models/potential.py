@@ -415,3 +415,218 @@ def analytic_eam(r_cut: float = 5.0, r0: float = 2.86, E_c: float = 3.39,
     embed_tab = _make_table([embed_col], [0.0], [rho_max],
                             [rho_max / (res - 1)], dtype)
     return EAMPotential(pair=pair_tab, rho=rho_tab, embed=embed_tab)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ChebPotential:
+    """Gather-free potential evaluation: two-piece Chebyshev series/column.
+
+    Dynamic per-pair table gathers are pathologically slow on TPU (measured
+    ~15 ns/element vs ~0.01 ns for fused polynomial evaluation), so at load
+    time each table column is fit by Chebyshev series (two pieces split at
+    the point of worst single-fit error — generated tables have a C^1 kink
+    at the POT_TAIL splice) over an abscissa transform chosen per piece
+    (u = x, sqrt(x) or 1/x; steep r^-12 cores are exactly polynomial in
+    1/r^2).  Evaluation is pure Clenshaw FMAs, no memory indirection; the
+    API matches PotTable.interp: (value, 2*d/dx).
+
+    Below the fit window (|V| > vcap hard core) the potential continues
+    linearly — constant repulsive force, conservative.
+    Fit error vs the source table is in ``max_err`` (host diagnostic).
+    """
+    coef: jnp.ndarray      # [ncols, 2, deg+1]
+    dcoef: jnp.ndarray     # [ncols, 2, deg+1] (dV/dt per piece)
+    lo: jnp.ndarray        # [ncols, 2] piece window start (raw x)
+    hi: jnp.ndarray        # [ncols, 2] piece window end   (raw x)
+    begin: jnp.ndarray     # [ncols] fit-window start (raw x)
+    end: jnp.ndarray       # [ncols]
+    transform: tuple       # static [(tr0, tr1), ...]: 0 = x, 1 = sqrt, 2 = 1/x
+    max_err: tuple         # static per-column max fit error
+
+    def tree_flatten(self):
+        return ((self.coef, self.dcoef, self.lo, self.hi, self.begin,
+                 self.end), (self.transform, self.max_err))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, transform=aux[0], max_err=aux[1])
+
+    @property
+    def ncols(self) -> int:
+        return self.coef.shape[0]
+
+    def _eval_piece(self, c: int, piece: int, x):
+        """(value, dV/dx) of one piece at raw abscissa x (clamped to the
+        piece window; slope frozen at window edges)."""
+        tr = self.transform[c][piece]
+        xlo = self.lo[c, piece]
+        xhi = self.hi[c, piece]
+        xc = jnp.clip(x, xlo, xhi)
+        if tr == 1:
+            u = jnp.sqrt(xc)
+            ulo, uhi = jnp.sqrt(xlo), jnp.sqrt(xhi)
+        elif tr == 2:
+            u = 1.0 / xc
+            ulo, uhi = 1.0 / xhi, 1.0 / jnp.maximum(xlo, 1e-30)
+        else:
+            u = xc
+            ulo, uhi = xlo, xhi
+        span = uhi - ulo
+        t = jnp.clip((u - ulo) / span * 2.0 - 1.0, -1.0, 1.0)
+
+        def clenshaw(coef):
+            b1 = jnp.zeros_like(t)
+            b2 = jnp.zeros_like(t)
+            for k in range(coef.shape[0] - 1, 0, -1):
+                b1, b2 = 2.0 * t * b1 - b2 + coef[k], b1
+            return t * b1 - b2 + coef[0]
+
+        val = clenshaw(self.coef[c, piece])
+        dv_du = clenshaw(self.dcoef[c, piece]) * (2.0 / span)
+        if tr == 1:
+            dv_dx = dv_du / (2.0 * jnp.sqrt(xc))
+        elif tr == 2:
+            dv_dx = dv_du * (-1.0 / (xc * xc))
+        else:
+            dv_dx = dv_du
+        return val, dv_dx
+
+    def _eval_col(self, c: int, x):
+        v0, g0 = self._eval_piece(c, 0, x)
+        v1, g1 = self._eval_piece(c, 1, x)
+        in1 = x >= self.hi[c, 0]
+        val = jnp.where(in1, v1, v0)
+        dv_dx = jnp.where(in1, g1, g0)
+        # linear continuation below the fit window (constant force)
+        below = x < self.begin[c]
+        val = jnp.where(below, val + dv_dx * (x - self.begin[c]), val)
+        return val, 2.0 * dv_dx
+
+    def interp(self, col, x):
+        """Same contract as PotTable.interp (value, 2*d/dx)."""
+        if isinstance(col, int):
+            return self._eval_col(col, x)
+        val = jnp.zeros_like(x)
+        grad = jnp.zeros_like(x)
+        for c in range(self.ncols):
+            v, g = self._eval_col(c, x)
+            m = col == c
+            val = jnp.where(m, v, val)
+            grad = jnp.where(m, g, grad)
+        return val, grad
+
+    def value(self, col, x):
+        return self.interp(col, x)[0]
+
+    @property
+    def max_end(self) -> float:
+        return float(np.max(np.asarray(self.end)))
+
+
+def _fit_window(interp_fn, b, e, deg):
+    """Best (err, coef, transform) Chebyshev fit over [b, e]."""
+    import numpy.polynomial.chebyshev as cheb
+    xs = np.linspace(b, e, 4001)
+    ref = interp_fn(xs)
+    best = None
+    for tr in (0, 1, 2):
+        if tr == 2 and b <= 0:
+            continue
+        if tr == 1:
+            u = np.sqrt(xs)
+        elif tr == 2:
+            u = 1.0 / xs
+        else:
+            u = xs
+        lo, hi = min(u[0], u[-1]), max(u[0], u[-1])
+        t = (u - lo) / (hi - lo) * 2.0 - 1.0
+        cf = cheb.chebfit(t, ref, deg)
+        # error relative to local magnitude (the steep-core region of the
+        # source table itself wiggles at ~1e-3 of |V|; absolute error there
+        # is meaningless), absolute in the |V| <~ 1 well region
+        err = np.max(np.abs(cheb.chebval(t, cf) - ref)
+                     / np.maximum(np.abs(ref), 1.0))
+        if best is None or err < best[0]:
+            best = (err, cf, tr, xs, ref)
+    return best
+
+
+def to_chebyshev(pt: PotTable, deg: int = 24, vcap: float = 1e3,
+                 dtype=None) -> ChebPotential:
+    """Fit a ChebPotential to a PotTable (host-side, at load)."""
+    import numpy.polynomial.chebyshev as cheb
+
+    dtype = dtype or pt.table.dtype
+    begin = np.array(pt.begin, np.float64, copy=True)
+    end = np.asarray(pt.end, np.float64)
+    ncols = pt.ncols
+    coefs, dcoefs, lohi, transforms, errs = [], [], [], [], []
+    for c in range(ncols):
+        b, e = begin[c], end[c]
+        if e <= b:
+            coefs.append(np.zeros((2, deg + 1)))
+            dcoefs.append(np.zeros((2, deg + 1)))
+            lohi.append(((0.0, 1.0), (1.0, 2.0)))
+            transforms.append((0, 0))
+            errs.append(0.0)
+            continue
+
+        def interp_fn(xs):
+            return np.asarray(pt.interp(c, jnp.asarray(xs, jnp.float64))[0],
+                              np.float64)
+
+        # restrict the window to |V| <= vcap (hard cores are unfittable and
+        # physically unsampled; linear continuation below)
+        xs0 = np.linspace(b, e, 8001)
+        ref0 = interp_fn(xs0)
+        ok = np.abs(ref0) <= vcap
+        first = int(np.argmax(ok)) if ok.any() else 0
+        b = xs0[first]
+        begin[c] = b
+
+        err1, cf1, tr1, xs, ref = _fit_window(interp_fn, b, e, deg)
+        # candidate breakpoints: a quantile sweep (cheap host-side fits)
+        # plus the POT_TAIL splice location of generated tables (the C^1
+        # kink that ruins single-window spectral convergence)
+        cands = {0.5 * (b + e), (1.0 - POT_TAIL) * e}
+        if err1 >= 1e-9:
+            cands.update(float(q) for q in np.linspace(b, e, 19)[1:-1])
+        best_split = None
+        for xb_c in cands:
+            xb_c = min(max(xb_c, b + 0.02 * (e - b)), e - 0.02 * (e - b))
+            r0 = _fit_window(interp_fn, b, xb_c, deg)
+            r1 = _fit_window(interp_fn, xb_c, e, deg)
+            tot = max(r0[0], r1[0])
+            if best_split is None or tot < best_split[0]:
+                best_split = (tot, xb_c, r0, r1)
+        _, xb, (e0, cf0, tr0, _, _), (e1b, cfb, trb, _, _) = best_split
+        cc = np.zeros((2, deg + 1))
+        dc = np.zeros((2, deg + 1))
+        cc[0, :len(cf0)] = cf0
+        cc[1, :len(cfb)] = cfb
+        d0 = cheb.chebder(cf0)
+        d1 = cheb.chebder(cfb)
+        dc[0, :len(d0)] = d0
+        dc[1, :len(d1)] = d1
+        coefs.append(cc)
+        dcoefs.append(dc)
+        lohi.append(((b, xb), (xb, e)))
+        transforms.append((tr0, trb))
+        errs.append(float(max(e0, e1b)))
+    lo = np.asarray([[p[0][0], p[1][0]] for p in lohi])
+    hi = np.asarray([[p[0][1], p[1][1]] for p in lohi])
+    return ChebPotential(
+        coef=jnp.asarray(np.stack(coefs), dtype),
+        dcoef=jnp.asarray(np.stack(dcoefs), dtype),
+        lo=jnp.asarray(lo, dtype), hi=jnp.asarray(hi, dtype),
+        begin=jnp.asarray(begin, dtype), end=jnp.asarray(end, dtype),
+        transform=tuple(transforms), max_err=tuple(errs))
+
+
+def eam_to_chebyshev(eam: EAMPotential, deg: int = 24) -> EAMPotential:
+    """Chebyshev-compile all three EAM tables (embed fits in sqrt(rho),
+    linearizing the common -E sqrt(rho) form exactly)."""
+    return EAMPotential(pair=to_chebyshev(eam.pair, deg),
+                        rho=to_chebyshev(eam.rho, deg),
+                        embed=to_chebyshev(eam.embed, deg))

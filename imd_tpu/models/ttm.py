@@ -1,0 +1,431 @@
+"""Two-temperature model: the electron FD grid coupled to the MD atoms.
+
+Re-design of the reference's maintained 1-D TTM (imd_ttm.c; schedule in
+calc_ttm:75-156):
+
+  update_fd  -> per-column natoms / v_com / T_i / neighbor-density / fluxes
+  do_ADV     -> donor-cell advection of electron energy with atom fluxes
+  activation -> (de)activate cells at fd_min_atoms / RHOMIN thresholds
+  FILLMESH   -> wide-range Z, n_e, C_e, kappa, g
+  CFL        -> dt_max = 0.9 min(C_e dx^2 / (k_i + k_i+1)); substeps
+  substep x N: laser source + explicit variable-kappa diffusion
+  xi         -> e-ph coupling accumulated for the integrator
+
+TPU re-design decisions:
+- per-column reductions are `segment_sum` over the flat atom arrays
+  (replacing 4x MPI_Allreduce of global arrays, imd_ttm.c:325-334);
+- the per-atom FD index is recomputed from x each step and the previous
+  index is carried in a Scene-shaped int array (the reference stores
+  fdi/fdj/fdk per atom, types.h:327-330) for advection fluxes;
+- the CFL-adaptive substep count is a traced `lax.fori_loop` bound,
+  clamped to a static maximum (params.max_substeps);
+- cells are active where natoms >= fd_min_atoms AND dens > rho_min
+  (RHOMIN = 2 kg/m^3, imd_ttm.c:69); inactive neighbors get zero-flux
+  (mirror) boundaries in the diffusion stencil.
+
+Units (same as reference): T in eV, kappa/g/Ce in IMD-internal units (see
+models/widerange.py), dens in kg/m^3, U in eV/atom, source in
+eV/(A^3 * time-unit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from imd_tpu import units
+from imd_tpu.models import widerange as wr
+from imd_tpu.models.eos import FEGEos
+from imd_tpu.scene import Scene
+
+RHOMIN = 2.0         # kg/m^3 (imd_ttm.c:69)
+TE_MIN_EV = 0.0026   # ~30 K: "Temin" sanity floor for fresh cells
+
+
+class TTMParams(struct.PyTreeNode):
+    """Static TTM configuration (hashable; jit-specialized)."""
+    nx: int = struct.field(pytree_node=False)
+    fd_h_x: float = struct.field(pytree_node=False)      # cell width (A)
+    fd_vol: float = struct.field(pytree_node=False)      # cell volume (A^3)
+    neigh_vol: float = struct.field(pytree_node=False)   # 4/3 pi rcut^3 (A^3)
+    atomic_mass: float = struct.field(pytree_node=False)
+    atomic_z: float = struct.field(pytree_node=False)
+    fd_min_atoms: int = struct.field(pytree_node=False)
+    rho_min: float = struct.field(pytree_node=False, default=RHOMIN)
+    # backstop only: the fori_loop bound is traced, so any CFL-demanded
+    # count below this runs exactly; clamping below the CFL count would be
+    # numerically unstable (this bit us: never set it low)
+    max_substeps: int = struct.field(pytree_node=False, default=65536)
+    fd_n_timesteps: int = struct.field(pytree_node=False, default=1)
+    cfl_safety: float = struct.field(pytree_node=False, default=0.9)
+    # constant-coefficient overrides (0 = use wide-range models)
+    const_kappa: float = struct.field(pytree_node=False, default=0.0)
+    const_gamma: float = struct.field(pytree_node=False, default=0.0)
+    const_ce: float = struct.field(pytree_node=False, default=0.0)
+    fix_t_el: bool = struct.field(pytree_node=False, default=False)
+    omega_laser: float = struct.field(pytree_node=False, default=0.0)
+
+
+class TTMGrid(struct.PyTreeNode):
+    """The 1-D electron grid state (ttm_Element fields as [nx] arrays)."""
+    temp: jnp.ndarray        # [nx] T_e (eV)
+    md_temp: jnp.ndarray     # [nx] T_i (eV)
+    U: jnp.ndarray           # [nx] electron internal energy (eV/atom)
+    natoms: jnp.ndarray      # [nx] int32
+    natoms_old: jnp.ndarray  # [nx] int32
+    dens: jnp.ndarray        # [nx] ambient density (kg/m^3)
+    vcom: jnp.ndarray        # [nx,3] center-of-mass velocity
+    xi: jnp.ndarray          # [nx] e-ph coupling accumulator (1/time-unit)
+    source: jnp.ndarray      # [nx] laser power density
+    Z: jnp.ndarray           # [nx] mean ionization
+    ne: jnp.ndarray          # [nx] electron density (1/m^3)
+    Ce: jnp.ndarray          # [nx] heat capacity
+    fd_k: jnp.ndarray        # [nx] conductivity
+    fd_g: jnp.ndarray        # [nx] e-ph coupling
+    flux_right: jnp.ndarray  # [nx] int32: atoms received from +x
+    flux_left: jnp.ndarray   # [nx] int32: atoms received from -x
+    eabs: jnp.ndarray        # scalar: absorbed laser energy (eV)
+    init_done: jnp.ndarray   # scalar bool: T_e initialized
+
+    @property
+    def active(self) -> jnp.ndarray:
+        # params must be consulted for thresholds; see `active_mask`
+        raise AttributeError("use active_mask(grid, params)")
+
+
+def active_mask(grid: TTMGrid, params: TTMParams) -> jnp.ndarray:
+    return (grid.natoms >= params.fd_min_atoms) & (grid.dens > params.rho_min)
+
+
+def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32) -> TTMParams:
+    """Build TTMParams from a config (init_ttm, imd_ttm.c:955-1200)."""
+    bx = float(np.asarray(box.h)[0, 0])
+    heights = box.heights()
+    fd_h_x = bx / cfg_ttm.fd_nx
+    fd_vol = fd_h_x * heights[1] * heights[2]
+    neigh_vol = 4.0 / 3.0 * math.pi * cutoff ** 3
+    return TTMParams(
+        nx=cfg_ttm.fd_nx, fd_h_x=fd_h_x, fd_vol=fd_vol, neigh_vol=neigh_vol,
+        atomic_mass=cfg_ttm.atomic_mass, atomic_z=cfg_ttm.atomic_z,
+        fd_min_atoms=cfg_ttm.fd_min_atoms,
+        max_substeps=cfg_ttm.max_substeps,
+        cfl_safety=cfg_ttm.cfl_safety,
+        const_kappa=cfg_ttm.fd_k, const_gamma=cfg_ttm.fd_g,
+        const_ce=cfg_ttm.fd_c, fix_t_el=cfg_ttm.fix_t_el,
+    )
+
+
+def make_grid(params: TTMParams, dtype=jnp.float32) -> TTMGrid:
+    nx = params.nx
+    z = jnp.zeros((nx,), dtype)
+    zi = jnp.zeros((nx,), jnp.int32)
+    return TTMGrid(temp=z, md_temp=z, U=z, natoms=zi, natoms_old=zi, dens=z,
+                   vcom=jnp.zeros((nx, 3), dtype), xi=z, source=z, Z=z,
+                   ne=z, Ce=z, fd_k=z, fd_g=z, flux_right=zi, flux_left=zi,
+                   eabs=jnp.zeros((), dtype),
+                   init_done=jnp.zeros((), bool))
+
+
+# ---------------------------------------------------------------------------
+# update_fd: atoms -> grid reductions (imd_ttm.c:161-548)
+# ---------------------------------------------------------------------------
+
+def fd_index(scene: Scene, params: TTMParams) -> jnp.ndarray:
+    """Per-atom-slot FD column index [gx,gy,gz,cap] (clamped)."""
+    i = jnp.floor(scene.pos[..., 0] / params.fd_h_x).astype(jnp.int32)
+    return jnp.clip(i, 0, params.nx - 1)
+
+
+def update_fd(grid: TTMGrid, scene: Scene, params: TTMParams,
+              num_neighs: jnp.ndarray, fdi_prev: jnp.ndarray,
+              first_step: jnp.ndarray) -> Tuple[TTMGrid, jnp.ndarray]:
+    """Per-column reductions + advection fluxes.
+
+    ``num_neighs`` is the per-atom neighbor count within the pair cutoff
+    (forces pass, NUMNEIGHS); ``fdi_prev`` the previous per-slot FD index
+    (-1 for atoms without history).  Returns (grid, fdi_new).
+    """
+    dtype = scene.pos.dtype
+    nx = params.nx
+    mask = scene.mask & (scene.type == 0)    # reference counts sorte==0 only
+    fm = mask.astype(dtype)
+    fdi = fd_index(scene, params)
+    seg = jnp.where(mask, fdi, nx)           # dead atoms -> overflow bucket
+
+    def ssum(x, dt=None):
+        flat = x.reshape((-1,) + x.shape[4:]) if x.ndim > 4 else x.reshape(-1)
+        return jax.ops.segment_sum(flat, seg.reshape(-1), num_segments=nx + 1
+                                   )[:nx].astype(dt or dtype)
+
+    natoms = ssum(fm, jnp.int32)
+    totneighs = ssum(num_neighs.astype(dtype) * fm)
+    mom_sum = ssum(scene.mom * fm[..., None])
+    totmass = natoms.astype(dtype) * params.atomic_mass
+    vcom = jnp.where(totmass[:, None] > 0, mom_sum / totmass[:, None], 0.0)
+
+    # md_temp: sum m (v - vcom)^2 / (3 N)
+    v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
+    dv = (v - vcom[fdi]) * fm[..., None]
+    mdt = ssum(jnp.sum(dv * dv, -1) * scene.mass)
+    md_temp = jnp.where(natoms > 0, mdt / (3.0 * jnp.maximum(natoms, 1)), 0.0)
+
+    # ambient density from neighbor counts (imd_ttm.c:418)
+    dens = jnp.where(
+        natoms > 0,
+        totneighs / jnp.maximum(natoms.astype(dtype), 1.0)
+        * params.atomic_mass / params.neigh_vol * 1660.53907, 0.0)
+    # fallback: nominal cell density when no neighbors counted
+    dens = jnp.where((natoms > 0) & (dens == 0.0),
+                     natoms.astype(dtype) * params.atomic_mass
+                     / params.fd_vol * 1660.53907, dens)
+
+    # advection fluxes: atoms whose column changed since last step
+    moved = mask & (fdi_prev >= 0) & (fdi_prev != fdi) & ~first_step
+    from_right = moved & (fdi_prev > fdi)
+    from_left = moved & (fdi_prev < fdi)
+    flux_right = ssum(from_right.astype(dtype), jnp.int32)
+    flux_left = ssum(from_left.astype(dtype), jnp.int32)
+
+    # first touch: initialize T_e = T_i on active cells (imd_ttm.c:500)
+    act = (natoms >= params.fd_min_atoms) & (dens > params.rho_min)
+    temp = jnp.where(grid.init_done, grid.temp, jnp.where(act, md_temp, 0.0))
+
+    grid = grid.replace(
+        temp=temp, md_temp=md_temp, natoms=natoms,
+        natoms_old=jnp.where(first_step, natoms, grid.natoms),
+        dens=dens, vcom=vcom, xi=jnp.zeros_like(grid.xi),
+        source=jnp.zeros_like(grid.source),
+        flux_right=flux_right, flux_left=flux_left,
+        init_done=jnp.ones((), bool),
+    )
+    return grid, jnp.where(mask, fdi, -1)
+
+
+# ---------------------------------------------------------------------------
+# advection (do_ADV, imd_ttm.c:1208) and activation (1311)
+# ---------------------------------------------------------------------------
+
+def do_adv(grid: TTMGrid, params: TTMParams, eos: FEGEos,
+           first_step: jnp.ndarray, tau=1.0) -> TTMGrid:
+    """Donor-cell advection of per-atom electron energy U."""
+    n_old = grid.natoms_old.astype(grid.U.dtype)
+    n_new = grid.natoms.astype(grid.U.dtype)
+    U = grid.U
+    U_p = jnp.roll(U, -1)          # U_{i+1}
+    U_m = jnp.roll(U, 1)           # U_{i-1}
+    fr = grid.flux_right.astype(U.dtype)
+    fl = grid.flux_left.astype(U.dtype)
+    fr_m = jnp.roll(fr, 1)         # flux_from_right[i-1]
+    fl_p = jnp.roll(fl, -1)        # flux_from_left[i+1]
+    U2 = jnp.where(
+        n_new > 0,
+        U * n_old / jnp.maximum(n_new, 1.0)
+        + tau * (fr * U_p - fl_p * U + fl * U_m - fr_m * U)
+        / jnp.maximum(n_new, 1.0),
+        0.0)
+    act = active_mask(grid, params)
+    temp2 = jnp.where(act, eos.te_from_u(grid.dens, _ne(grid, params), U2),
+                      grid.temp)
+    temp2 = jnp.where(n_new > 0, temp2, 0.0)
+    out = grid.replace(U=U2, temp=jnp.where(first_step, grid.temp, temp2))
+    return out
+
+
+def _ne(grid: TTMGrid, params: TTMParams) -> jnp.ndarray:
+    """Quasi-neutral electron density from current Z (imd_ttm.c:678)."""
+    Z = wr.mean_charge(jnp.maximum(grid.temp, 1e-6), jnp.maximum(grid.dens, 1e-3),
+                       params.atomic_z, params.atomic_mass)
+    return jnp.maximum(Z, 1e-3) * jnp.maximum(grid.dens, 1e-3) / (
+        params.atomic_mass * wr.AMU)
+
+
+def cell_activation(grid: TTMGrid, params: TTMParams, eos: FEGEos) -> TTMGrid:
+    """Fresh cells with unusable T_e get neighbor-average or T_i
+    (do_cell_activation, imd_ttm.c:1311-1425)."""
+    act_now = active_mask(grid, params)
+    was = grid.natoms_old >= params.fd_min_atoms
+    fresh = ~was & (grid.natoms >= params.fd_min_atoms) & (grid.dens > params.rho_min)
+    bad = fresh & (jnp.isnan(grid.temp) | (grid.temp <= TE_MIN_EV))
+    # neighbor-average of T^2 over active neighbors
+    t2 = jnp.where(act_now, grid.temp ** 2, 0.0)
+    cnt = act_now.astype(grid.temp.dtype)
+    t2_sum = jnp.roll(t2, 1) + jnp.roll(t2, -1)
+    n_sum = jnp.roll(cnt, 1) + jnp.roll(cnt, -1)
+    t_avg = jnp.sqrt(t2_sum / jnp.maximum(n_sum, 1.0))
+    t_new = jnp.where(n_sum > 0, t_avg, grid.md_temp)
+    t_new = jnp.where(t_new < TE_MIN_EV, grid.md_temp, t_new)
+    temp = jnp.where(bad, t_new, grid.temp)
+    ne = _ne(grid.replace(temp=temp), params)
+    U = jnp.where(bad, eos.u_from_te(grid.dens, ne, temp), grid.U)
+    return grid.replace(temp=temp, U=U)
+
+
+# ---------------------------------------------------------------------------
+# FILLMESH: wide-range properties (imd_ttm.c:629)
+# ---------------------------------------------------------------------------
+
+def fill_mesh(grid: TTMGrid, params: TTMParams, eos: FEGEos,
+              laser_active=False) -> TTMGrid:
+    act = active_mask(grid, params)
+    temp = jnp.maximum(grid.temp, 1e-6)
+    dens = jnp.maximum(grid.dens, 1e-3)
+    Z = wr.mean_charge(temp, dens, params.atomic_z, params.atomic_mass)
+    Z = jnp.maximum(Z, 1e-3)
+    ne = Z * dens / (params.atomic_mass * wr.AMU)
+    if params.const_ce > 0:
+        Ce = params.const_ce * temp        # Sommerfeld gamma*Te fallback
+    else:
+        Ce = eos.ce(dens, ne, temp)
+    if params.const_kappa > 0:
+        fd_k = jnp.full_like(temp, params.const_kappa)
+    else:
+        fd_k = wr.get_kappa(temp, jnp.maximum(grid.md_temp, 1e-6), ne, Z,
+                            params.omega_laser, laser_active)
+    if params.const_gamma > 0:
+        fd_g = jnp.full_like(temp, params.const_gamma)
+    else:
+        fd_g = wr.get_gamma(temp, jnp.maximum(grid.md_temp, 1e-6), ne, Z,
+                            params.atomic_mass, params.omega_laser,
+                            laser_active)
+    zero = jnp.zeros_like(temp)
+    return grid.replace(Z=jnp.where(act, Z, zero),
+                        ne=jnp.where(act, ne, zero),
+                        Ce=jnp.where(act, Ce, zero),
+                        fd_k=jnp.where(act, fd_k, zero),
+                        fd_g=jnp.where(act, fd_g, zero))
+
+
+# ---------------------------------------------------------------------------
+# CFL + diffusion substeps (CFL_maxdt imd_ttm.c:2444, do_DIFF 1473)
+# ---------------------------------------------------------------------------
+
+def cfl_substeps(grid: TTMGrid, params: TTMParams, dt,
+                 first_step) -> jnp.ndarray:
+    act = active_mask(grid, params)
+    act_p = jnp.roll(act, -1)
+    k_p = jnp.where(act_p, jnp.roll(grid.fd_k, -1), grid.fd_k)
+    khalf = grid.fd_k + k_p
+    dx2 = params.fd_h_x ** 2
+    lim = jnp.where(act & (khalf > 0), grid.Ce * dx2 / jnp.maximum(khalf, 1e-30),
+                    jnp.inf)
+    max_dt = params.cfl_safety * jnp.min(lim)
+    max_dt = jnp.where(first_step, dt / params.fd_n_timesteps, max_dt)
+    sub = jnp.maximum(params.fd_n_timesteps,
+                      jnp.ceil(dt / jnp.maximum(max_dt, 1e-12)).astype(jnp.int32))
+    return jnp.minimum(sub, params.max_substeps)
+
+
+def diff_step(grid: TTMGrid, params: TTMParams, tau, substeps,
+              laser_active) -> TTMGrid:
+    """One explicit conservative variable-kappa diffusion substep."""
+    act = active_mask(grid, params)
+    T = grid.temp
+    k = grid.fd_k
+    # mirror (zero-flux) boundaries where the neighbor is inactive
+    act_p = jnp.roll(act, -1)
+    act_m = jnp.roll(act, 1)
+    T_p = jnp.where(act_p, jnp.roll(T, -1), T)
+    T_m = jnp.where(act_m, jnp.roll(T, 1), T)
+    k_p = jnp.where(act_p, jnp.roll(k, -1), k)
+    k_m = jnp.where(act_m, jnp.roll(k, 1), k)
+    inv_dx2 = 1.0 / params.fd_h_x ** 2
+    Ce = jnp.maximum(grid.Ce, 1e-30)
+    lap = ((k + k_p) * 0.5 * (T_p - T) - (k + k_m) * 0.5 * (T - T_m)) * inv_dx2
+    dT = tau / Ce * (lap - grid.fd_g * (T - grid.md_temp) + grid.source)
+    T2 = jnp.where(act, T + dT, T) if not params.fix_t_el else T
+    # energy bookkeeping (eV/atom)
+    U2 = grid.U + jnp.where(act, (T2 - T) * Ce * params.fd_vol
+                            / jnp.maximum(grid.natoms, 1), 0.0)
+    # xi accumulation (imd_ttm.c:1582-1585, "NEU" density-based form)
+    xi_fac = params.atomic_mass * wr.AMU / 3.0 * 1e30 / jnp.maximum(substeps, 1)
+    dxi = jnp.where(act & (grid.md_temp > 1e-12) & (grid.dens > 0),
+                    (T2 - grid.md_temp) * xi_fac * grid.fd_g
+                    / jnp.maximum(grid.md_temp, 1e-12)
+                    / jnp.maximum(grid.dens, 1e-12), 0.0)
+    eabs = grid.eabs + jnp.where(
+        laser_active, jnp.sum(jnp.where(act, grid.source, 0.0))
+        * params.fd_vol * tau, 0.0)
+    return grid.replace(temp=T2, U=U2, xi=grid.xi + dxi, eabs=eabs)
+
+
+# ---------------------------------------------------------------------------
+# laser source (laser_rescale_ttm, imd_laser.c:715; mode 4)
+# ---------------------------------------------------------------------------
+
+def lambert_beer_source(grid: TTMGrid, params: TTMParams, laser_cfg, t):
+    """Exponential Lambert-Beer volumetric source on the FD grid.
+
+    p_peak = mu sigma_e / (sigma_t sqrt(2 pi)) (imd_laser.c:290);
+    source_i = p_peak exp(-(t-t0)^2/(2 sigma_t^2)) exp(-mu depth_i).
+    The surface offset is the first active cell (get_surface analog).
+    Returns (grid, laser_active).
+    """
+    dtype = grid.temp.dtype
+    mu = laser_cfg.mu
+    sig_t = max(laser_cfg.sigma_t, 1e-30)
+    p_peak = mu * laser_cfg.sigma_e / sig_t / math.sqrt(2.0 * math.pi)
+    g_t = jnp.exp(-((t - laser_cfg.t_0) ** 2) / (2.0 * sig_t ** 2)) * p_peak
+    if laser_cfg.sigma_e1 > 0:
+        sig_t1 = max(laser_cfg.sigma_t1, 1e-30)
+        p1 = mu * laser_cfg.sigma_e1 / sig_t1 / math.sqrt(2.0 * math.pi)
+        g_t = g_t + jnp.exp(-((t - laser_cfg.t_1) ** 2)
+                            / (2.0 * sig_t1 ** 2)) * p1
+    active = g_t >= p_peak * 0.001
+    act = active_mask(grid, params)
+    idx = jnp.arange(params.nx)
+    first_active = jnp.min(jnp.where(act, idx, params.nx))
+    x_cell = (idx.astype(dtype) + 0.5) * params.fd_h_x
+    depth = jnp.maximum(
+        x_cell - first_active.astype(dtype) * params.fd_h_x
+        - laser_cfg.offset, 0.0)
+    src = jnp.where(act, g_t * jnp.exp(-mu * depth), 0.0)
+    return grid.replace(source=src.astype(dtype)), active
+
+
+# ---------------------------------------------------------------------------
+# the full per-MD-step TTM update (calc_ttm, imd_ttm.c:75)
+# ---------------------------------------------------------------------------
+
+def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
+             num_neighs, fdi_prev, dt, t, laser_cfg=None,
+             first_step=False) -> Tuple[TTMGrid, jnp.ndarray]:
+    """One MD step's worth of TTM: reductions, advection, substepped
+    diffusion.  Returns (grid, fdi_new)."""
+    first = jnp.asarray(first_step)
+    grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
+    grid = do_adv(grid, params, eos, first)
+    grid = cell_activation(grid, params, eos)
+    laser_active = jnp.asarray(False)
+    if laser_cfg is not None and laser_cfg.sigma_e > 0:
+        grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)
+    grid = fill_mesh(grid, params, eos, laser_active)
+    substeps = cfl_substeps(grid, params, dt, first)
+    tau = dt / substeps.astype(grid.temp.dtype)
+
+    def body(i, g):
+        g = diff_step(g, params, tau, substeps, laser_active)
+        return fill_mesh(g, params, eos, laser_active)
+
+    grid = jax.lax.fori_loop(0, substeps, body, grid)
+    # final U consistent with T via EOS (imd_ttm.c:131-145)
+    act = active_mask(grid, params)
+    ne = _ne(grid, params)
+    U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
+    grid = grid.replace(U=U)
+    return grid, fdi
+
+
+def gather_atom_coupling(grid: TTMGrid, scene: Scene, params: TTMParams):
+    """Per-atom xi and v_com for move_atoms_ttm (integrate.c:738-748)."""
+    fdi = fd_index(scene, params)
+    return grid.xi[fdi], grid.vcom[fdi]
+
+
+def electron_energy_total(grid: TTMGrid, params: TTMParams) -> jnp.ndarray:
+    act = active_mask(grid, params)
+    return jnp.sum(jnp.where(act, grid.U * grid.natoms, 0.0))

@@ -142,3 +142,32 @@ def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
         capacity = ((capacity + 7) // 8) * 8
     return CellGrid(box=box, dims=dims, capacity=int(capacity),
                     cutoff=float(cutoff), skin=float(skin))
+
+
+def measured_capacity(grid: CellGrid, pos, safety: float = 1.25,
+                      extra: int = 2, multiple: int = 8) -> int:
+    """Capacity from the MEASURED max cell occupancy (host-side, at setup).
+
+    Mean-density sizing wastes padded pairs quadratically; for near-uniform
+    solids max occupancy is ~30-60% above the mean, so sizing from the
+    actual binning (plus migration headroom) typically shrinks the force
+    kernel's cap^2 work by 2x.  Overflow during a run is detected
+    (scene.overflow) and handled by re-initializing with a larger cap, the
+    equivalent of the reference's nbl_size regrowth (imd_forces_nbl.c:75).
+    """
+    import numpy as np
+    p = np.asarray(pos)
+    frac = p @ np.asarray(grid.box.inv_h)
+    frac -= np.floor(frac)
+    gx, gy, gz = grid.dims
+    ijk = np.minimum((frac * np.asarray(grid.dims)).astype(np.int64),
+                     np.asarray(grid.dims) - 1)
+    flat = (ijk[:, 0] * gy + ijk[:, 1]) * gz + ijk[:, 2]
+    occ = np.bincount(flat, minlength=gx * gy * gz)
+    cap = int(np.ceil(occ.max() * safety)) + extra
+    return max(multiple, ((cap + multiple - 1) // multiple) * multiple)
+
+
+def with_capacity(grid: CellGrid, capacity: int) -> CellGrid:
+    return CellGrid(box=grid.box, dims=grid.dims, capacity=int(capacity),
+                    cutoff=grid.cutoff, skin=grid.skin)

@@ -42,6 +42,8 @@ class SimState(struct.PyTreeNode):
     presstens: jnp.ndarray            # [6]
     stats: integrate.StepStats
     nbl_count: jnp.ndarray            # number of rebins so far
+    ttm_grid: Optional["object"] = None   # TTMGrid when ensemble == ttm
+    fdi: Optional[jnp.ndarray] = None     # per-atom-slot FD column index
 
 
 def _initial_stats(dtype):
@@ -54,10 +56,15 @@ class Simulation:
     """Host-side driver owning config, potentials, I/O, and the jitted step."""
 
     def __init__(self, cfg: SimConfig, workdir: str = ".",
-                 dtype=jnp.float32, grid_dims_multiple=(1, 1, 1)):
+                 dtype=jnp.float32, grid_dims_multiple=(1, 1, 1),
+                 fast: bool = True):
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
+        # fast: cells-last force engine + Chebyshev-compiled potentials
+        # (gather-free; ~1e-5 deviation from exact table interpolation).
+        # fast=False keeps the reference-exact table path (validation mode).
+        self.fast = fast
         self.eng: Optional[EngWriter] = None
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
@@ -96,6 +103,12 @@ class Simulation:
         else:
             raise ValueError("no potential configured "
                              "(potfile / EAM files / lj_* parameters)")
+        if self.fast:
+            from imd_tpu.models.potential import eam_to_chebyshev, to_chebyshev
+            if self.eam is not None:
+                self.eam = eam_to_chebyshev(self.eam)
+            if self.pair is not None:
+                self.pair = to_chebyshev(self.pair)
 
     def _load_atoms(self, grid_dims_multiple):
         cfg = self.cfg
@@ -132,6 +145,11 @@ class Simulation:
                                 capacity=cfg.cell_capacity, n_atoms=n,
                                 dims_multiple=grid_dims_multiple,
                                 headroom=1.6 * cfg.nbl_size)
+        if cfg.cell_capacity <= 0:
+            from imd_tpu.ops.geometry import measured_capacity, with_capacity
+            self.grid = with_capacity(
+                self.grid, measured_capacity(self.grid, pos,
+                                             safety=1.2 * cfg.nbl_size))
         # vtype -> real type map (cfg.types); vtype kept for restrictions/FBC
         vtyp = np.asarray(typ, np.int32)
         types_map = np.asarray(cfg.types if cfg.types else range(max(cfg.vtypes, vtyp.max() + 1)), np.int32)
@@ -172,18 +190,33 @@ class Simulation:
         if ens not in ("nve", "nvt", "mik", "glok", "ttm", "ber"):
             raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
         self.ensemble = ens
+        if ens == "ttm" or self.cfg.ttm.enabled:
+            from imd_tpu.models import ttm as ttm_mod
+            from imd_tpu.models.eos import FEGEos
+            self.cfg.ttm.enabled = True
+            self.ttm_params = ttm_mod.make_params(self.cfg.ttm, self.box,
+                                                  self.cutoff, self.dtype)
+            self.eos = FEGEos(atomic_mass=self.cfg.ttm.atomic_mass)
+        else:
+            self.ttm_params = None
+            self.eos = None
 
     # ------------------------------------------------------------------
     # the jitted step
     # ------------------------------------------------------------------
     def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
+        if self.fast:
+            from imd_tpu.ops import forces_fast as fm
+            eam_fn, pair_fn = (fm.compute_eam_forces_fast,
+                               fm.compute_pair_forces_fast)
+        else:
+            eam_fn, pair_fn = (forces_mod.compute_eam_forces,
+                               forces_mod.compute_pair_forces)
         if self.eam is not None:
-            return forces_mod.compute_eam_forces(
-                scene, self.eam, self.cfg.ntypes,
-                count_neighbors=count_neighbors)
-        return forces_mod.compute_pair_forces(
-            scene, self.pair, self.cfg.ntypes,
-            count_neighbors=count_neighbors)
+            return eam_fn(scene, self.eam, self.cfg.ntypes,
+                          count_neighbors=count_neighbors)
+        return pair_fn(scene, self.pair, self.cfg.ntypes,
+                       count_neighbors=count_neighbors)
 
     def integrator_params(self, temperature: jnp.ndarray) -> integrate.IntegratorParams:
         cfg = self.cfg
@@ -214,18 +247,37 @@ class Simulation:
         nactive = integrate.count_active_dof(self.scene, self._restrictions())
         pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
 
+        if cfg.ttm.enabled:
+            from imd_tpu.models import ttm as ttm_mod
+
         def step_fn(state: SimState) -> SimState:
             scene = state.scene
-            # rebin when any atom moved more than half the skin
+            # rebin when any atom moved more than half the skin; the per-atom
+            # FD index history must be re-binned alongside (stored fdi,
+            # types.h:327) — we conservatively invalidate it on rebin steps,
+            # which only suppresses advection fluxes for that one step.
             do_it = needs_rebin(scene, self.grid.skin)
             scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
             nbl_count = state.nbl_count + do_it.astype(jnp.int32)
-            res = self._compute_forces(scene)
+            ttm_grid, fdi = state.ttm_grid, state.fdi
+            res = self._compute_forces(scene, count_neighbors=cfg.ttm.enabled)
             scene = scene.replace(force=res.force, epot=res.epot)
             temp = self._ramp_temperature(state.step)
             params = self.integrator_params(temp)
             eta = state.eta
-            if self.ensemble in ("nve", "glok"):
+            if cfg.ttm.enabled:
+                fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
+                t = state.step.astype(self.dtype) * cfg.timestep
+                ttm_grid, fdi = ttm_mod.calc_ttm(
+                    ttm_grid, scene, self.ttm_params, self.eos,
+                    res.num_neighs, fdi, jnp.asarray(cfg.timestep, self.dtype),
+                    t, laser_cfg=cfg.laser if cfg.laser.sigma_e > 0 else None,
+                    first_step=(state.step == 0))
+                xi_atom, vcom = ttm_mod.gather_atom_coupling(
+                    ttm_grid, scene, self.ttm_params)
+                scene, stats = integrate.ttm(scene, params, xi_atom, vcom,
+                                             pdecay=pdecay)
+            elif self.ensemble in ("nve", "glok"):
                 scene, stats = integrate.nve(scene, params, pdecay=pdecay)
             elif self.ensemble == "mik":
                 scene, stats = integrate.mik(scene, params)
@@ -239,19 +291,29 @@ class Simulation:
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
-                            nbl_count=nbl_count)
+                            nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi)
 
         return step_fn
 
     def init_state(self) -> SimState:
         z = jnp.zeros((), self.dtype)
+        ttm_grid = fdi = None
+        if self.cfg.ttm.enabled:
+            from imd_tpu.models import ttm as ttm_mod
+            ttm_grid = ttm_mod.make_grid(self.ttm_params, self.dtype)
+            if self.cfg.ttm.init_t_el > 0:
+                ttm_grid = ttm_grid.replace(
+                    temp=jnp.full_like(ttm_grid.temp, self.cfg.ttm.init_t_el),
+                    init_done=jnp.ones((), bool))
+            fdi = -jnp.ones(self.scene.type.shape, jnp.int32)
         return SimState(scene=self.scene,
                         step=jnp.asarray(self.step_count, jnp.int32),
                         eta=jnp.asarray(self.cfg.eta, self.dtype),
                         epot_total=z, virial=z,
                         presstens=jnp.zeros((6,), self.dtype),
                         stats=_initial_stats(self.dtype),
-                        nbl_count=jnp.zeros((), jnp.int32))
+                        nbl_count=jnp.zeros((), jnp.int32),
+                        ttm_grid=ttm_grid, fdi=fdi)
 
     # ------------------------------------------------------------------
     # host loop with I/O
@@ -280,7 +342,8 @@ class Simulation:
                                                    self._restrictions()))
         if cfg.eng_int > 0 and self.eng is None:
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
-                                 nvt=(self.ensemble == "nvt"))
+                                 nvt=(self.ensemble == "nvt"),
+                                 ttm=cfg.ttm.enabled)
         done = 0
         while done < steps:
             state = run_block(state)
@@ -290,6 +353,12 @@ class Simulation:
                 self._write_eng(state, nactive)
             if cfg.checkpt_int > 0 and done % cfg.checkpt_int == 0:
                 self.write_checkpoint(state, gstep // cfg.checkpt_int)
+            if (cfg.ttm.enabled and cfg.ttm_int > 0
+                    and done % cfg.ttm_int == 0):
+                from imd_tpu.io.ttm_io import write_ttm
+                write_ttm(self._path(
+                    f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
+                    state.ttm_grid)
             if on_interval is not None:
                 on_interval(self, state)
         self.scene = state.scene
@@ -300,6 +369,11 @@ class Simulation:
         n = max(int(state.scene.n_atoms()), 1)
         vol = float(state.scene.grid.box.volume)
         ekin = float(state.stats.tot_kin_energy)
+        ttm_eng = None
+        if self.cfg.ttm.enabled:
+            from imd_tpu.models.ttm import electron_energy_total
+            ttm_eng = float(electron_energy_total(state.ttm_grid,
+                                                  self.ttm_params))
         self.eng.write(
             time=float(state.step) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,
@@ -308,6 +382,7 @@ class Simulation:
             volume=vol,
             eta=float(state.eta) * self.cfg.tau_eta
             if self.ensemble == "nvt" else None,
+            ttm_eng=ttm_eng,
         )
 
     def write_checkpoint(self, state: SimState, fzhlr: int):

@@ -80,3 +80,50 @@ def test_vector_cols():
         vi, gi = pt.interp(i, jnp.asarray(2.0))
         np.testing.assert_allclose(float(v[i]), float(vi), rtol=1e-12)
         np.testing.assert_allclose(float(g[i]), float(gi), rtol=1e-12)
+
+
+def test_chebyshev_matches_table():
+    import jax
+    from imd_tpu.models.potential import to_chebyshev, analytic_eam, eam_to_chebyshev
+    # fit quality is floored by the source table's own discretization
+    # (quadratic-interp wiggle ~ 1e-5 at res 4000 in the steep region)
+    pt = lj_table(1.0, 1.0, 2.5, res=4000, dtype=jnp.float64)
+    cp = to_chebyshev(pt, deg=28)
+    assert max(cp.max_err) < 2e-5, cp.max_err
+    # compare inside the fit window (below it the Chebyshev continues
+    # linearly instead of following the 1e12 hard core)
+    r2 = jnp.linspace(float(cp.begin[0]) * 1.001, 2.5 ** 2, 500)
+    v1, g1 = pt.interp(0, r2)
+    v2, g2 = cp.interp(0, r2)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-3, rtol=2e-3)
+    # below the window: linear continuation => constant repulsive gradient
+    xlow = jnp.asarray([0.3, 0.6]) * float(cp.begin[0])
+    _, g_short = cp.interp(0, xlow)
+    assert float(g_short[0]) == float(g_short[1]) < 0.0
+    # EAM set: embed max_err is dominated by the source table's own
+    # wiggle at rho -> 0 (sqrt cusp); verify accuracy where physics lives
+    eam = analytic_eam(dtype=jnp.float64)
+    ceam = eam_to_chebyshev(eam, deg=24)
+    assert max(ceam.pair.max_err) < 1e-4
+    assert max(ceam.rho.max_err) < 1e-4
+    rho = jnp.linspace(1.0, 40.0, 200)
+    fe, _ = ceam.embed.interp(0, rho)
+    ref = -3.39 * np.sqrt(np.asarray(rho) / 12.0)
+    np.testing.assert_allclose(np.asarray(fe), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_chebyshev_vector_cols():
+    from imd_tpu.models.potential import to_chebyshev
+    pt = lj_table([1.0, 0.5, 0.8], [1.0, 1.1, 1.2], [2.5, 2.5, 2.5],
+                  ntypes=2, dtype=jnp.float64)
+    cp = to_chebyshev(pt, deg=24)
+    r2 = jnp.full((4,), 2.0)
+    cols = jnp.asarray([0, 1, 2, 3])
+    v, g = cp.interp(cols, r2)
+    for i in range(4):
+        vi, gi = cp.interp(i, jnp.asarray(2.0))
+        np.testing.assert_allclose(float(v[i]), float(vi), rtol=1e-12)
+        np.testing.assert_allclose(float(g[i]), float(gi), rtol=1e-12)

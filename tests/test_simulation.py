@@ -95,3 +95,56 @@ def test_binary_checkpoint_roundtrip(tmp_path):
     write_chkpt(p, d, binary=True, double=False)
     d3 = read_chkpt(p)
     np.testing.assert_allclose(d.pos, d3.pos, rtol=1e-6)
+
+
+PARAM_TTM = """
+coordname   _fcc
+outfiles    {out}
+box_param   8 4 4
+box_unit    4.05
+ntypes      1
+masses      26.9815
+ensemble    ttm
+timestep    0.2
+maxsteps    40
+starttemp   0.026
+eng_int     20
+ttm_int     40
+checkpt_int 0
+lj_epsilon  0.35
+lj_sigma    2.55
+r_cut       5.0
+pbc_dirs    1 1 1
+seed        3
+ttmdimx     8
+fd_min_atoms 5
+init_t_el   0.8
+laser_sigma_e 0
+atomic_z    13
+"""
+
+
+def test_param_file_ttm_run(tmp_path):
+    import jax.numpy as jnp
+    from imd_tpu.io.ttm_io import read_ttm
+    out = str(tmp_path / "ttmrun")
+    cfg = SimConfig.from_params(parse_param_text(PARAM_TTM.format(out=out)))
+    assert cfg.ttm.enabled and cfg.ensemble == "ttm"
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    state = sim.run()
+    assert int(state.step) == 40
+    # electrons cooled toward the lattice
+    import numpy as np
+    tgrid = state.ttm_grid
+    act = np.asarray(tgrid.natoms) >= 5
+    te = np.asarray(tgrid.temp)[act]
+    assert (te < 0.8).all() and (te > 0.02).all()
+    # .ttm output written with the reference header and readable back
+    d = read_ttm(out + ".1.ttm")
+    assert len(d["temp"]) == 8
+    np.testing.assert_allclose(np.sort(d["temp"])[-len(te):],
+                               np.sort(te), rtol=1e-6)
+    # .eng has the ttm_eng column
+    eng = open(out + ".eng").read().splitlines()
+    assert "ttm_eng" in eng[0]
+    assert float(eng[-1].split()[-1]) > 0

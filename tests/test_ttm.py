@@ -1,0 +1,208 @@
+"""TTM physics: EOS round-trip, diffusion, e-ph relaxation, laser, coupling.
+
+These encode the reference's runtime invariants as tests (SURVEY.md §4):
+EOS plausibility round-trip (imd_ttm.c:770-804), CFL stability, two-
+temperature equilibration, absorbed-energy accounting.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu import integrate
+from imd_tpu.config import LaserConfig, TTMConfig
+from imd_tpu.models import ttm as T
+from imd_tpu.models import widerange as wr
+from imd_tpu.models.eos import FEGEos
+from imd_tpu.models.potential import analytic_eam
+from imd_tpu.ops.forces import compute_eam_forces
+from imd_tpu.ops.geometry import Box, choose_grid
+from imd_tpu.scene import make_scene
+from imd_tpu.utils.generate import fcc
+
+AL_MASS = 26.9815
+AL_Z = 13.0
+
+
+def test_eos_roundtrip():
+    """T_from_E(E_from_T(T)) must agree to 1% (reference aborts otherwise)."""
+    eos = FEGEos(atomic_mass=AL_MASS)
+    dens = jnp.asarray([2700.0, 1000.0, 300.0])
+    for t_ev in (0.026, 0.1, 1.0, 10.0):
+        Z = wr.mean_charge(jnp.full_like(dens, t_ev), dens, AL_Z, AL_MASS)
+        ne = Z * dens / (AL_MASS * wr.AMU)
+        u = eos.u_from_te(dens, ne, jnp.full_like(dens, t_ev))
+        t_back = eos.te_from_u(dens, ne, u)
+        np.testing.assert_allclose(np.asarray(t_back), t_ev, rtol=1e-2)
+
+
+def test_widerange_sanity():
+    """kappa, g positive and finite over solid->plasma conditions; kappa of
+    solid Al at room temperature lands near the right order of magnitude."""
+    dens = 2700.0
+    for te in (0.026, 0.1, 1.0, 10.0, 100.0):
+        Z = float(wr.mean_charge(jnp.asarray(te), jnp.asarray(dens), AL_Z, AL_MASS))
+        assert 0 < Z <= AL_Z
+        ne = Z * dens / (AL_MASS * wr.AMU)
+        k = float(wr.get_kappa(jnp.asarray(te), jnp.asarray(0.026), ne, Z))
+        g = float(wr.get_gamma(jnp.asarray(te), jnp.asarray(0.026), ne, Z,
+                               AL_MASS))
+        assert np.isfinite(k) and k > 0
+        assert np.isfinite(g) and g > 0
+    # room-temp solid Al: kappa_SI ~ O(100) W/m/K from this model
+    Z = float(wr.mean_charge(jnp.asarray(0.026), jnp.asarray(2700.0), AL_Z, AL_MASS))
+    ne = Z * 2700.0 / (AL_MASS * wr.AMU)
+    k_si = float(wr.get_kappa(jnp.asarray(0.026), jnp.asarray(0.026), ne, Z)
+                 ) / 0.073768115942029
+    assert 10 < k_si < 1e4
+
+
+def _params(nx=32, fd_h=20.0, min_atoms=1):
+    return T.TTMParams(nx=nx, fd_h_x=fd_h, fd_vol=fd_h * 50 * 50,
+                       neigh_vol=4 / 3 * math.pi * 5.0 ** 3,
+                       atomic_mass=AL_MASS, atomic_z=AL_Z,
+                       fd_min_atoms=min_atoms)
+
+
+def test_diffusion_conserves_and_relaxes():
+    """Const-coefficient diffusion: sum(Ce*T) conserved, gradient decays."""
+    p = _params()._replace_fields() if False else _params()
+    p = T.TTMParams(nx=p.nx, fd_h_x=p.fd_h_x, fd_vol=p.fd_vol,
+                    neigh_vol=p.neigh_vol, atomic_mass=p.atomic_mass,
+                    atomic_z=p.atomic_z, fd_min_atoms=p.fd_min_atoms,
+                    const_kappa=1.0, const_gamma=0.0, const_ce=0.0)
+    g = T.make_grid(p, jnp.float64)
+    x = np.arange(p.nx)
+    temp0 = 0.1 + 0.5 * np.exp(-((x - 16.0) ** 2) / 8.0)
+    g = g.replace(temp=jnp.asarray(temp0),
+                  natoms=jnp.full((p.nx,), 100, jnp.int32),
+                  dens=jnp.full((p.nx,), 2700.0, jnp.float64),
+                  Ce=jnp.full((p.nx,), 3.0, jnp.float64),
+                  fd_k=jnp.full((p.nx,), 1.0, jnp.float64),
+                  md_temp=jnp.asarray(temp0) * 0.0,
+                  init_done=jnp.ones((), bool))
+    tau = 0.8 * 3.0 * p.fd_h_x ** 2 / 2.0 / 1.0 * 0.5   # below CFL
+    sub = jnp.asarray(1, jnp.int32)
+    step = jax.jit(lambda g: T.diff_step(g, p, tau, sub, False))
+    e0 = float(jnp.sum(g.temp) * 3.0)
+    for _ in range(400):
+        g = step(g)
+    e1 = float(jnp.sum(g.temp) * 3.0)
+    np.testing.assert_allclose(e1, e0, rtol=1e-10)   # periodic conservation
+    spread0 = temp0.max() - temp0.min()
+    spread1 = float(jnp.max(g.temp) - jnp.min(g.temp))
+    assert spread1 < 0.2 * spread0
+
+
+def test_inactive_cells_block_flux():
+    """Zero-flux at active/inactive interfaces: energy stays in the slab."""
+    p = _params(min_atoms=1)
+    p = T.TTMParams(nx=p.nx, fd_h_x=p.fd_h_x, fd_vol=p.fd_vol,
+                    neigh_vol=p.neigh_vol, atomic_mass=p.atomic_mass,
+                    atomic_z=p.atomic_z, fd_min_atoms=1,
+                    const_kappa=1.0, const_ce=0.0)
+    g = T.make_grid(p, jnp.float64)
+    natoms = np.zeros(p.nx, np.int32)
+    natoms[8:24] = 100                      # only the middle slab is active
+    temp0 = np.where(natoms > 0, 1.0, 0.0)
+    g = g.replace(temp=jnp.asarray(temp0, jnp.float64),
+                  natoms=jnp.asarray(natoms),
+                  dens=jnp.where(jnp.asarray(natoms) > 0, 2700.0, 0.0),
+                  Ce=jnp.full((p.nx,), 3.0, jnp.float64),
+                  fd_k=jnp.full((p.nx,), 1.0, jnp.float64),
+                  init_done=jnp.ones((), bool))
+    step = jax.jit(lambda g: T.diff_step(g, p, 10.0, jnp.asarray(1, jnp.int32),
+                                         False))
+    for _ in range(100):
+        g = step(g)
+    t = np.asarray(g.temp)
+    assert (t[natoms == 0] == 0).all()
+    np.testing.assert_allclose(t[natoms > 0].sum(), temp0.sum(), rtol=1e-10)
+
+
+def _coupled_setup(nx_fd=8, ncells=(10, 5, 5), te_init=1.0):
+    alat = 4.05
+    pos, typ, box_diag = fcc(ncells, alat)
+    box = Box.create([box_diag[0], 0, 0], [0, box_diag[1], 0],
+                     [0, 0, box_diag[2]], dtype=jnp.float64)
+    eam = analytic_eam(r_cut=5.0, r0=alat / math.sqrt(2), res=4000,
+                       dtype=jnp.float64)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    scene = make_scene(grid, pos, mass=np.full(len(pos), AL_MASS),
+                       dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+    cfg = TTMConfig(enabled=True, fd_nx=nx_fd, fd_min_atoms=5,
+                    init_t_el=te_init)
+    params = T.make_params(cfg, box, 5.0, jnp.float64)
+    eos = FEGEos(atomic_mass=AL_MASS)
+    g = T.make_grid(params, jnp.float64)
+    if te_init > 0:
+        g = g.replace(temp=jnp.full((nx_fd,), te_init, jnp.float64),
+                      init_done=jnp.ones((), bool))
+    return scene, eam, g, params, eos
+
+
+def test_coupled_relaxation_heats_lattice():
+    """Hot electrons (1 eV) + cold lattice: e-ph coupling must heat the
+    atoms and cool the electrons, with a sane energy budget."""
+    scene, eam, g, params, eos = _coupled_setup()
+    dt = jnp.float64(0.2)
+    ip = integrate.IntegratorParams(timestep=dt)
+    fdi = -jnp.ones(scene.type.shape, jnp.int32)
+
+    @jax.jit
+    def step(scene, g, fdi, i):
+        res = compute_eam_forces(scene, eam, ntypes=1, count_neighbors=True)
+        scene = scene.replace(force=res.force, epot=res.epot)
+        g, fdi = T.calc_ttm(g, scene, params, eos, res.num_neighs, fdi, dt,
+                            i * dt, first_step=(i == 0))
+        xi, vcom = T.gather_atom_coupling(g, scene, params)
+        scene, stats = integrate.ttm(scene, ip, xi, vcom)
+        return scene, g, fdi, stats
+
+    te0 = float(jnp.max(g.temp))
+    ekin = []
+    for i in range(60):
+        scene, g, fdi, stats = step(scene, g, fdi, jnp.asarray(i))
+        ekin.append(float(stats.tot_kin_energy))
+    te1 = float(jnp.max(jnp.where(T.active_mask(g, params), g.temp, 0.0)))
+    assert te1 < te0, f"electrons did not cool: {te0} -> {te1}"
+    n = int(scene.n_atoms())
+    t_lat0 = 2 * ekin[0] / (3 * n)
+    t_lat1 = 2 * ekin[-1] / (3 * n)
+    assert t_lat1 > t_lat0 * 1.05, f"lattice did not heat: {t_lat0} -> {t_lat1}"
+    assert int(scene.overflow) == 0
+
+
+def test_laser_deposits_energy():
+    """Lambert-Beer source raises T_e and accounts absorbed energy."""
+    scene, eam, g, params, eos = _coupled_setup(te_init=0.0)
+    dt = jnp.float64(0.2)
+    laser = LaserConfig(sigma_e=2.0, sigma_t=20.0, t_0=30.0, mu=0.02,
+                        rescale_mode=4)
+    fdi = -jnp.ones(scene.type.shape, jnp.int32)
+
+    @jax.jit
+    def step(scene, g, fdi, i):
+        res = compute_eam_forces(scene, eam, ntypes=1, count_neighbors=True)
+        scene = scene.replace(force=res.force, epot=res.epot)
+        g, fdi = T.calc_ttm(g, scene, params, eos, res.num_neighs, fdi, dt,
+                            i.astype(jnp.float64) * dt, laser_cfg=laser,
+                            first_step=(i == 0))
+        return scene, g, fdi
+
+    for i in range(160):
+        scene, g, fdi = step(scene, g, fdi, jnp.asarray(i))
+    act = T.active_mask(g, params)
+    te = float(jnp.max(jnp.where(act, g.temp, 0.0)))
+    ti = float(jnp.max(jnp.where(act, g.md_temp, 0.0)))
+    assert te > 2 * ti, f"electrons not heated by laser: Te={te}, Ti={ti}"
+    assert float(g.eabs) > 0
+    # front cells hotter than rear (exponential absorption)
+    temps = np.asarray(jnp.where(act, g.temp, 0.0))
+    front = temps[np.nonzero(temps)[0][:2]].mean()
+    rear = temps[np.nonzero(temps)[0][-2:]].mean()
+    assert front > rear
