@@ -142,13 +142,24 @@ class TTMConfig:
 
 @dataclasses.dataclass
 class TMMConfig:
-    """1-D Helmholtz transfer-matrix laser solver (imd_tmm.c)."""
+    """1-D Helmholtz transfer-matrix laser solver (imd_tmm.c).
+
+    For TMM (and FDTD) builds the reference reads the laser pulse tags in
+    SI: lambda [m], I0 [W/m^2], laser_sigma_t / laser_t_0 [s]
+    (imd_param.c:3956-3959, imd_tmm.c:137).
+    """
     enabled: bool = False
-    lambda_um: float = 0.8           # vacuum wavelength (micron); tag 'lambda'
-    theta_deg: float = 0.0           # incidence angle
-    threshold: float = 1e-4          # tmm_threshold: laser-on intensity frac
+    lambda_m: float = 800e-9         # vacuum wavelength (m); tag 'lambda'
+    theta_deg: float = 0.0           # incidence angle (normal only, like ref)
+    pol: int = 1                     # 1=S (reference hard-codes S branch)
+    I0: float = 0.0                  # peak intensity W/m^2
+    t0_s: float = 0.0                # pulse peak time (s)
+    sigma_t_s: float = 0.0           # pulse sigma (s); I ~ exp(-(t-t0)^2/s^2)
+    t1_s: float = 0.0                # second pulse
+    sigma_t1_s: float = 0.0
+    absorption_threshold: float = 20.0   # tmm_threshold: ecut at e^-thresh
+    laser_threshold: float = 1e-5        # field-strength on/off fraction
     bb_table: str = ""               # bound-band epsilon table (alu_eps_bb.dat)
-    k12_table: str = ""              # K1/K2 integral table (K12.dat)
 
 
 @dataclasses.dataclass
@@ -160,7 +171,10 @@ class FDTDConfig:
     pml: int = 8                     # PML thickness (cells)
     srcx: int = 2                    # source position (cells)
     srcw: float = 0.0
-    lambda_um: float = 0.8
+    lambda_m: float = 800e-9         # tag 'lambda' (m)
+    I0: float = 0.0                  # peak intensity W/m^2
+    t0_s: float = 0.0
+    sigma_t_s: float = 0.0
     # Drude-Lorentz defaults (static medium test); per-cell DL fits override
     drude_wp: float = 0.0
     drude_gamma: float = 0.0
@@ -456,8 +470,20 @@ class SimConfig:
         if g("tmm_threshold") is not None or bool(g("tmm", False)):
             M.enabled = True
         if g("lambda") is not None:
-            M.lambda_um = float(g("lambda"))
-        M.threshold = float(g("tmm_threshold", M.threshold))
+            M.lambda_m = float(g("lambda"))
+        M.I0 = float(g("I0", M.I0))
+        M.absorption_threshold = float(g("tmm_threshold",
+                                         M.absorption_threshold))
+        M.laser_threshold = float(g("tmm_laser_threshold", M.laser_threshold))
+        M.pol = int(g("tmm_pol", M.pol))
+        M.theta_deg = float(g("tmm_theta", M.theta_deg))
+        M.bb_table = str(g("tmm_bb_table", M.bb_table))
+        if M.enabled:
+            # laser pulse tags are SI seconds in TMM/FDTD builds
+            M.t0_s = float(g("laser_t_0", 0.0))
+            M.sigma_t_s = float(g("laser_sigma_t", 0.0))
+            M.t1_s = float(g("laser_t_1", 0.0))
+            M.sigma_t1_s = float(g("laser_sigma_t1", 0.0))
         # --- FDTD ---
         F = c.fdtd
         if g("Sc") is not None or bool(g("fdtd", False)):
@@ -466,8 +492,12 @@ class SimConfig:
         F.srcx = int(g("srcx", F.srcx))
         F.srcw = float(g("srcw", F.srcw))
         if g("lambda") is not None:
-            F.lambda_um = float(g("lambda"))
+            F.lambda_m = float(g("lambda"))
+        F.I0 = float(g("I0", F.I0))
         F.pml = int(g("bw", F.pml))
+        if F.enabled:
+            F.t0_s = float(g("laser_t_0", 0.0))
+            F.sigma_t_s = float(g("laser_sigma_t", 0.0))
         # --- NRB ---
         N = c.nrb
         if g("nrb_k") is not None:

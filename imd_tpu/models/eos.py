@@ -25,6 +25,7 @@ External EOS tables, when available, can be loaded with `TabulatedEOS.load`
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -38,17 +39,29 @@ from imd_tpu.models import widerange as wr
 EV_TO_K = wr.EV_TO_K
 
 
+# kB * 1e28: folded so no runtime product ever touches kB^2 ~ 1.9e-46,
+# which underflows float32 (poisoned the whole grid with NaNs via Ce=0)
+_KB28 = wr.BOLTZMAN * wr.N28
+
+
 def _cv_mix_si(ne, T_K):
-    """Mazhukin mixed heat capacity [J/(K m^3)] (imd_ttm.c:3388-3390)."""
-    EF = wr.fermi_E(ne)
-    cv_class = ne * 1.5 * wr.BOLTZMAN
-    cv_deg = jnp.pi ** 2 * ne * wr.BOLTZMAN ** 2 * T_K / (2.0 * EF)
+    """Mazhukin mixed heat capacity [J/(K m^3)] (imd_ttm.c:3388-3390).
+
+    cv_deg = pi^2 ne kB^2 T / (2 EF) rewritten as
+    (pi^2/2) (ne kB) (T_eV / EF_eV) - float32-safe.
+    """
+    ne28 = ne * (1.0 / wr.N28)
+    EF_eV = wr.fermi_E_eV(ne)
+    T_eV = T_K / wr.EV_TO_K
+    cv_class = ne28 * (1.5 * _KB28)
+    cv_deg = (jnp.pi ** 2 / 2.0 * _KB28) * ne28 * T_eV / jnp.maximum(
+        EF_eV, 1e-10)
     return 1.0 / jnp.sqrt(1.0 / cv_deg ** 2 + 1.0 / cv_class ** 2)
 
 
 def _tstar_K(ne):
     """Crossover temperature T* where Cv_deg == Cv_class: 3 EF/(pi^2 kB)."""
-    return 3.0 * wr.fermi_E(ne) / (jnp.pi ** 2 * wr.BOLTZMAN)
+    return wr.fermi_E_eV(ne) * (3.0 * wr.EV_TO_K / math.pi ** 2)
 
 
 class FEGEos(struct.PyTreeNode):
@@ -70,21 +83,27 @@ class FEGEos(struct.PyTreeNode):
 
         Closed form of the Cv_mix integral:  u_vol(T) = Cv_class T*
         (sqrt(1+(T/T*)^2)-1)  [J/m^3], then / (dens/m_atom/AMU) atoms/m^3.
+        f32-safe form: per-atom energy = (ne/n_atoms) 1.5 kB_eV T*_K
+        (sqrt(1+x^2)-1) with kB in eV/K.
         """
-        T_K = Te_eV * EV_TO_K
-        ts = _tstar_K(ne)
-        cv_class = ne * 1.5 * wr.BOLTZMAN
-        u_vol = cv_class * ts * (jnp.sqrt(1.0 + (T_K / ts) ** 2) - 1.0)  # J/m^3
-        n_atoms = jnp.maximum(dens, 1e-30) / (self.atomic_mass * wr.AMU)
-        return u_vol / n_atoms * units.J_TO_EV
+        ts = _tstar_K(ne)                      # K
+        x = Te_eV * EV_TO_K / ts
+        n_atoms = jnp.maximum(dens, 1e-30) * (1.0 / (self.atomic_mass
+                                                     * wr.AMU * wr.N28))
+        ne28 = ne * (1.0 / wr.N28)
+        kb_ev = 1.0 / EV_TO_K
+        return (ne28 / n_atoms) * (1.5 * kb_ev) * ts * (
+            jnp.sqrt(1.0 + x * x) - 1.0)
 
     def te_from_u(self, dens, ne, U_eV_atom):
         """Inverse of u_from_te, closed form, returns T_e [eV]."""
-        n_atoms = jnp.maximum(dens, 1e-30) / (self.atomic_mass * wr.AMU)
-        u_vol = jnp.maximum(U_eV_atom, 0.0) * units.EV_TO_J * n_atoms
         ts = _tstar_K(ne)
-        cv_class = ne * 1.5 * wr.BOLTZMAN
-        y = u_vol / (cv_class * ts) + 1.0
+        n_atoms = jnp.maximum(dens, 1e-30) * (1.0 / (self.atomic_mass
+                                                     * wr.AMU * wr.N28))
+        ne28 = jnp.maximum(ne * (1.0 / wr.N28), 1e-30)
+        kb_ev = 1.0 / EV_TO_K
+        y = jnp.maximum(U_eV_atom, 0.0) * n_atoms / (
+            ne28 * (1.5 * kb_ev) * ts) + 1.0
         T_K = ts * jnp.sqrt(jnp.maximum(y * y - 1.0, 0.0))
         return T_K / EV_TO_K
 

@@ -313,8 +313,10 @@ def cfl_substeps(grid: TTMGrid, params: TTMParams, dt,
     dx2 = params.fd_h_x ** 2
     lim = jnp.where(act & (khalf > 0), grid.Ce * dx2 / jnp.maximum(khalf, 1e-30),
                     jnp.inf)
+    # (the CFL limit applies on the first step too: fill_mesh has already
+    # populated Ce/kappa by the time this runs; overriding it once blew up
+    # the wide-range path at ~1000x the stability limit)
     max_dt = params.cfl_safety * jnp.min(lim)
-    max_dt = jnp.where(first_step, dt / params.fd_n_timesteps, max_dt)
     sub = jnp.maximum(params.fd_n_timesteps,
                       jnp.ceil(dt / jnp.maximum(max_dt, 1e-12)).astype(jnp.int32))
     return jnp.minimum(sub, params.max_substeps)
@@ -393,9 +395,16 @@ def lambert_beer_source(grid: TTMGrid, params: TTMParams, laser_cfg, t):
 
 def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
              num_neighs, fdi_prev, dt, t, laser_cfg=None,
-             first_step=False) -> Tuple[TTMGrid, jnp.ndarray]:
+             first_step=False, tmm_params=None) -> Tuple[TTMGrid, jnp.ndarray]:
     """One MD step's worth of TTM: reductions, advection, substepped
-    diffusion.  Returns (grid, fdi_new)."""
+    diffusion.  Returns (grid, fdi_new).
+
+    When ``tmm_params`` (models.tmm.TMMParams) is given, the Helmholtz
+    transfer-matrix solver recomputes the volumetric source each diffusion
+    substep, like the reference's do_tmm call inside the substep loop
+    (imd_ttm.c:111-121); ``t`` advances in IMD time units and is converted
+    to SI seconds for the pulse envelope (tmm_time, imd_ttm.c:117).
+    """
     first = jnp.asarray(first_step)
     grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
     grid = do_adv(grid, params, eos, first)
@@ -407,9 +416,18 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     substeps = cfl_substeps(grid, params, dt, first)
     tau = dt / substeps.astype(grid.temp.dtype)
 
-    def body(i, g):
-        g = diff_step(g, params, tau, substeps, laser_active)
-        return fill_mesh(g, params, eos, laser_active)
+    if tmm_params is not None:
+        from imd_tpu.models import tmm as tmm_mod
+
+        def body(i, g):
+            t_si = (t + i * tau) * units.IMD_TIME_S
+            g, diag = tmm_mod.do_tmm(g, params, tmm_params, t_si)
+            g = diff_step(g, params, tau, substeps, diag["laser_active"])
+            return fill_mesh(g, params, eos, diag["laser_active"])
+    else:
+        def body(i, g):
+            g = diff_step(g, params, tau, substeps, laser_active)
+            return fill_mesh(g, params, eos, laser_active)
 
     grid = jax.lax.fori_loop(0, substeps, body, grid)
     # final U consistent with T via EOS (imd_ttm.c:131-145)

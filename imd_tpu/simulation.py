@@ -200,6 +200,12 @@ class Simulation:
         else:
             self.ttm_params = None
             self.eos = None
+        if self.cfg.tmm.enabled and self.cfg.ttm.enabled:
+            from imd_tpu.models import tmm as tmm_mod
+            self.tmm_params = tmm_mod.make_tmm_params(self.cfg.tmm,
+                                                      self.dtype)
+        else:
+            self.tmm_params = None
 
     # ------------------------------------------------------------------
     # the jitted step
@@ -272,7 +278,8 @@ class Simulation:
                     ttm_grid, scene, self.ttm_params, self.eos,
                     res.num_neighs, fdi, jnp.asarray(cfg.timestep, self.dtype),
                     t, laser_cfg=cfg.laser if cfg.laser.sigma_e > 0 else None,
-                    first_step=(state.step == 0))
+                    first_step=(state.step == 0),
+                    tmm_params=self.tmm_params)
                 xi_atom, vcom = ttm_mod.gather_atom_coupling(
                     ttm_grid, scene, self.ttm_params)
                 scene, stats = integrate.ttm(scene, params, xi_atom, vcom,

@@ -1,0 +1,167 @@
+"""TMM Helmholtz solver tests.
+
+Physics invariants (SURVEY.md §4): R + T + A = 1, Fresnel reflectivity at a
+sharp vacuum/metal interface, absorbed-power/depth-integral consistency,
+K1/K2 kernel asymptotics (imd_tmm.c:675,692).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu.models import tmm as T
+
+
+@pytest.fixture(scope="module")
+def k12():
+    return T.k12_tables()
+
+
+def test_k12_limits(k12):
+    xi, k1, k2 = k12
+    # normalized kernels -> 1 as xi -> 0 (the K2 deficit scales as xi^(2/3)
+    # ~ 0.12 at xi = 1/30, so the table edge sits near 0.89)
+    assert 0.9 < k1[0] <= 1.0
+    assert 0.85 < k2[0] <= 1.0
+    # monotone decreasing
+    assert np.all(np.diff(k1) < 0)
+    assert np.all(np.diff(k2) < 0)
+    # large-xi asymptotics at the table edge (xi = 50).  The reference's
+    # 2-term expansions truncate with ~2.5% error there (the next term is
+    # ~4e-4 relative 4e-2), so compare loosely.
+    x = xi[-1]
+    assert k1[-1] == pytest.approx(315.0 / 8 / x**2 - 675675.0 / 64 / x**4,
+                                   rel=0.03)
+    assert k2[-1] == pytest.approx(6.0 / x**2 - 720.0 / x**4, rel=0.03)
+
+
+def _params(**kw):
+    from imd_tpu.config import TMMConfig
+    cfg = TMMConfig(enabled=True, lambda_m=800e-9, I0=1e17,
+                    t0_s=100e-15, sigma_t_s=50e-15, **kw)
+    return T.make_tmm_params(cfg)
+
+
+def _metal_profile(nx=400, nvac=5, eps_m=-60.0 + 40.0j):
+    eps = np.ones(nx, complex)
+    eps[nvac:] = eps_m
+    on = np.zeros(nx, bool)
+    on[nvac:] = True
+    return jnp.asarray(eps), jnp.asarray(on)
+
+
+def test_fresnel_and_unitarity():
+    tmm = _params()
+    eps, on = _metal_profile()
+    k0 = tmm.k0_per_a
+    res = T.solve_layers(jnp.float64(k0), eps, on, jnp.float64(50.0),
+                         jnp.float64(1e16), jnp.float64(20.0))
+    assert bool(res["ok"])
+    n = np.sqrt(complex(-60.0 + 40.0j))
+    r_fresnel = abs((1 - n) / (1 + n)) ** 2
+    assert float(res["refl"]) == pytest.approx(r_fresnel, rel=1e-6)
+    assert float(res["trans"]) == pytest.approx(0.0, abs=1e-8)
+    total = float(res["refl"] + res["trans"] + res["absorb"])
+    assert total == pytest.approx(1.0, rel=1e-12)
+
+
+def test_absorbed_power_depth_integral():
+    """Int qabs dz must equal I(t) * A (energy conservation)."""
+    tmm = _params()
+    eps, on = _metal_profile()
+    it = 3.3e15
+    dx_a = 50.0
+    res = T.solve_layers(jnp.float64(tmm.k0_per_a), eps, on,
+                         jnp.float64(dx_a), jnp.float64(it),
+                         jnp.float64(30.0))
+    absorbed_flux = float(jnp.sum(res["qabs_wm3"])) * dx_a * 1e-10
+    assert absorbed_flux == pytest.approx(it * float(res["absorb"]),
+                                          rel=1e-6)
+
+
+def test_too_short_sample_flagged():
+    tmm = _params()
+    eps, on = _metal_profile(nx=8, nvac=2, eps_m=2.25 + 0.001j)  # weak glass
+    res = T.solve_layers(jnp.float64(tmm.k0_per_a), eps, on,
+                         jnp.float64(10.0), jnp.float64(1e16),
+                         jnp.float64(20.0))
+    assert not bool(res["ok"])  # reference aborts here (imd_tmm.c:365)
+
+
+def test_wide_range_epsilon_cold_metal():
+    """Cold solid-density Al must come out metallic: Re eps < 0, Im > 0."""
+    tmm = _params()
+    te = jnp.float64(0.026)
+    ne = jnp.float64(1.81e29)
+    eps = T.wide_range_epsilon(tmm, te, te, jnp.float64(3.0), ne)
+    assert float(jnp.real(eps)) < 0.0
+    assert float(jnp.imag(eps)) > 0.0
+
+
+def test_pulse_threshold_gates_source():
+    tmm = _params()
+    nx = 64
+    natoms = jnp.full((nx,), 100, jnp.int32).at[0].set(0)
+    dens = jnp.full((nx,), 2700.0).at[0].set(0.0)
+    te = jnp.full((nx,), 0.026)
+    z = jnp.full((nx,), 3.0)
+    ne = jnp.full((nx,), 1.81e29)
+    # far before the pulse: inactive
+    res = T.tmm_solve(tmm, natoms, dens, te, te, z, ne, jnp.float64(50.0),
+                      jnp.float64(-1e-12), fd_min_atoms=1)
+    assert not bool(res["laser_active"])
+    assert float(jnp.max(jnp.abs(res["source"]))) == 0.0
+    # at the peak: active, source deposited in the first material cells
+    res = T.tmm_solve(tmm, natoms, dens, te, te, z, ne, jnp.float64(50.0),
+                      jnp.float64(100e-15), fd_min_atoms=1)
+    assert bool(res["laser_active"])
+    assert float(res["source"][1]) > 0.0
+    assert 0.0 < float(res["refl"]) < 1.0
+
+
+def test_calc_ttm_with_tmm_heats_electrons():
+    """End-to-end: TMM source inside the TTM substep loop raises T_e."""
+    import jax
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+    from imd_tpu.config import TTMConfig
+    from imd_tpu import integrate
+
+    pos, typ, diag = fcc((6, 4, 4), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid_g = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid_g = with_capacity(grid_g, measured_capacity(grid_g, pos))
+    scene = make_scene(grid_g, pos, mass=np.full(len(pos), 26.9815),
+                       dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+
+    tcfg = TTMConfig(enabled=True, fd_nx=8, fd_min_atoms=4, fd_c=0.0)
+    params = ttm_mod.make_params(tcfg, box, 5.0, dtype=jnp.float64)
+    grid = ttm_mod.make_grid(params, dtype=jnp.float64)
+    eos = FEGEos()
+    tmm = _params()
+
+    nn = jnp.full(scene.pos.shape[:-1], 12, jnp.int32)
+    fdi = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    # first step far before the pulse (t_si = -1e-8 s): laser off
+    grid, fdi = ttm_mod.calc_ttm(grid, scene, params, eos, nn, fdi,
+                                 dt=jnp.float64(1.0), t=jnp.float64(-1e6),
+                                 first_step=True, tmm_params=tmm)
+    te0 = float(jnp.max(grid.temp))
+    assert te0 < 0.1   # still near the ion temperature
+    assert float(grid.eabs) == 0.0
+    # at pulse peak (t such that t*IMD_TIME_S = t0_s)
+    from imd_tpu import units
+    t_peak = tmm.t0_s / units.IMD_TIME_S
+    grid2, _ = ttm_mod.calc_ttm(grid, scene, params, eos, nn, fdi,
+                                dt=jnp.float64(1.0),
+                                t=jnp.float64(t_peak), tmm_params=tmm)
+    assert float(jnp.max(grid2.temp)) > 10 * te0
+    assert float(grid2.eabs) > 0.0
+    assert np.isfinite(float(jnp.max(grid2.temp)))
