@@ -91,6 +91,11 @@ class TTMGrid(struct.PyTreeNode):
     flux_left: jnp.ndarray   # [nx] int32: atoms received from -x
     eabs: jnp.ndarray        # scalar: absorbed laser energy (eV)
     init_done: jnp.ndarray   # scalar bool: T_e initialized
+    # scalar bool: the CFL-demanded diffusion substep count exceeded
+    # max_substeps, so the explicit scheme ran beyond its stability limit.
+    # This is the returned-status analog of the reference's NaN-guard
+    # aborts (imd_ttm.c:1588-1596); check it like scene.overflow.
+    cfl_overflow: jnp.ndarray
 
     @property
     def active(self) -> jnp.ndarray:
@@ -128,7 +133,8 @@ def make_grid(params: TTMParams, dtype=jnp.float32) -> TTMGrid:
                    vcom=jnp.zeros((nx, 3), dtype), xi=z, source=z, Z=z,
                    ne=z, Ce=z, fd_k=z, fd_g=z, flux_right=zi, flux_left=zi,
                    eabs=jnp.zeros((), dtype),
-                   init_done=jnp.zeros((), bool))
+                   init_done=jnp.zeros((), bool),
+                   cfl_overflow=jnp.zeros((), bool))
 
 
 # ---------------------------------------------------------------------------
@@ -317,9 +323,13 @@ def cfl_substeps(grid: TTMGrid, params: TTMParams, dt,
     # populated Ce/kappa by the time this runs; overriding it once blew up
     # the wide-range path at ~1000x the stability limit)
     max_dt = params.cfl_safety * jnp.min(lim)
+    # ceil in float64-ish range: cap the ratio before the int cast so a
+    # huge demand doesn't wrap to INT_MIN
+    ratio = jnp.minimum(dt / jnp.maximum(max_dt, 1e-12),
+                        2.0 * params.max_substeps)
     sub = jnp.maximum(params.fd_n_timesteps,
-                      jnp.ceil(dt / jnp.maximum(max_dt, 1e-12)).astype(jnp.int32))
-    return jnp.minimum(sub, params.max_substeps)
+                      jnp.ceil(ratio).astype(jnp.int32))
+    return jnp.minimum(sub, params.max_substeps), sub > params.max_substeps
 
 
 def diff_step(grid: TTMGrid, params: TTMParams, tau, substeps,
@@ -413,7 +423,8 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     if laser_cfg is not None and laser_cfg.sigma_e > 0:
         grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)
     grid = fill_mesh(grid, params, eos, laser_active)
-    substeps = cfl_substeps(grid, params, dt, first)
+    substeps, clamped = cfl_substeps(grid, params, dt, first)
+    grid = grid.replace(cfl_overflow=grid.cfl_overflow | clamped)
     tau = dt / substeps.astype(grid.temp.dtype)
 
     if tmm_params is not None:
@@ -436,6 +447,68 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
     grid = grid.replace(U=U)
     return grid, fdi
+
+
+def calc_ttm_fdtd(grid: TTMGrid, fdtd_state, scene: Scene,
+                  params: TTMParams, eos: FEGEos, fdtd_params,
+                  num_neighs, fdi_prev, dt, t,
+                  first_step=False):
+    """calc_ttm with the FDTD Maxwell solver as the laser source.
+
+    Mirrors the reference's FDTD-coupled schedule (imd_ttm_3D.c:110-180):
+    an outer loop of `fdtd_substeps` Maxwell steps at the light-CFL
+    timestep (static count: MD dt / dt_FDTD + 1), each followed by an
+    inner loop of diffusion substeps at the electron-CFL timestep.
+    Returns (grid, fdi, fdtd_state).
+    """
+    from imd_tpu.models import fdtd as fdtd_mod
+
+    first = jnp.asarray(first_step)
+    grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
+    grid = do_adv(grid, params, eos, first)
+    grid = cell_activation(grid, params, eos)
+    grid = fill_mesh(grid, params, eos, True)
+
+    # static outer count from the MD timestep (a Python float in config;
+    # imd_ttm_3D.c:112 computes it from dt_FDTD the same way)
+    n_fdtd = fdtd_mod.fdtd_substeps_per_md(
+        fdtd_params, float(jax.core.concrete_or_error(
+            None, dt, "the FDTD outer loop needs a static MD timestep")))
+    sub_total, clamped = cfl_substeps(grid, params, dt, first)
+    grid = grid.replace(cfl_overflow=grid.cfl_overflow | clamped)
+    # ceil, not floor: n_fdtd * n_diff must cover the CFL demand or the
+    # explicit diffusion runs unstable
+    n_diff = jnp.maximum((sub_total + n_fdtd - 1) // n_fdtd, 1)
+    tau = dt / (n_fdtd * n_diff).astype(grid.temp.dtype)
+
+    dl = fdtd_mod.fit_dl(grid, params)
+    active = grid.natoms >= params.fd_min_atoms
+    t_si0 = t * units.IMD_TIME_S
+    laser_active = fdtd_mod.laser_on(fdtd_params, t_si0)
+
+    def outer(i, carry):
+        g, fs = carry
+        t_si = t_si0 + i * fdtd_params.dt_s
+        fs = jax.lax.cond(
+            laser_active,
+            lambda s: fdtd_mod.step_1d(s, fdtd_params, dl, active, t_si),
+            lambda s: s, fs)
+        g = g.replace(source=fs.source)
+
+        def inner(k, gg):
+            gg = diff_step(gg, params, tau, n_fdtd * n_diff, laser_active)
+            return fill_mesh(gg, params, eos, laser_active)
+
+        g = jax.lax.fori_loop(0, n_diff, inner, g)
+        return (g, fs)
+
+    grid, fdtd_state = jax.lax.fori_loop(0, n_fdtd, outer,
+                                         (grid, fdtd_state))
+    act = active_mask(grid, params)
+    ne = _ne(grid, params)
+    U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
+    grid = grid.replace(U=U)
+    return grid, fdi, fdtd_state
 
 
 def gather_atom_coupling(grid: TTMGrid, scene: Scene, params: TTMParams):
