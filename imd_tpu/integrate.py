@@ -98,10 +98,17 @@ def _finish(scene: Scene, params, F, p_new) -> Tuple[Scene, StepStats]:
 
 
 def nve(scene: Scene, params: IntegratorParams,
-        pdecay: bool = False) -> Tuple[Scene, StepStats]:
-    """Plain leapfrog NVE (move_atoms_nve, integrate.c:35)."""
+        pdecay: bool = False, nrb_mask=None) -> Tuple[Scene, StepStats]:
+    """Plain leapfrog NVE (move_atoms_nve, integrate.c:35).
+
+    ``nrb_mask`` [gx,gy,gz,cap] bool: NRB boundary atoms keep the momenta
+    set by nrb_forces instead of integrating p += dt F
+    (imd_integrate.c:254-259); their positions advance normally.
+    """
     F = _apply_force_mods(scene, params, pdecay)
     p_new = scene.mom + params.timestep * F
+    if nrb_mask is not None:
+        p_new = jnp.where(nrb_mask[..., None], scene.mom, p_new)
     return _finish(scene, params, F, p_new)
 
 
@@ -154,7 +161,7 @@ def nvt(scene: Scene, params: IntegratorParams, nactive,
 
 
 def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
-        vcom_atom: jnp.ndarray, pdecay: bool = False
+        vcom_atom: jnp.ndarray, pdecay: bool = False, nrb_mask=None
         ) -> Tuple[Scene, StepStats]:
     """TTM electron-phonon coupled leapfrog (move_atoms_ttm, integrate.c:581).
 
@@ -167,6 +174,8 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
     F_coupled = F + (xi_atom * scene.mass * m)[..., None] * (v - vcom_atom)
     p_new = scene.mom + params.timestep * F_coupled
+    if nrb_mask is not None:
+        p_new = jnp.where(nrb_mask[..., None], scene.mom, p_new)
     return _finish(scene, params, F_coupled, p_new)
 
 

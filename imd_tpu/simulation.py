@@ -206,6 +206,14 @@ class Simulation:
                                                       self.dtype)
         else:
             self.tmm_params = None
+        if self.cfg.nrb.enabled:
+            from imd_tpu.models import nrb as nrb_mod
+            mass = float(self.cfg.masses[0]) if self.cfg.masses else 26.9815
+            self.nrb_state = nrb_mod.init_nrb(
+                self.scene, self.cfg.nrb.alat, self.cfg.nrb.k,
+                self.cfg.nrb.eps, mass, self.cfg.pbc_dirs)
+        else:
+            self.nrb_state = None
 
     # ------------------------------------------------------------------
     # the jitted step
@@ -255,6 +263,10 @@ class Simulation:
 
         if cfg.ttm.enabled:
             from imd_tpu.models import ttm as ttm_mod
+        if self.nrb_state is not None:
+            from imd_tpu.models import nrb as nrb_mod
+        if cfg.filter.enabled and cfg.filter.interval > 0:
+            from imd_tpu.models import filter as filter_mod
 
         def step_fn(state: SimState) -> SimState:
             scene = state.scene
@@ -262,12 +274,26 @@ class Simulation:
             # FD index history must be re-binned alongside (stored fdi,
             # types.h:327) — we conservatively invalidate it on rebin steps,
             # which only suppresses advection fluxes for that one step.
+            # FILTER: delete disconnected plume atoms every filter_int steps
+            # (imd_filter.c; deletion realized at the following rebin)
+            if cfg.filter.enabled and cfg.filter.interval > 0:
+                def do_filter(s):
+                    s2, _ = filter_mod.filter_atoms(s, cfg.filter,
+                                                    self.cutoff)
+                    return rebin(s2)
+                scene = jax.lax.cond(
+                    (state.step > 0)
+                    & (state.step % cfg.filter.interval == 0),
+                    do_filter, lambda s: s, scene)
             do_it = needs_rebin(scene, self.grid.skin)
             scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
             nbl_count = state.nbl_count + do_it.astype(jnp.int32)
             ttm_grid, fdi = state.ttm_grid, state.fdi
             res = self._compute_forces(scene, count_neighbors=cfg.ttm.enabled)
             scene = scene.replace(force=res.force, epot=res.epot)
+            nrb_mask = None
+            if self.nrb_state is not None:
+                scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
             temp = self._ramp_temperature(state.step)
             params = self.integrator_params(temp)
             eta = state.eta
@@ -283,9 +309,11 @@ class Simulation:
                 xi_atom, vcom = ttm_mod.gather_atom_coupling(
                     ttm_grid, scene, self.ttm_params)
                 scene, stats = integrate.ttm(scene, params, xi_atom, vcom,
-                                             pdecay=pdecay)
+                                             pdecay=pdecay,
+                                             nrb_mask=nrb_mask)
             elif self.ensemble in ("nve", "glok"):
-                scene, stats = integrate.nve(scene, params, pdecay=pdecay)
+                scene, stats = integrate.nve(scene, params, pdecay=pdecay,
+                                             nrb_mask=nrb_mask)
             elif self.ensemble == "mik":
                 scene, stats = integrate.mik(scene, params)
             elif self.ensemble == "ber":
