@@ -272,6 +272,9 @@ class SimConfig:
     xi: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     pressure_start: float = 0.0
     pressure_end: float = 0.0
+    # SLLOD shear flow (imd_integrate.c:1324)
+    shear_rate: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    shear_rate2: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # Langevin / viscous
     viscous_friction: float = 0.0
     damptemp: float = 0.0
@@ -397,6 +400,8 @@ class SimConfig:
             c.isq_tau_xi = float(g("isq_tau_xi"))
         c.pressure_start = float(g("pressure_start", 0.0))
         c.pressure_end = float(g("pressure_end", c.pressure_start))
+        c.shear_rate = _vec3(g("shear_rate"), c.shear_rate)
+        c.shear_rate2 = _vec3(g("shear_rate2"), c.shear_rate2)
         c.viscous_friction = float(g("viscous_friction", 0.0))
         c.damptemp = float(g("damptemp", 0.0))
         c.pdecay_mode = int(g("pdecay_mode", 0))

@@ -179,6 +179,156 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     return _finish(scene, params, F_coupled, p_new)
 
 
+def langevin(scene: Scene, params: IntegratorParams, key: jax.Array,
+             pdecay: bool = False, nrb_mask=None) -> Tuple[Scene, StepStats]:
+    """Langevin thermostat (imd_integrate.c:191-198): uniform random kicks
+    with sigma = sqrt(24 T (gamma/dt)/dt m) on top of the viscous damping
+    (set params.viscous_friction = gamma).  The reference uses drand48
+    uniform noise; we use jax.random.uniform - same first two moments."""
+    sigma = jnp.sqrt(24.0 * params.temperature
+                     * (params.viscous_friction / params.timestep)
+                     / params.timestep * jnp.maximum(scene.mass, 1e-30))
+    noise = (jax.random.uniform(key, scene.force.shape,
+                                scene.force.dtype) - 0.5)
+    scene = scene.replace(force=scene.force
+                          + noise * sigma[..., None] * scene.fmask()[..., None])
+    return nve(scene, params, pdecay=pdecay, nrb_mask=nrb_mask)
+
+
+class NPTState(struct.PyTreeNode):
+    """Nose-Hoover thermostat + Andersen barostat state (xi may be a
+    scalar for npt_iso or a [3] vector for npt_axial)."""
+    eta: jnp.ndarray
+    xi: jnp.ndarray
+    ekin_old: jnp.ndarray
+
+
+def npt_iso(scene: Scene, params: IntegratorParams, st: NPTState,
+            nactive, virial, isq_tau_xi, pressure_ext
+            ) -> Tuple[Scene, StepStats, NPTState]:
+    """Isotropic NPT (move_atoms_npt_iso, imd_integrate.c:1631-1770):
+    semi-implicit friction (xi_old + eta) on momenta, xi-scaled position
+    update, box rescale by (1 + xi dt/2)/(1 - xi dt/2)."""
+    dt = params.timestep
+    box = scene.grid.box
+    volume = box.volume
+    pressure = (st.ekin_old + virial) / (3.0 * volume)
+    xi_old = st.xi
+    xi = st.xi + dt * (pressure - pressure_ext) * volume * isq_tau_xi / nactive
+
+    pfric = 1.0 - (xi_old + st.eta) * dt * 0.5
+    pifric = 1.0 / (1.0 + (xi + st.eta) * dt * 0.5)
+    rfric = 1.0 + xi * dt * 0.5
+    rifric = 1.0 / (1.0 - xi * dt * 0.5)
+
+    F = _apply_force_mods(scene, params)
+    p_new = (pfric * scene.mom + dt * F) * pifric
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    x_new = (rfric * scene.pos + p_new * (dt * inv_m)[..., None]) * rifric
+    k1 = jnp.sum(jnp.sum(scene.mom ** 2, -1) * inv_m)
+    k2 = jnp.sum(jnp.sum(p_new ** 2, -1) * inv_m)
+
+    ttt = (1.0 + xi * dt * 0.5) / (1.0 - xi * dt * 0.5)
+    new_box = box.replace(h=box.h * ttt, inv_h=box.inv_h / ttt)
+    new_grid = scene.grid.replace(box=new_box)
+    eta = st.eta + dt * (k2 / (nactive * jnp.maximum(params.temperature,
+                                                     1e-30)) - 1.0
+                         ) * params.isq_tau_eta
+    mask = scene.fmask()
+    stats = StepStats(tot_kin_energy=(k1 + k2) / 4.0,
+                      fnorm=jnp.sum(F * F * mask[..., None]),
+                      pnorm=jnp.sum(p_new * p_new * mask[..., None]),
+                      pxf=jnp.sum(p_new * F * mask[..., None]),
+                      ekin_new=k2 / 2.0)
+    return (scene.replace(pos=x_new, mom=p_new, grid=new_grid), stats,
+            NPTState(eta=eta, xi=xi, ekin_old=k2))
+
+
+def npt_axial(scene: Scene, params: IntegratorParams, st: NPTState,
+              nactive, presstens, isq_tau_xi, pressure_ext
+              ) -> Tuple[Scene, StepStats, NPTState]:
+    """Anisotropic NPT (move_atoms_npt_axial, integrate.c:1903): per-axis
+    barostat friction xi[3] driven by the diagonal dynamic stress
+    (kinetic + virial part per axis); each box vector scales with its own
+    factor.  ``presstens`` [6] from the force pass (xx yy zz yz zx xy);
+    ``pressure_ext`` [3]."""
+    dt = params.timestep
+    box = scene.grid.box
+    volume = box.volume
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    ekin_ax = jnp.sum(scene.mom ** 2 * inv_m[..., None],
+                      axis=tuple(range(scene.mom.ndim - 1)))   # [3] 2*Ekin_a
+    stress = (ekin_ax + presstens[:3]) / volume
+    xi_old = st.xi
+    xi = st.xi + dt * (stress - pressure_ext) * volume * (
+        3.0 * isq_tau_xi / nactive)
+
+    pfric = 1.0 - (xi_old + st.eta) * dt * 0.5
+    pifric = 1.0 / (1.0 + (xi + st.eta) * dt * 0.5)
+    rfric = 1.0 + xi * dt * 0.5
+    rifric = 1.0 / (1.0 - xi * dt * 0.5)
+
+    F = _apply_force_mods(scene, params)
+    p_new = (pfric * scene.mom + dt * F) * pifric
+    x_new = (rfric * scene.pos + p_new * (dt * inv_m)[..., None]) * rifric
+    k1 = jnp.sum(jnp.sum(scene.mom ** 2, -1) * inv_m)
+    k2 = jnp.sum(jnp.sum(p_new ** 2, -1) * inv_m)
+
+    ttt = (1.0 + xi * dt * 0.5) / (1.0 - xi * dt * 0.5)   # [3]
+    # h' = diag(ttt) h  =>  h'^-1 = h^-1 diag(1/ttt)
+    new_box = box.replace(h=box.h * ttt[:, None],
+                          inv_h=box.inv_h / ttt[None, :])
+    new_grid = scene.grid.replace(box=new_box)
+    eta = st.eta + dt * (k2 / (nactive * jnp.maximum(params.temperature,
+                                                     1e-30)) - 1.0
+                         ) * params.isq_tau_eta
+    mask = scene.fmask()
+    stats = StepStats(tot_kin_energy=(k1 + k2) / 4.0,
+                      fnorm=jnp.sum(F * F * mask[..., None]),
+                      pnorm=jnp.sum(p_new * p_new * mask[..., None]),
+                      pxf=jnp.sum(p_new * F * mask[..., None]),
+                      ekin_new=k2 / 2.0)
+    return (scene.replace(pos=x_new, mom=p_new, grid=new_grid), stats,
+            NPTState(eta=eta, xi=xi, ekin_old=k2))
+
+
+def sllod(scene: Scene, params: IntegratorParams, nactive, eta,
+          shear_rate, shear_rate2) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """Homogeneous shear-flow NVT (move_atoms_sllod, integrate.c:1324).
+
+    ``shear_rate``/``shear_rate2`` [3]: off-diagonal velocity-gradient
+    entries per the reference's convention (x += sr.z*y + sr2.y*z, etc.);
+    momenta get per-component friction eta + shear terms.
+    """
+    dt = params.timestep
+    fric = jnp.stack([eta + shear_rate[2] + shear_rate2[1],
+                      eta + shear_rate[0] + shear_rate2[2],
+                      eta + shear_rate[1] + shear_rate2[0]])
+    reib = 1.0 - fric * dt * 0.5
+    ireib = 1.0 / (1.0 + fric * dt * 0.5)
+    F = _apply_force_mods(scene, params)
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    k1 = jnp.sum(jnp.sum(scene.mom ** 2, -1) * inv_m)
+    p_new = (scene.mom * reib + dt * F) * ireib
+    k2 = jnp.sum(jnp.sum(p_new ** 2, -1) * inv_m)
+    x = scene.pos + p_new * (dt * inv_m)[..., None]
+    x = x.at[..., 0].add(shear_rate[2] * x[..., 1]
+                         + shear_rate2[1] * x[..., 2])
+    x = x.at[..., 1].add(shear_rate[0] * x[..., 2]
+                         + shear_rate2[2] * x[..., 0])
+    x = x.at[..., 2].add(shear_rate[1] * x[..., 0]
+                         + shear_rate2[0] * x[..., 1])
+    mask = scene.fmask()
+    stats = StepStats(tot_kin_energy=(k1 + k2) / 4.0,
+                      fnorm=jnp.sum(F * F * mask[..., None]),
+                      pnorm=jnp.sum(p_new * p_new * mask[..., None]),
+                      pxf=jnp.sum(p_new * F * mask[..., None]),
+                      ekin_new=k2 / 2.0)
+    eta_new = eta + dt * params.isq_tau_eta * (
+        k2 / (nactive * jnp.maximum(params.temperature, 1e-30)) - 1.0)
+    return scene.replace(pos=x, mom=p_new), stats, eta_new
+
+
 # ---------------------------------------------------------------------------
 # velocity initialization (imd_maxwell.c:45)
 # ---------------------------------------------------------------------------

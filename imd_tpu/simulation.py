@@ -44,6 +44,9 @@ class SimState(struct.PyTreeNode):
     nbl_count: jnp.ndarray            # number of rebins so far
     ttm_grid: Optional["object"] = None   # TTMGrid when ensemble == ttm
     fdi: Optional[jnp.ndarray] = None     # per-atom-slot FD column index
+    xi: Optional[jnp.ndarray] = None      # NPT barostat friction (scalar/[3])
+    ekin_old: Optional[jnp.ndarray] = None  # NPT 2*Ekin of previous step
+    rng: Optional[jnp.ndarray] = None     # PRNG key (Langevin/Andersen)
 
 
 def _initial_stats(dtype):
@@ -187,7 +190,9 @@ class Simulation:
 
     def _select_integrator(self):
         ens = self.cfg.ensemble
-        if ens not in ("nve", "nvt", "mik", "glok", "ttm", "ber"):
+        known = ("nve", "nvt", "mik", "glok", "ttm", "ber", "and", "lang",
+                 "npt_iso", "npt_axial", "sllod")
+        if ens not in known:
             raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
         self.ensemble = ens
         if ens == "ttm" or self.cfg.ttm.enabled:
@@ -321,12 +326,61 @@ class Simulation:
                     scene, params, nactive, state.stats.tot_kin_energy)
             elif self.ensemble == "nvt":
                 scene, stats, eta = integrate.nvt(scene, params, nactive, eta)
+            elif self.ensemble == "lang":
+                key, sub = jax.random.split(state.rng)
+                scene, stats = integrate.langevin(scene, params, sub,
+                                                  pdecay=pdecay,
+                                                  nrb_mask=nrb_mask)
+            elif self.ensemble == "and":
+                # Andersen: NVE + periodic rethermalization
+                # (imd_integrate.c:555-559)
+                scene, stats = integrate.nve(scene, params, pdecay=pdecay,
+                                             nrb_mask=nrb_mask)
+                key = state.rng
+                if cfg.tempintv > 0:
+                    key, sub = jax.random.split(state.rng)
+                    scene = jax.lax.cond(
+                        (state.step + 1) % cfg.tempintv == 0,
+                        lambda s: integrate.maxwell(
+                            s, params.temperature, sub,
+                            restrictions=params.restrictions),
+                        lambda s: s, scene)
+            elif self.ensemble in ("npt_iso", "npt_axial"):
+                frac = jnp.clip(state.step.astype(self.dtype)
+                                / max(cfg.maxsteps, 1), 0.0, 1.0)
+                p_ext = cfg.pressure_start + (
+                    cfg.pressure_end - cfg.pressure_start) * frac
+                npt = integrate.NPTState(eta=eta, xi=state.xi,
+                                         ekin_old=state.ekin_old)
+                if self.ensemble == "npt_iso":
+                    scene, stats, npt = integrate.npt_iso(
+                        scene, params, npt, nactive, res.virial,
+                        jnp.asarray(cfg.isq_tau_xi, self.dtype), p_ext)
+                else:
+                    scene, stats, npt = integrate.npt_axial(
+                        scene, params, npt, nactive, res.presstens,
+                        jnp.asarray(cfg.isq_tau_xi, self.dtype),
+                        jnp.full((3,), p_ext, self.dtype))
+                eta = npt.eta
+            elif self.ensemble == "sllod":
+                scene, stats, eta = integrate.sllod(
+                    scene, params, nactive, eta,
+                    jnp.asarray(cfg.shear_rate, self.dtype),
+                    jnp.asarray(cfg.shear_rate2, self.dtype))
             else:
                 raise NotImplementedError(self.ensemble)
+            new_xi = state.xi
+            new_ekin = state.ekin_old
+            if self.ensemble in ("npt_iso", "npt_axial"):
+                new_xi, new_ekin = npt.xi, npt.ekin_old
+            new_rng = state.rng
+            if self.ensemble in ("lang", "and") and state.rng is not None:
+                new_rng = key
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
-                            nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi)
+                            nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi,
+                            xi=new_xi, ekin_old=new_ekin, rng=new_rng)
 
         return step_fn
 
@@ -341,6 +395,14 @@ class Simulation:
                     temp=jnp.full_like(ttm_grid.temp, self.cfg.ttm.init_t_el),
                     init_done=jnp.ones((), bool))
             fdi = -jnp.ones(self.scene.type.shape, jnp.int32)
+        xi = ekin_old = rng = None
+        if self.cfg.ensemble in ("npt_iso", "npt_axial"):
+            xi = (jnp.asarray(self.cfg.xi[0], self.dtype)
+                  if self.cfg.ensemble == "npt_iso"
+                  else jnp.asarray(self.cfg.xi, self.dtype))
+            ekin_old = z
+        if self.cfg.ensemble in ("lang", "and"):
+            rng = jax.random.PRNGKey(self.cfg.seed + 1)
         return SimState(scene=self.scene,
                         step=jnp.asarray(self.step_count, jnp.int32),
                         eta=jnp.asarray(self.cfg.eta, self.dtype),
@@ -348,7 +410,8 @@ class Simulation:
                         presstens=jnp.zeros((6,), self.dtype),
                         stats=_initial_stats(self.dtype),
                         nbl_count=jnp.zeros((), jnp.int32),
-                        ttm_grid=ttm_grid, fdi=fdi)
+                        ttm_grid=ttm_grid, fdi=fdi,
+                        xi=xi, ekin_old=ekin_old, rng=rng)
 
     # ------------------------------------------------------------------
     # host loop with I/O

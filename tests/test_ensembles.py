@@ -1,0 +1,152 @@
+"""Ensemble/integrator tests: Langevin, Andersen, NPT, SLLOD, FIRE, CG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu import integrate, relax
+from imd_tpu.models.potential import lj_table
+from imd_tpu.ops.forces import compute_pair_forces
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+from imd_tpu.scene import make_scene
+from imd_tpu.utils.generate import fcc
+
+
+# IMD LJ convention: V = eps((sig/r)^12 - 2(sig/r)^6), minimum at r=sig,
+# so the stress-free fcc lattice constant is ~1.38 sig (NOT 2^(1/6) sqrt2)
+def _crystal(nc=(4, 4, 4), alat=1.38, jitter=0.0, seed=0):
+    pos, typ, diag = fcc(nc, alat)
+    if jitter:
+        pos = pos + np.random.RandomState(seed).uniform(
+            -jitter, jitter, pos.shape)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    return make_scene(grid, pos, dtype=jnp.float64)
+
+
+POT = lj_table(1.0, 1.0, 2.5, dtype=jnp.float64)
+
+
+def _force_fn(s):
+    return compute_pair_forces(s, POT)
+
+
+def test_langevin_thermalizes():
+    scene = _crystal()
+    n = float(scene.n_atoms())
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.004), temperature=jnp.float64(0.05),
+        viscous_friction=jnp.float64(0.02))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(s, k):
+        k1, k2 = jax.random.split(k)
+        res = _force_fn(s)
+        s = s.replace(force=res.force, epot=res.epot)
+        s, stats = integrate.langevin(s, params, k2)
+        return s, stats, k1
+
+    for i in range(600):
+        scene, stats, key = step(scene, key)
+    t = 2.0 * stats.tot_kin_energy / (3.0 * n)
+    assert 0.02 < float(t) < 0.09    # heated from 0 toward T=0.05
+
+
+def test_npt_iso_relaxes_pressure():
+    scene = _crystal()
+    n = float(scene.n_atoms())
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.004), temperature=jnp.float64(0.02),
+        isq_tau_eta=jnp.float64(1.0 / 50.0 ** 2))
+    scene = integrate.maxwell(scene, 0.02, jax.random.PRNGKey(1))
+    st = integrate.NPTState(eta=jnp.float64(0.0), xi=jnp.float64(0.0),
+                            ekin_old=jnp.float64(3.0 * n * 0.02))
+    isq_tau_xi = jnp.float64(1.0 / 100.0 ** 2)
+    p_ext = jnp.float64(0.0)
+    v0 = float(scene.grid.box.volume)
+
+    @jax.jit
+    def step(s, st):
+        res = _force_fn(s)
+        s = s.replace(force=res.force, epot=res.epot)
+        return integrate.npt_iso(s, params, st, 3.0 * n, res.virial,
+                                 isq_tau_xi, p_ext)
+
+    vols, press = [], []
+    for i in range(400):
+        scene, stats, st = step(scene, st)
+        vols.append(float(scene.grid.box.volume))
+    assert np.isfinite(vols[-1])
+    # the box actually moved and stayed sane
+    assert 0.5 * v0 < vols[-1] < 2.0 * v0
+    assert abs(vols[-1] - v0) > 1e-6 * v0
+    # wrapped positions still inside the (rescaled) box
+    frac = np.asarray(scene.grid.box.to_frac(scene.pos.reshape(-1, 3)))
+    mask = np.asarray(scene.mask).reshape(-1)
+    assert frac[mask].min() > -0.6 and frac[mask].max() < 1.6
+
+
+def test_sllod_shear_profile():
+    scene = _crystal((4, 4, 4))
+    n = float(scene.n_atoms())
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.002), temperature=jnp.float64(0.02),
+        isq_tau_eta=jnp.float64(1.0 / 50.0 ** 2))
+    scene = integrate.maxwell(scene, 0.02, jax.random.PRNGKey(2))
+    eta = jnp.float64(0.0)
+    # dv_x/dy via the reference's x += shear_rate.z * y convention
+    sr = jnp.asarray([0.0, 0.0, 1e-4], jnp.float64)
+    sr2 = jnp.zeros(3, jnp.float64)
+
+    @jax.jit
+    def step(s, eta):
+        res = _force_fn(s)
+        s = s.replace(force=res.force, epot=res.epot)
+        return integrate.sllod(s, params, 3.0 * n, eta, sr, sr2)
+
+    x0 = np.asarray(scene.pos[..., 0]).copy()
+    for i in range(100):
+        scene, stats, eta = step(scene, eta)
+    dx = np.asarray(scene.pos[..., 0]) - x0
+    y = np.asarray(scene.pos[..., 1])
+    m = np.asarray(scene.mask)
+    # top half drifted +x more than bottom half
+    ymid = np.median(y[m])
+    drift_hi = dx[m & (y > ymid)].mean()
+    drift_lo = dx[m & (y < ymid)].mean()
+    assert drift_hi > drift_lo
+
+
+def test_fire_relaxes_perturbed_crystal():
+    scene = _crystal(jitter=0.02)
+    n = float(scene.n_atoms())
+    cfg = relax.FireConfig(max_timestep=0.01)
+    st = relax.fire_init(jnp.float64(0.004), cfg)
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.004))
+
+    e0 = float(jnp.sum(_force_fn(scene).epot))
+    step = jax.jit(lambda s, st: relax.fire_step(s, st, cfg, _force_fn,
+                                                 params, 3.0 * n))
+    for i in range(300):
+        scene, stats, st = step(scene, st)
+    e1 = float(jnp.sum(_force_fn(scene).epot))
+    assert e1 < e0 - 0.5                 # went downhill substantially
+    assert float(stats.fnorm) / n < 1e-6  # fully converged
+
+
+def test_cg_relaxes_perturbed_crystal():
+    scene = _crystal(jitter=0.05, seed=3)
+    e0 = float(jnp.sum(_force_fn(scene).epot))
+    scene2, epots, fnorm = jax.jit(
+        lambda s: relax.cg_relax(s, _force_fn, 80))(scene)
+    e1 = float(jnp.sum(scene2.epot))
+    assert e1 < e0 - 0.5
+    n = float(scene.n_atoms())
+    assert float(fnorm) / n < 1e-2
+    # monotone-ish decrease (allow tiny line-search overshoots)
+    ep = np.asarray(epots)
+    assert ep[-1] < ep[0]
