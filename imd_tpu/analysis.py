@@ -1,0 +1,227 @@
+"""In-situ structure analysis (L10 plugins of the reference).
+
+- `common_neighbor_analysis` (imd_cna.c:32-460): per-bond CNA triplets
+  (n_common, n_bonds, longest_chain) via the classic algorithm including
+  the bond-chain ("domino") walk, classifying fcc / hcp / bcc / other;
+- `ackland_jones` (imd_ada.c:25-470): angular-distribution
+  classification after Ackland & Jones, PRB 73, 054104 (2006);
+- `msqd` (imd_correl.c): per-(v)type mean squared displacement;
+- `temp_profile` (imd_transport.c write_temp_dist): kinetic-temperature
+  histogram along x for the NVX heat-flux setup.
+
+Design note: these are observables computed at output intervals, not
+per-step device code; like the reference's SWIG/Python tooling layer
+(SURVEY.md §2.7) they run host-side on NumPy (+ scipy.spatial for the
+neighbor search), operating on a Scene snapshot.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+CNA_OTHER, CNA_FCC, CNA_HCP, CNA_BCC, CNA_ICO = 0, 1, 2, 3, 4
+AJ_NAMES = {0: "other", 1: "fcc", 2: "hcp", 3: "bcc", 4: "ico"}
+
+
+def _scene_atoms(scene):
+    flat = scene.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    return (np.asarray(flat["pos"])[m], np.asarray(flat["mom"])[m],
+            np.asarray(flat["mass"])[m], np.asarray(flat["vtype"])[m],
+            np.asarray(flat["id"])[m])
+
+
+def _neighbor_pairs(pos, box_diag, pbc, r_cut):
+    """(i, j, dr) half pairs within r_cut via a periodic KD-tree."""
+    from scipy.spatial import cKDTree
+    pbc_b = np.asarray(pbc, bool)
+    if pbc_b.any():
+        bs = np.where(pbc_b, box_diag, 1e6 * box_diag.max())
+        tree = cKDTree(np.mod(pos, bs), boxsize=bs)
+    else:
+        tree = cKDTree(pos)
+    pairs = tree.query_pairs(r_cut, output_type="ndarray")
+    d = pos[pairs[:, 1]] - pos[pairs[:, 0]]
+    for ax in range(3):
+        if pbc_b[ax]:
+            d[:, ax] -= box_diag[ax] * np.round(d[:, ax] / box_diag[ax])
+    return pairs[:, 0], pairs[:, 1], d
+
+
+def _adjacency(n, i, j):
+    """Neighbor lists as a padded [n, kmax] array."""
+    cnt = np.zeros(n, np.int32)
+    np.add.at(cnt, i, 1)
+    np.add.at(cnt, j, 1)
+    kmax = int(cnt.max()) if n else 0
+    adj = np.full((n, kmax), -1, np.int32)
+    fill = np.zeros(n, np.int32)
+    for a, b in ((i, j), (j, i)):
+        for t in range(len(a)):
+            adj[a[t], fill[a[t]]] = b[t]
+            fill[a[t]] += 1
+    return adj, cnt
+
+
+def _longest_chain(bonds):
+    """Longest path ('domino' chain, imd_cna.c:300-420) among common-
+    neighbor bonds given as a set of (a, b) index tuples."""
+    if not bonds:
+        return 0
+    adj: Dict[int, list] = {}
+    for a, b in bonds:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    best = 0
+
+    def dfs(node, used, length):
+        nonlocal best
+        best = max(best, length)
+        for nxt in adj.get(node, ()):
+            e = (min(node, nxt), max(node, nxt))
+            if e not in used:
+                used.add(e)
+                dfs(nxt, used, length + 1)
+                used.remove(e)
+
+    for a, b in bonds:
+        dfs(a, {(min(a, b), max(a, b))}, 1)
+        dfs(b, {(min(a, b), max(a, b))}, 1)
+    return best
+
+
+def common_neighbor_analysis(scene, r_cut: float) -> np.ndarray:
+    """Per-atom CNA class (imd_cna.c).  Signatures: fcc = 12x(4,2,1),
+    hcp = 6x(4,2,1)+6x(4,2,2), bcc = 6x(4,4,4... ) i.e. 8x(6,6,6) with
+    the second shell; use the standard r_cut between 1st/2nd shell for
+    fcc/hcp and between 2nd/3rd for bcc."""
+    pos, _, _, _, _ = _scene_atoms(scene)
+    box_diag = np.diag(np.asarray(scene.grid.box.h))
+    n = len(pos)
+    i, j, _ = _neighbor_pairs(pos, box_diag, scene.grid.box.pbc, r_cut)
+    neigh = [set() for _ in range(n)]
+    for a, b in zip(i, j):
+        neigh[a].add(int(b))
+        neigh[b].add(int(a))
+
+    out = np.zeros(n, np.int32)
+    for a in range(n):
+        sigs = []
+        for b in neigh[a]:
+            common = neigh[a] & neigh[b]
+            ncn = len(common)
+            bonds = [(c, d) for c in common for d in common
+                     if c < d and d in neigh[c]]
+            sigs.append((ncn, len(bonds), _longest_chain(bonds)))
+        c421 = sigs.count((4, 2, 1))
+        c422 = sigs.count((4, 2, 2))
+        c444 = sigs.count((4, 4, 4))
+        c666 = sigs.count((6, 6, 6))
+        if c421 == 12 and len(sigs) == 12:
+            out[a] = CNA_FCC
+        elif c421 == 6 and c422 == 6 and len(sigs) == 12:
+            out[a] = CNA_HCP
+        elif c444 == 6 and c666 == 8 and len(sigs) == 14:
+            out[a] = CNA_BCC
+    return out
+
+
+def ackland_jones(scene, r_cut: Optional[float] = None) -> np.ndarray:
+    """Per-atom Ackland-Jones class (imd_ada.c; PRB 73, 054104 (2006)).
+
+    Uses the adaptive cutoff 1.45 * r0 with r0^2 the mean of the six
+    smallest squared neighbor distances, then the chi angular histogram
+    and the published decision tree.
+    """
+    pos, _, _, _, _ = _scene_atoms(scene)
+    box_diag = np.diag(np.asarray(scene.grid.box.h))
+    n = len(pos)
+    # generous candidate search
+    guess = r_cut if r_cut else 1.6 * (np.prod(box_diag) / max(n, 1)) ** (1 / 3)
+    i, j, d = _neighbor_pairs(pos, box_diag, scene.grid.box.pbc,
+                              guess * 1.6)
+    r2 = np.sum(d * d, 1)
+    # collect neighbors per atom
+    nb: list = [[] for _ in range(n)]
+    for a, b, dd, rr in zip(i, j, d, r2):
+        nb[a].append((rr, dd))
+        nb[b].append((rr, -dd))
+
+    out = np.zeros(n, np.int32)
+    for a in range(n):
+        if len(nb[a]) < 6:
+            continue
+        arr = sorted(nb[a], key=lambda t: t[0])
+        r0_sq = np.mean([t[0] for t in arr[:6]])
+        rcut2 = 1.45 * r0_sq       # (1.204 r0)^2 ~ 1.45 r0^2 (AJ eq. 5)
+        vecs = np.array([t[1] for t in arr if t[0] <= rcut2])
+        n0 = len(vecs)
+        u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cosg = (u @ u.T)[np.triu_indices(n0, 1)]
+        edges = [-1.01, -0.945, -0.915, -0.755, -0.195, 0.195, 0.245,
+                 0.795, 1.01]
+        chi, _ = np.histogram(cosg, bins=edges)
+        denom = chi[5] + chi[6] + chi[7] - chi[4]
+        d_bcc = 0.35 * chi[4] / denom if denom > 0 else 100.0
+        d_cp = abs(1.0 - chi[6] / 24.0)
+        d_fcc = 0.61 * (abs(chi[0] + chi[1] - 6) + chi[2]) / 6.0
+        d_hcp = (abs(chi[0] - 3)
+                 + abs(chi[0] + chi[1] + chi[2] + chi[3] - 9)) / 12.0
+        if chi[0] == 7:
+            d_bcc = 0.0
+        elif chi[0] == 6:
+            d_fcc = 0.0
+        elif chi[0] <= 3:
+            d_hcp = 0.0
+        # decision tree (AJ 2006, Fig. 6 / imd_ada.c:120-210)
+        if chi[7] > 0:
+            out[a] = CNA_OTHER
+        elif chi[4] < 3:
+            out[a] = CNA_ICO if 11 <= n0 <= 13 else CNA_OTHER
+        elif d_bcc <= d_cp:
+            out[a] = CNA_BCC if n0 >= 11 else CNA_OTHER
+        elif n0 not in (11, 12):
+            out[a] = CNA_OTHER
+        else:
+            out[a] = CNA_HCP if d_hcp < d_fcc else CNA_FCC
+    return out
+
+
+def msqd(scene, ref_pos_by_id: np.ndarray, vtypes: int = 1) -> np.ndarray:
+    """Per-vtype mean squared displacement (imd_correl.c / .msqd file).
+
+    ``ref_pos_by_id`` [n_ids, 3]: reference positions indexed by atom id.
+    """
+    pos, _, _, vt, ids = _scene_atoms(scene)
+    d = pos - ref_pos_by_id[ids]
+    box_diag = np.diag(np.asarray(scene.grid.box.h))
+    for ax in range(3):
+        if scene.grid.box.pbc[ax]:
+            d[:, ax] -= box_diag[ax] * np.round(d[:, ax] / box_diag[ax])
+    d2 = np.sum(d * d, 1)
+    out = np.zeros(vtypes)
+    for t in range(vtypes):
+        m = vt == t
+        out[t] = d2[m].mean() if m.any() else 0.0
+    return out
+
+
+def temp_profile(scene, n_bins: int) -> np.ndarray:
+    """Kinetic temperature profile along x (imd_transport.c
+    write_temp_dist): [n_bins] in eV, COM drift per bin removed."""
+    pos, mom, mass, _, _ = _scene_atoms(scene)
+    bx = float(np.asarray(scene.grid.box.h)[0, 0])
+    b = np.clip((pos[:, 0] / bx * n_bins).astype(int), 0, n_bins - 1)
+    out = np.zeros(n_bins)
+    for k in range(n_bins):
+        m = b == k
+        if m.sum() == 0:
+            continue
+        p = mom[m]
+        ma = mass[m][:, None]
+        v = p / ma
+        vcom = p.sum(0) / mass[m].sum()
+        out[k] = (mass[m] * ((v - vcom) ** 2).sum(1)).sum() / (3.0 * m.sum())
+    return out

@@ -50,11 +50,100 @@ def bcc(box_param: Tuple[int, int, int], alat: float
     return pos, typ, box
 
 
+def _cells(box_param):
+    nx, ny, nz = box_param
+    return np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                np.arange(nz), indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+
+
+def _from_basis(box_param, alat, basis, types):
+    cells = _cells(box_param)
+    basis = np.asarray(basis, np.float64)
+    pos = (cells[:, None, :] + basis[None, :, :]).reshape(-1, 3) * alat
+    typ = np.tile(np.asarray(types, np.int32), len(cells))
+    box = np.array(box_param, np.float64) * alat
+    return pos, typ, box
+
+
+def b2(box_param, alat):
+    """B2 (CsCl) structure: bcc with alternating types
+    (init_cubic/generate_lav family, imd_generate.c)."""
+    return _from_basis(box_param, alat,
+                       [[0, 0, 0], [0.5, 0.5, 0.5]], [0, 1])
+
+
+def l12(box_param, alat):
+    """L1_2 (Cu3Au): fcc with corner type 1, faces type 0."""
+    return _from_basis(box_param, alat,
+                       [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                        [0, 0.5, 0.5]], [1, 0, 0, 0])
+
+
+def nacl(box_param, alat):
+    """NaCl: two interpenetrating fcc lattices."""
+    basis = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+             [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5]]
+    return _from_basis(box_param, alat, basis, [0, 0, 0, 0, 1, 1, 1, 1])
+
+
+def diamond(box_param, alat):
+    """Diamond cubic (the reference's ZrO2/SiO2 generators are specialty;
+    diamond serves the covalent potentials)."""
+    basis = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+             [0.25, 0.25, 0.25], [0.75, 0.75, 0.25],
+             [0.75, 0.25, 0.75], [0.25, 0.75, 0.75]]
+    return _from_basis(box_param, alat, basis, [0] * 8)
+
+
+def hex_lattice(box_param, alat):
+    """Hexagonal close-packed layers (generate_hex analog) in an
+    orthorhombic cell: a, a*sqrt(3), c = a*sqrt(8/3)."""
+    nx, ny, nz = box_param
+    a = alat
+    b = alat * np.sqrt(3.0)
+    c = alat * np.sqrt(8.0 / 3.0)
+    basis = np.array([[0, 0, 0], [0.5, 0.5, 0],
+                      [0.5, 5.0 / 6.0, 0.5], [0.0, 1.0 / 3.0, 0.5]])
+    cells = _cells(box_param).astype(np.float64)
+    pos = (cells[:, None, :] + basis[None, :, :]).reshape(-1, 3)
+    pos *= np.array([a, b, c])
+    typ = np.zeros(pos.shape[0], np.int32)
+    box = np.array([nx * a, ny * b, nz * c])
+    return pos, typ, box
+
+
+def laves(box_param, alat):
+    """C15 (MgCu2) cubic Laves phase (generate_lav, imd_generate.c)."""
+    mg = np.array([[0, 0, 0], [0.25, 0.25, 0.25], [0.5, 0.5, 0],
+                   [0.75, 0.75, 0.25], [0.5, 0, 0.5], [0.75, 0.25, 0.75],
+                   [0, 0.5, 0.5], [0.25, 0.75, 0.75]])
+    cu0 = np.array([[5, 5, 5], [5, 7, 7], [7, 5, 7], [7, 7, 5]]) / 8.0
+    cu = np.concatenate([cu0 + s for s in
+                         ([0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5],
+                          [0, 0.5, 0.5])]) % 1.0
+    basis = np.concatenate([mg, cu])
+    types = [0] * len(mg) + [1] * len(cu)
+    return _from_basis(box_param, alat, basis, types)
+
+
 def generate_atoms(coordname: str, box_param, box_unit: float, ntypes: int = 1):
     """Dispatch on the reference's `_name` convention (imd_generate.c:51)."""
     name = coordname.lstrip("_").lower()
-    if name in ("fcc", "nacl"):
-        return fcc(box_param, box_unit, ntypes if name == "nacl" else 1)
-    if name == "bcc" or name == "cscl":
+    if name == "fcc":
+        return fcc(box_param, box_unit, 1)
+    if name == "nacl":
+        return nacl(box_param, box_unit)
+    if name == "bcc":
         return bcc(box_param, box_unit)
+    if name in ("cscl", "b2"):
+        return b2(box_param, box_unit)
+    if name in ("l12", "cu3au"):
+        return l12(box_param, box_unit)
+    if name in ("hex", "hcp"):
+        return hex_lattice(box_param, box_unit)
+    if name in ("lav", "laves"):
+        return laves(box_param, box_unit)
+    if name in ("diamond", "dia"):
+        return diamond(box_param, box_unit)
     raise ValueError(f"unknown internal lattice '{coordname}'")
