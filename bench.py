@@ -4,6 +4,10 @@ Reports the same metric as the reference's end-of-run summary
 (imd.c:387-392: "cpuseconds per step and atom" and its inverse), as one
 JSON line.  The baseline target (BASELINE.json north_star) is 5e8
 atom-steps/sec/chip for 1M-atom EAM-Al (+TTM once coupled here).
+
+Engines:
+  pallas (default) - blocked VMEM kernels + fast-Horner potentials
+  xla              - cells-last XLA engine + Chebyshev potentials
 """
 
 import argparse
@@ -18,6 +22,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -27,20 +33,41 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from imd_tpu import integrate
-    from imd_tpu.ops.forces_fast import compute_eam_forces_fast as compute_eam_forces
-    from imd_tpu.scene import needs_rebin, rebin
+    from imd_tpu.ops.geometry import measured_capacity, with_capacity
+    from imd_tpu.scene import make_scene, needs_rebin, rebin
 
     from __graft_entry__ import _build
-
-    from imd_tpu.models.potential import eam_to_chebyshev
 
     # fcc Al: 4 atoms per unit cell
     ncell = max(2, round((args.atoms / 4) ** (1 / 3)))
     dtype = getattr(jnp, args.dtype)
     scene, eam, grid = _build((ncell, ncell, ncell), dtype=dtype)
-    # Chebyshev-compiled potentials: gather-free evaluation (table gathers
-    # are ~1000x slower on TPU)
-    eam = eam_to_chebyshev(eam, deg=24)
+    if args.capacity:
+        cap = args.capacity
+    else:
+        # tight capacity: raw max + thermal headroom, sublane-aligned
+        flat = scene.flatten_atoms()
+        m = np.asarray(flat["mask"])
+        raw = measured_capacity(grid, np.asarray(flat["pos"])[m], safety=1.0)
+        # +4 thermal headroom so rebinning never overflows mid-run
+        cap = max(8, int(math.ceil((raw + 4) / 4.0)) * 4)
+    grid = with_capacity(grid, cap)
+    flat = scene.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    scene = make_scene(grid, np.asarray(flat["pos"])[m],
+                       mass=np.full(int(m.sum()), 26.9815), dtype=dtype)
+
+    if args.engine == "pallas":
+        from imd_tpu.models.potential import eam_to_fastpoly
+        from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+        eam_run = eam_to_fastpoly(eam, deg=12)
+        force_fn = lambda s: compute_eam_forces_pallas(s, eam_run)  # noqa
+    else:
+        from imd_tpu.models.potential import eam_to_chebyshev
+        from imd_tpu.ops.forces_fast import compute_eam_forces_fast
+        eam_run = eam_to_chebyshev(eam, deg=24)
+        force_fn = lambda s: compute_eam_forces_fast(s, eam_run, 1)  # noqa
+
     n_atoms = int(scene.n_atoms())
     scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
     params = integrate.IntegratorParams(
@@ -49,7 +76,7 @@ def main():
     def one_step(scene):
         do_it = needs_rebin(scene, grid.skin)
         scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
-        res = compute_eam_forces(scene, eam, ntypes=1)
+        res = force_fn(scene)
         scene = scene.replace(force=res.force, epot=res.epot)
         scene, stats = integrate.nve(scene, params)
         return scene
@@ -82,6 +109,8 @@ def main():
             "sec_per_step_and_atom": sec_per_step_atom,
             "grid": list(grid.dims),
             "capacity": grid.capacity,
+            "engine": args.engine,
+            "overflow": int(scene.overflow),
             "dtype": args.dtype,
             "device": str(jax.devices()[0]),
         },

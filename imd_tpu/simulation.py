@@ -60,7 +60,7 @@ class Simulation:
 
     def __init__(self, cfg: SimConfig, workdir: str = ".",
                  dtype=jnp.float32, grid_dims_multiple=(1, 1, 1),
-                 fast: bool = True):
+                 fast: bool = True, engine: str = "auto"):
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
@@ -68,6 +68,10 @@ class Simulation:
         # (gather-free; ~1e-5 deviation from exact table interpolation).
         # fast=False keeps the reference-exact table path (validation mode).
         self.fast = fast
+        # engine: "auto" picks the Pallas blocked kernels on TPU for
+        # single-type EAM (the production hot path), XLA otherwise;
+        # "pallas"/"xla" force a choice.
+        self.engine = engine
         self.eng: Optional[EngWriter] = None
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
@@ -106,7 +110,17 @@ class Simulation:
         else:
             raise ValueError("no potential configured "
                              "(potfile / EAM files / lj_* parameters)")
-        if self.fast:
+        import jax as _jax
+        use_pallas = (self.engine == "pallas"
+                      or (self.engine == "auto"
+                          and _jax.default_backend() not in ("cpu",)
+                          and self.eam is not None
+                          and self.cfg.ntypes == 1))
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from imd_tpu.models.potential import eam_to_fastpoly
+            self.eam_run = eam_to_fastpoly(self.eam)
+        elif self.fast:
             from imd_tpu.models.potential import eam_to_chebyshev, to_chebyshev
             if self.eam is not None:
                 self.eam = eam_to_chebyshev(self.eam)
@@ -224,6 +238,10 @@ class Simulation:
     # the jitted step
     # ------------------------------------------------------------------
     def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
+        if getattr(self, "use_pallas", False):
+            from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+            return compute_eam_forces_pallas(
+                scene, self.eam_run, count_neighbors=count_neighbors)
         if self.fast:
             from imd_tpu.ops import forces_fast as fm
             eam_fn, pair_fn = (fm.compute_eam_forces_fast,

@@ -1,0 +1,77 @@
+"""COLRAD kinetics invariants (SURVEY.md §4): Saha equilibrium fixed
+point, relaxation toward it, conservation laws."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu.models import colrad as C
+
+
+@pytest.fixture(scope="module")
+def setup():
+    st = C.aluminium_states(max_z=2, nlev=3)
+    tab = C.build_tables(st, dtype=jnp.float64)
+    return st, tab
+
+
+def test_tables_shapes(setup):
+    st, tab = setup
+    assert tab.n_lev == len(st.z)
+    assert tab.k_exc.shape[0] == len(np.asarray(tab.exc_i))
+    assert np.all(np.asarray(tab.ion_chi) > 0)
+
+
+def test_saha_is_near_fixed_point(setup):
+    """At Saha/Boltzmann equilibrium, the collisional part of the network
+    must balance (radiative recombination pulls weakly away)."""
+    st, tab = setup
+    ntot, te = 6.0e28, 5.0
+    c0, ne0 = C.saha_init(st, ntot, te, jnp.float64)
+    c = jnp.asarray(c0)
+    dc, dne, pe, _ = C.colrad_rhs(c, jnp.float64(te), jnp.float64(ne0),
+                                  tab, use_ipd=False)
+    # collisional rates individually are huge (~n^2 k); equilibrium means
+    # cancellation by many orders of magnitude
+    kexc = C._interp_rates(tab.k_exc, tab.log_te, jnp.float64(te))
+    scale = float(jnp.max(kexc) * ne0 * ntot)
+    assert float(jnp.max(jnp.abs(dc))) < 1e-4 * scale
+
+
+def test_relaxes_toward_equilibrium_and_conserves(setup):
+    st, tab = setup
+    ntot, te = 6.0e28, 8.0
+    c_eq, ne_eq = C.saha_init(st, ntot, te, jnp.float64)
+    # start far from equilibrium: everything neutral ground state
+    c0 = np.zeros_like(c_eq)
+    c0[0] = ntot
+    ne0 = 1e24          # trace seed electrons
+    step = C.make_colrad_step(tab, n_sub=32, newton_iters=8, use_ipd=False)
+    c = jnp.asarray(c0)[None, :]
+    ne = jnp.asarray([ne0])
+    tev = jnp.asarray([te])
+    for _ in range(6):
+        c, ne, pe, diag = jax.jit(step)(c, tev, ne, 1e-13)
+    # nuclei conserved (up to the Newton clip tolerance)
+    assert float(jnp.sum(c)) == pytest.approx(ntot, rel=1e-4)
+    # substantial ionization happened, moving toward the Saha ne
+    assert float(ne[0]) > 100 * ne0
+    zbar = float(C.mean_charge(c, tab)[0])
+    zbar_eq = float(np.sum(st.z[: len(c_eq)] * c_eq) / ntot)
+    assert 0.1 * zbar_eq < zbar <= 1.5 * zbar_eq + 0.5
+    # all populations stayed non-negative and finite
+    assert np.all(np.isfinite(np.asarray(c)))
+    assert np.all(np.asarray(c) >= 0)
+
+
+def test_energy_bookkeeping_signs(setup):
+    """Net ionization must cost electron energy (P_EI < 0)."""
+    st, tab = setup
+    ntot, te = 6.0e28, 10.0
+    c0 = np.zeros(tab.n_lev)
+    c0[0] = ntot
+    dc, dne, pe, diag = C.colrad_rhs(jnp.asarray(c0), jnp.float64(te),
+                                     jnp.float64(1e26), tab, use_ipd=False)
+    assert float(dne) > 0          # ionizing
+    assert float(diag["P_EI"]) < 0  # costs energy

@@ -1,0 +1,85 @@
+"""Pallas force engine vs the XLA oracle (same fast-poly tables)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu import integrate
+from imd_tpu.models.potential import analytic_eam, eam_to_fastpoly
+from imd_tpu.ops.forces_fast import compute_eam_forces_fast
+from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+from imd_tpu.scene import make_scene
+from imd_tpu.utils.generate import fcc
+
+
+def _scene(nc=(5, 4, 4), alat=4.05, pbc=(1, 1, 1), temp=0.05):
+    pos, typ, diag = fcc(nc, alat)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     pbc=pbc, dtype=jnp.float32)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float32)
+    if temp:
+        sc = integrate.maxwell(sc, temp, jax.random.PRNGKey(3))
+    return sc
+
+
+EAM = eam_to_fastpoly(analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39,
+                                   dtype=jnp.float32), deg=12)
+
+
+@pytest.mark.parametrize("pbc", [(1, 1, 1), (0, 1, 1)])
+def test_pallas_matches_xla_oracle(pbc):
+    sc = _scene(pbc=pbc)
+    # jitter so no symmetry hides sign errors
+    sc = sc.replace(pos=sc.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), sc.pos.shape))
+    r_ref = jax.jit(lambda s: compute_eam_forces_fast(s, EAM, 1,
+                                                      count_neighbors=True))(sc)
+    r_pal = jax.jit(lambda s: compute_eam_forces_pallas(
+        s, EAM, count_neighbors=True))(sc)
+    m = np.asarray(sc.mask)
+    f1 = np.asarray(r_ref.force)[m]
+    f2 = np.asarray(r_pal.force)[m]
+    scale = np.abs(f1).max() + 1.0
+    assert np.abs(f1 - f2).max() / scale < 1e-4
+    e1 = np.asarray(r_ref.epot)[m]
+    e2 = np.asarray(r_pal.epot)[m]
+    assert np.abs(e1 - e2).max() < 1e-4 * (np.abs(e1).max() + 1.0)
+    assert np.array_equal(np.asarray(r_ref.num_neighs)[m],
+                          np.asarray(r_pal.num_neighs)[m])
+    r1 = np.asarray(r_ref.rho)[m]
+    r2 = np.asarray(r_pal.rho)[m]
+    assert np.abs(r1 - r2).max() / (np.abs(r1).max() + 1.0) < 1e-4
+
+
+def test_pallas_dead_slots_are_silent():
+    """Dead slots (capacity padding) must produce zero force/epot."""
+    sc = _scene(temp=0.0)
+    r = jax.jit(lambda s: compute_eam_forces_pallas(s, EAM))(sc)
+    dead = ~np.asarray(sc.mask)
+    assert np.abs(np.asarray(r.force)[dead]).max() == 0.0
+    assert np.abs(np.asarray(r.epot)[dead]).max() == 0.0
+
+
+def test_pallas_energy_conservation_short_md():
+    sc = _scene(temp=0.04)
+    params = integrate.IntegratorParams(timestep=jnp.float32(0.1))
+
+    @jax.jit
+    def step(s):
+        r = compute_eam_forces_pallas(s, EAM)
+        s = s.replace(force=r.force, epot=r.epot)
+        s, stats = integrate.nve(s, params)
+        return s, jnp.sum(r.epot), stats
+
+    e0 = None
+    for i in range(60):
+        sc, ep, stats = step(sc)
+        et = float(ep + stats.tot_kin_energy)
+        if e0 is None:
+            e0 = et
+    assert abs(et - e0) / abs(e0) < 5e-4
