@@ -316,29 +316,42 @@ def saha_init(st: States, ntot: float, te_ev: float,
 
 def make_colrad_step(tab: ColradTables, n_sub: int = 16,
                      newton_iters: int = 8, use_ipd: bool = True,
-                     max_tries: int = 4096, rtol: float = 1e-6):
-    """Returns step(c [.., nlev], te_ev [..], ne [..], dt_s) ->
-    (c', ne', P_e [eV/m^3/s], diag) integrating the network over dt_s.
+                     max_tries: int = 4096, rtol: float = 1e-6,
+                     evolve_te: bool = False):
+    """Returns step(c [.., nlev], te_ev [..], ne [..], dt_s[, ce]) ->
+    (c', ne', P_e / te', diag) integrating the network over dt_s.
 
     Adaptive backward-Euler with a Newton solve on the (c, ne) block and
     step halving on rejected steps (negative populations or unconverged
     Newton) - the vmapped static-shape analog of the reference's
     per-cell CVODE error control (imd.h:99-113).  ``n_sub`` sets the
-    initial substep count; ``max_tries`` bounds the while loop.  T_e
-    feedback is returned as a power density for the TTM diffusion step.
+    initial substep count; ``max_tries`` bounds the while loop.
+
+    With ``evolve_te`` the electron temperature joins the ODE state
+    (like the reference's y[0], imd_colrad.c:189-278): dTe/dt = P_e/C_e
+    with ``ce`` the per-cell electron heat capacity in IMD units
+    (eV/(eV A^3)); the step then returns te' instead of P_e.
     """
     nlev = tab.n_lev
+    # eV*N28/s -> eV/A^3/s
+    p_to_a3 = N28 * 1e-30
 
-    def cell_step(c, te, ne, dt_s):
+    def cell_step(c, te, ne, dt_s, ce):
         def rhs(y):
-            dc, dne, pe, _ = colrad_rhs(y[:nlev], te, y[nlev], tab,
+            te_cur = y[nlev + 1] if evolve_te else te
+            dc, dne, pe, _ = colrad_rhs(y[:nlev], te_cur, y[nlev], tab,
                                         use_ipd)
+            if evolve_te:
+                dte = pe * p_to_a3 / jnp.maximum(ce, 1e-12)
+                return jnp.concatenate([dc, dne[None], dte[None]])
             return jnp.concatenate([dc, dne[None]])
+
+        ndim = nlev + (2 if evolve_te else 1)
 
         def be_newton(y, tau):
             def newton(_, yk):
                 f = yk - y - tau * rhs(yk)
-                jac = jnp.eye(nlev + 1, dtype=y.dtype) \
+                jac = jnp.eye(ndim, dtype=y.dtype) \
                     - tau * jax.jacfwd(rhs)(yk)
                 return yk - jnp.linalg.solve(jac, f)
 
@@ -348,7 +361,14 @@ def make_colrad_step(tab: ColradTables, n_sub: int = 16,
             ok = (res <= rtol * scale) & (jnp.min(y1) >= -1e-8 * scale)
             return jnp.maximum(y1, 0.0), ok
 
-        y0 = jnp.concatenate([c, ne[None]])
+        # public API is 1/m^3; solve in N28 units (f32-safe, and the
+        # Newton scale heuristic sees O(1-10) numbers)
+        c = c * (1.0 / N28)
+        ne = ne * (1.0 / N28)
+        if evolve_te:
+            y0 = jnp.concatenate([c, ne[None], te[None]])
+        else:
+            y0 = jnp.concatenate([c, ne[None]])
         tau0 = dt_s / n_sub
         tau_min = dt_s / (n_sub * 1024.0)
 
@@ -370,20 +390,73 @@ def make_colrad_step(tab: ColradTables, n_sub: int = 16,
         _, _, y1, _ = jax.lax.while_loop(
             cond, body, (jnp.zeros((), y0.dtype), jnp.asarray(tau0),
                          y0, jnp.zeros((), jnp.int32)))
-        _, _, pe, diag = colrad_rhs(y1[:nlev], te, y1[nlev], tab, use_ipd)
-        return y1[:nlev], y1[nlev], pe, diag
+        te_out = y1[nlev + 1] if evolve_te else te
+        _, _, pe, diag = colrad_rhs(y1[:nlev], te_out, y1[nlev], tab,
+                                    use_ipd)
+        third = te_out if evolve_te else pe
+        return y1[:nlev] * N28, y1[nlev] * N28, third, diag
 
-    inner = jax.vmap(cell_step, in_axes=(0, 0, 0, None))
+    inner = jax.vmap(cell_step, in_axes=(0, 0, 0, None, 0))
 
-    def step(c, te_ev, ne, dt_s):
+    def step(c, te_ev, ne, dt_s, ce=None):
         flat_c = c.reshape(-1, nlev)
-        out_c, out_ne, pe, diag = inner(flat_c, te_ev.reshape(-1),
-                                        ne.reshape(-1), dt_s)
+        if ce is None:
+            ce = jnp.ones_like(te_ev)
+        out_c, out_ne, third, diag = inner(flat_c, te_ev.reshape(-1),
+                                           ne.reshape(-1), dt_s,
+                                           ce.reshape(-1))
         return (out_c.reshape(c.shape), out_ne.reshape(te_ev.shape),
-                pe.reshape(te_ev.shape),
+                third.reshape(te_ev.shape),
                 {k: v.reshape(te_ev.shape) for k, v in diag.items()})
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# TTM-grid coupling (do_colrad, imd_colrad.c:123-290)
+# ---------------------------------------------------------------------------
+
+class ColradGridState(struct.PyTreeNode):
+    """Per-FD-cell level populations [nx, nlev] in 1/m^3."""
+    c: jnp.ndarray
+
+
+def init_grid_state(tab: ColradTables, nx: int,
+                    dtype=jnp.float32) -> ColradGridState:
+    return ColradGridState(c=jnp.zeros((nx, tab.n_lev), dtype))
+
+
+def apply_colrad(grid, cstate: ColradGridState, tab: ColradTables,
+                 params, step_fn, dt_imd):
+    """One MD step of COLRAD kinetics on the TTM grid.
+
+    Fresh active cells are seeded all-neutral-ground (the reference runs
+    a Saha pre-equilibration, colrad_Saha_init; the network itself
+    relaxes the seed within a few steps); active cells then evolve
+    (c, ne, Te) and write back temp/ne/Z like imd_colrad.c:277-279.
+    Returns (grid, cstate, diag).
+    """
+    from imd_tpu import units as _u
+    from imd_tpu.models.ttm import active_mask
+
+    act = active_mask(grid, params)
+    ntot = grid.dens / (params.atomic_mass * _u.AMU_TO_KG)   # 1/m^3
+    fresh = act & (jnp.sum(cstate.c, -1) <= 0.0)
+    seed = jnp.zeros_like(cstate.c).at[:, 0].set(ntot)
+    c = jnp.where(fresh[:, None], seed, cstate.c)
+    ne0 = jnp.where(fresh, jnp.maximum(1e-4 * ntot, 1e24), grid.ne)
+
+    dt_s = dt_imd * _u.IMD_TIME_S
+    c1, ne1, te1, diag = step_fn(c, jnp.maximum(grid.temp, 1e-3),
+                                 jnp.maximum(ne0, 1e20), dt_s,
+                                 jnp.maximum(grid.Ce, 1e-8))
+    zbar = mean_charge(c1, tab)
+    new_grid = grid.replace(
+        temp=jnp.where(act, te1, grid.temp),
+        ne=jnp.where(act, ne1, grid.ne),
+        Z=jnp.where(act, zbar, grid.Z))
+    return new_grid, ColradGridState(c=jnp.where(act[:, None], c1,
+                                                 cstate.c)), diag
 
 
 def mean_charge(c, tab: ColradTables):

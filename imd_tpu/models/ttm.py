@@ -276,13 +276,21 @@ def cell_activation(grid: TTMGrid, params: TTMParams, eos: FEGEos) -> TTMGrid:
 # ---------------------------------------------------------------------------
 
 def fill_mesh(grid: TTMGrid, params: TTMParams, eos: FEGEos,
-              laser_active=False) -> TTMGrid:
+              laser_active=False, keep_zne: bool = False) -> TTMGrid:
+    """Wide-range transport properties per cell (do_FILLMESH, ttm:629).
+
+    ``keep_zne``: COLRAD owns Z and n_e (its kinetics supersede the
+    More-fit mean charge); only Ce/kappa/g are refreshed."""
     act = active_mask(grid, params)
     temp = jnp.maximum(grid.temp, 1e-6)
     dens = jnp.maximum(grid.dens, 1e-3)
-    Z = wr.mean_charge(temp, dens, params.atomic_z, params.atomic_mass)
-    Z = jnp.maximum(Z, 1e-3)
-    ne = Z * dens / (params.atomic_mass * wr.AMU)
+    if keep_zne:
+        Z = jnp.maximum(grid.Z, 1e-3)
+        ne = jnp.maximum(grid.ne, 1.0)
+    else:
+        Z = wr.mean_charge(temp, dens, params.atomic_z, params.atomic_mass)
+        Z = jnp.maximum(Z, 1e-3)
+        ne = Z * dens / (params.atomic_mass * wr.AMU)
     if params.const_ce > 0:
         Ce = params.const_ce * temp        # Sommerfeld gamma*Te fallback
     else:
@@ -405,7 +413,7 @@ def lambert_beer_source(grid: TTMGrid, params: TTMParams, laser_cfg, t):
 
 def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
              num_neighs, fdi_prev, dt, t, laser_cfg=None,
-             first_step=False, tmm_params=None) -> Tuple[TTMGrid, jnp.ndarray]:
+             first_step=False, tmm_params=None, colrad=None):
     """One MD step's worth of TTM: reductions, advection, substepped
     diffusion.  Returns (grid, fdi_new).
 
@@ -419,10 +427,20 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
     grid = do_adv(grid, params, eos, first)
     grid = cell_activation(grid, params, eos)
+    # COLRAD kinetics own Z/ne/Te when enabled (do_colrad hook,
+    # imd_ttm.c:101-103; called before FILLMESH)
+    keep_zne = colrad is not None
+    cstate = None
+    if colrad is not None:
+        from imd_tpu.models import colrad as colrad_mod
+        tab, step_fn, cstate = colrad
+        grid = fill_mesh(grid, params, eos, False)  # Ce needed for dTe/dt
+        grid, cstate, _ = colrad_mod.apply_colrad(grid, cstate, tab,
+                                                  params, step_fn, dt)
     laser_active = jnp.asarray(False)
     if laser_cfg is not None and laser_cfg.sigma_e > 0:
         grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)
-    grid = fill_mesh(grid, params, eos, laser_active)
+    grid = fill_mesh(grid, params, eos, laser_active, keep_zne)
     substeps, clamped = cfl_substeps(grid, params, dt, first)
     grid = grid.replace(cfl_overflow=grid.cfl_overflow | clamped)
     tau = dt / substeps.astype(grid.temp.dtype)
@@ -434,18 +452,20 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
             t_si = (t + i * tau) * units.IMD_TIME_S
             g, diag = tmm_mod.do_tmm(g, params, tmm_params, t_si)
             g = diff_step(g, params, tau, substeps, diag["laser_active"])
-            return fill_mesh(g, params, eos, diag["laser_active"])
+            return fill_mesh(g, params, eos, diag["laser_active"], keep_zne)
     else:
         def body(i, g):
             g = diff_step(g, params, tau, substeps, laser_active)
-            return fill_mesh(g, params, eos, laser_active)
+            return fill_mesh(g, params, eos, laser_active, keep_zne)
 
     grid = jax.lax.fori_loop(0, substeps, body, grid)
     # final U consistent with T via EOS (imd_ttm.c:131-145)
     act = active_mask(grid, params)
-    ne = _ne(grid, params)
+    ne = grid.ne if keep_zne else _ne(grid, params)
     U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
     grid = grid.replace(U=U)
+    if colrad is not None:
+        return grid, fdi, cstate
     return grid, fdi
 
 

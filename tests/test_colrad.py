@@ -29,13 +29,15 @@ def test_saha_is_near_fixed_point(setup):
     st, tab = setup
     ntot, te = 6.0e28, 5.0
     c0, ne0 = C.saha_init(st, ntot, te, jnp.float64)
-    c = jnp.asarray(c0)
-    dc, dne, pe, _ = C.colrad_rhs(c, jnp.float64(te), jnp.float64(ne0),
+    # colrad_rhs works in N28 units
+    c = jnp.asarray(c0) / C.N28
+    dc, dne, pe, _ = C.colrad_rhs(c, jnp.float64(te),
+                                  jnp.float64(ne0 / C.N28),
                                   tab, use_ipd=False)
     # collisional rates individually are huge (~n^2 k); equilibrium means
     # cancellation by many orders of magnitude
     kexc = C._interp_rates(tab.k_exc, tab.log_te, jnp.float64(te))
-    scale = float(jnp.max(kexc) * ne0 * ntot)
+    scale = float(jnp.max(kexc) * (ne0 / C.N28) * (ntot / C.N28))
     assert float(jnp.max(jnp.abs(dc))) < 1e-4 * scale
 
 
@@ -65,13 +67,57 @@ def test_relaxes_toward_equilibrium_and_conserves(setup):
     assert np.all(np.asarray(c) >= 0)
 
 
+def test_coupled_ttm_colrad(setup):
+    """COLRAD inside calc_ttm: ionization takes over Z/ne, Te evolves."""
+    import numpy as np
+    from imd_tpu import integrate
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.config import TTMConfig
+    from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    st, tab = setup
+    pos, typ, diag = fcc((6, 3, 3), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    gg = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    gg = with_capacity(gg, measured_capacity(gg, pos))
+    scene = make_scene(gg, pos, mass=np.full(len(pos), 26.9815),
+                       dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+    tcfg = TTMConfig(enabled=True, fd_nx=6, fd_min_atoms=4,
+                     init_t_el=5.0)          # hot electrons -> ionization
+    params = ttm_mod.make_params(tcfg, box, 5.0, dtype=jnp.float64)
+    grid = ttm_mod.make_grid(params, dtype=jnp.float64)
+    grid = grid.replace(temp=jnp.full_like(grid.temp, 5.0),
+                        init_done=jnp.ones((), bool))
+    eos = FEGEos()
+    step_fn = C.make_colrad_step(tab, n_sub=8, evolve_te=True)
+    cstate = C.init_grid_state(tab, 6, jnp.float64)
+    nn = jnp.full(scene.pos.shape[:-1], 12, jnp.int32)
+    fdi = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, fdi, cstate = ttm_mod.calc_ttm(
+        grid, scene, params, eos, nn, fdi, dt=jnp.float64(1.0),
+        t=jnp.float64(0.0), first_step=True,
+        colrad=(tab, step_fn, cstate))
+    act = np.asarray(ttm_mod.active_mask(grid, params))
+    assert np.all(np.isfinite(np.asarray(grid.temp)))
+    # hot cells started ionizing: ne positive, Z from the populations
+    assert float(jnp.max(jnp.where(act, grid.ne, 0.0))) > 1e24
+    assert np.all(np.asarray(cstate.c)[act].sum(1) > 0)
+
+
 def test_energy_bookkeeping_signs(setup):
     """Net ionization must cost electron energy (P_EI < 0)."""
     st, tab = setup
     ntot, te = 6.0e28, 10.0
     c0 = np.zeros(tab.n_lev)
     c0[0] = ntot
-    dc, dne, pe, diag = C.colrad_rhs(jnp.asarray(c0), jnp.float64(te),
-                                     jnp.float64(1e26), tab, use_ipd=False)
+    dc, dne, pe, diag = C.colrad_rhs(jnp.asarray(c0) / C.N28,
+                                     jnp.float64(te),
+                                     jnp.float64(1e26 / C.N28), tab,
+                                     use_ipd=False)
     assert float(dne) > 0          # ionizing
     assert float(diag["P_EI"]) < 0  # costs energy
