@@ -377,6 +377,133 @@ def diff_step(grid: TTMGrid, params: TTMParams, tau, substeps,
 # laser source (laser_rescale_ttm, imd_laser.c:715; mode 4)
 # ---------------------------------------------------------------------------
 
+class VlatParams(struct.PyTreeNode):
+    """Virtual-lattice continuum tail (VLATTICE, imd_ttm.c:41-59): vlatdim
+    continuum-only 2T cells appended behind the sample's rear (+x) so the
+    heat sink of the full target depth exists without simulating it
+    atomistically."""
+    nv: int = struct.field(pytree_node=False)        # vlatdim
+    dens0: float = struct.field(pytree_node=False)   # solid density kg/m^3
+    ci: float = struct.field(pytree_node=False)      # lattice C_i, eV/(eV A^3)
+    atomic_z: float = struct.field(pytree_node=False, default=13.0)
+    atomic_mass: float = struct.field(pytree_node=False, default=26.9815)
+
+
+class VlatState(struct.PyTreeNode):
+    te: jnp.ndarray    # [nv] electron temperature (eV)
+    ti: jnp.ndarray    # [nv] lattice temperature (eV)
+
+
+def make_vlat(nv: int, dens0: float = 2700.0, t0: float = 0.0253,
+              ci: Optional[float] = None, dtype=jnp.float32,
+              atomic_z: float = 13.0, atomic_mass: float = 26.9815):
+    """ci defaults to Dulong-Petit 3 n k_B for the given density."""
+    n_a3 = dens0 / (atomic_mass * wr.AMU) * 1e-30    # atoms per A^3
+    ci = ci if ci is not None else 3.0 * n_a3
+    p = VlatParams(nv=nv, dens0=dens0, ci=ci, atomic_z=atomic_z,
+                   atomic_mass=atomic_mass)
+    s = VlatState(te=jnp.full((nv,), t0, dtype),
+                  ti=jnp.full((nv,), t0, dtype))
+    return p, s
+
+
+def _vlat_props(vs: VlatState, vp: VlatParams, eos: FEGEos):
+    dens = jnp.full_like(vs.te, vp.dens0)
+    Z = jnp.maximum(wr.mean_charge(jnp.maximum(vs.te, 1e-6), dens,
+                                   vp.atomic_z, vp.atomic_mass), 1e-3)
+    ne = Z * dens / (vp.atomic_mass * wr.AMU)
+    kv = wr.get_kappa(jnp.maximum(vs.te, 1e-6), jnp.maximum(vs.ti, 1e-6),
+                      ne, Z)
+    gv = wr.get_gamma(jnp.maximum(vs.te, 1e-6), jnp.maximum(vs.ti, 1e-6),
+                      ne, Z, vp.atomic_mass)
+    cev = jnp.maximum(eos.ce(dens, ne, jnp.maximum(vs.te, 1e-6)), 1e-12)
+    return kv, gv, cev
+
+
+def vlat_cfl(vs: VlatState, vp: VlatParams, params: TTMParams,
+             eos: FEGEos, dt, safety=0.9):
+    """Diffusion-substep demand of the virtual lattice (its cold-electron
+    C_e can be far below the hot MD cells', so it often sets the CFL)."""
+    kv, gv, cev = _vlat_props(vs, vp, eos)
+    lim = jnp.min(cev * params.fd_h_x ** 2 / jnp.maximum(2.0 * kv, 1e-30))
+    return jnp.ceil(dt / jnp.maximum(safety * lim, 1e-12)).astype(jnp.int32)
+
+
+def _thomas(a, b, c, d):
+    """Tridiagonal solve (a sub, b diag, c super, d rhs) via lax.scan."""
+    def fwd(carry, abcd):
+        cp_prev, dp_prev = carry
+        ai, bi, ci, di = abcd
+        den = bi - ai * cp_prev
+        cp = ci / den
+        dp = (di - ai * dp_prev) / den
+        return (cp, dp), (cp, dp)
+
+    (_, _), (cps, dps) = jax.lax.scan(
+        fwd, (jnp.zeros_like(b[0]), jnp.zeros_like(b[0])), (a, b, c, d))
+
+    def bwd(x_next, cd):
+        cp, dp = cd
+        x = dp - cp * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (cps, dps),
+                         reverse=True)
+    return xs
+
+
+def vlat_substep(grid: TTMGrid, vs: VlatState, params: TTMParams,
+                 vp: VlatParams, eos: FEGEos, tau):
+    """One substep of the virtual lattice + boundary exchange with the
+    last active MD cell (imd_ttm.c:1602-1657: the vlat chain continues
+    the Te diffusion and runs its own local 2T ODE).
+
+    The chain's Te diffusion is backward-Euler implicit (Thomas solve) -
+    the vlat heats from ambient to eV-scale within one MD step when a
+    hot sample is attached, so kappa(T) grows orders of magnitude
+    mid-loop and any explicit step picked from entry values blows up.
+    The e-ph exchange and the MD-edge flux stay explicit.
+    """
+    kv, gv, cev = _vlat_props(vs, vp, eos)
+    inv_dx2 = 1.0 / params.fd_h_x ** 2
+
+    # the rear-most active MD cell joins the implicit chain: the edge-
+    # vlat interface flux is then booked consistently on both sides (a
+    # one-sided explicit exchange against the vlat's tiny cold C_e was
+    # violently unstable and pumped energy)
+    act = active_mask(grid, params)
+    idx = jnp.arange(params.nx)
+    last = jnp.max(jnp.where(act, idx, -1))
+    has_edge = last >= 0
+    li = jnp.maximum(last, 0)
+    te_edge = grid.temp[li]
+    k_edge = jnp.where(has_edge, grid.fd_k[li], 0.0)
+    ce_edge = jnp.maximum(grid.Ce[li], 1e-12)
+
+    te_c = jnp.concatenate([te_edge[None], vs.te])        # [nv+1]
+    k_c = jnp.concatenate([k_edge[None], kv])
+    ce_c = jnp.concatenate([ce_edge[None], cev])
+    g_c = jnp.concatenate([jnp.zeros_like(gv[:1]), gv])   # edge e-ph in
+    ti_c = jnp.concatenate([vs.ti[:1], vs.ti])            # diff_step
+    k_m = jnp.concatenate([jnp.zeros_like(k_c[:1]), k_c[:-1]])
+    k_p = jnp.concatenate([k_c[1:], jnp.zeros_like(k_c[:1])])
+    w_m = (k_c + k_m) * 0.5 * inv_dx2 / ce_c
+    w_p = (k_c + k_p) * 0.5 * inv_dx2 / ce_c
+    w_m = w_m.at[0].set(0.0)          # edge's grid side: diff_step's job
+    w_p = w_p.at[-1].set(0.0)         # zero-flux far end
+    a = -tau * w_m
+    c = -tau * w_p
+    b = 1.0 + tau * (w_m + w_p)
+    rhs = te_c - tau / ce_c * g_c * (te_c - ti_c)
+    te_new = _thomas(a, b, c, rhs)
+    dti = tau / vp.ci * gv * (vs.te - vs.ti)
+    new_temp = jnp.where(has_edge,
+                         grid.temp.at[li].set(te_new[0]), grid.temp)
+    return (grid.replace(temp=new_temp),
+            VlatState(te=jnp.where(has_edge, te_new[1:], vs.te),
+                      ti=vs.ti + dti))
+
+
 def lambert_beer_source(grid: TTMGrid, params: TTMParams, laser_cfg, t):
     """Exponential Lambert-Beer volumetric source on the FD grid.
 
@@ -413,7 +540,7 @@ def lambert_beer_source(grid: TTMGrid, params: TTMParams, laser_cfg, t):
 
 def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
              num_neighs, fdi_prev, dt, t, laser_cfg=None,
-             first_step=False, tmm_params=None, colrad=None):
+             first_step=False, tmm_params=None, colrad=None, vlat=None):
     """One MD step's worth of TTM: reductions, advection, substepped
     diffusion.  Returns (grid, fdi_new).
 
@@ -442,31 +569,43 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
         grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)
     grid = fill_mesh(grid, params, eos, laser_active, keep_zne)
     substeps, clamped = cfl_substeps(grid, params, dt, first)
+
+    # (the vlat chain itself is implicit/unconditionally stable; only the
+    # explicit MD-edge exchange rides the grid's own CFL count)
+    vparams, vstate = vlat if vlat is not None else (None, None)
     grid = grid.replace(cfl_overflow=grid.cfl_overflow | clamped)
     tau = dt / substeps.astype(grid.temp.dtype)
 
-    if tmm_params is not None:
-        from imd_tpu.models import tmm as tmm_mod
-
-        def body(i, g):
+    def substep(i, g, vs):
+        if tmm_params is not None:
+            from imd_tpu.models import tmm as tmm_mod
             t_si = (t + i * tau) * units.IMD_TIME_S
             g, diag = tmm_mod.do_tmm(g, params, tmm_params, t_si)
-            g = diff_step(g, params, tau, substeps, diag["laser_active"])
-            return fill_mesh(g, params, eos, diag["laser_active"], keep_zne)
-    else:
-        def body(i, g):
-            g = diff_step(g, params, tau, substeps, laser_active)
-            return fill_mesh(g, params, eos, laser_active, keep_zne)
+            on = diag["laser_active"]
+        else:
+            on = laser_active
+        g = diff_step(g, params, tau, substeps, on)
+        if vparams is not None:
+            g, vs = vlat_substep(g, vs, params, vparams, eos, tau)
+        return fill_mesh(g, params, eos, on, keep_zne), vs
 
-    grid = jax.lax.fori_loop(0, substeps, body, grid)
+    if vparams is not None:
+        grid, vstate = jax.lax.fori_loop(
+            0, substeps, lambda i, c: substep(i, *c), (grid, vstate))
+    else:
+        grid = jax.lax.fori_loop(
+            0, substeps, lambda i, g: substep(i, g, None)[0], grid)
     # final U consistent with T via EOS (imd_ttm.c:131-145)
     act = active_mask(grid, params)
     ne = grid.ne if keep_zne else _ne(grid, params)
     U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
     grid = grid.replace(U=U)
+    out = (grid, fdi)
     if colrad is not None:
-        return grid, fdi, cstate
-    return grid, fdi
+        out = out + (cstate,)
+    if vlat is not None:
+        out = out + (vstate,)
+    return out
 
 
 def calc_ttm_fdtd(grid: TTMGrid, fdtd_state, scene: Scene,

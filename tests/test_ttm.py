@@ -206,3 +206,52 @@ def test_laser_deposits_energy():
     front = temps[np.nonzero(temps)[0][:2]].mean()
     rear = temps[np.nonzero(temps)[0][-2:]].mean()
     assert front > rear
+
+
+def test_vlattice_conducts_heat_out():
+    """VLATTICE: the continuum tail drains heat from the rear of a hot
+    sample (imd_ttm.c:41-59); its own lattice warms via e-ph coupling."""
+    import numpy as np
+    from imd_tpu import integrate
+    from imd_tpu.config import TTMConfig
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    pos, typ, diag = fcc((8, 3, 3), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    gg = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    gg = with_capacity(gg, measured_capacity(gg, pos))
+    scene = make_scene(gg, pos, mass=np.full(len(pos), 26.9815),
+                       dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+    tcfg = TTMConfig(enabled=True, fd_nx=8, fd_min_atoms=4)
+    params = ttm_mod.make_params(tcfg, box, 5.0, dtype=jnp.float64)
+    grid = ttm_mod.make_grid(params, dtype=jnp.float64)
+    # hot electrons everywhere
+    grid = grid.replace(temp=jnp.full_like(grid.temp, 2.0),
+                        init_done=jnp.ones((), bool))
+    eos = FEGEos()
+    vp, vs = ttm_mod.make_vlat(16, dtype=jnp.float64)
+    t0_v = float(vs.te[0])
+
+    nn = jnp.full(scene.pos.shape[:-1], 12, jnp.int32)
+    fdi = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid2, fdi, vs2 = ttm_mod.calc_ttm(
+        grid, scene, params, eos, nn, fdi, dt=jnp.float64(1.0),
+        t=jnp.float64(0.0), first_step=True, vlat=(vp, vs))
+    # heat flowed into the tail (at 2 eV the electron diffusion length
+    # is ~300 A/step, so the whole 16-cell tail warms within one step);
+    # profile decreases away from the sample
+    te2 = np.asarray(vs2.te)
+    assert te2[0] > t0_v * 1.5
+    assert te2[0] >= te2[-1] - 1e-9
+    assert np.all(np.diff(te2) < 1e-6)
+    # the sample edge cooled relative to the bulk electron temperature
+    assert float(grid2.temp[-1]) < 2.0
+    # vlat lattice picked up energy from its electrons
+    assert float(vs2.ti[0]) > float(vs.ti[0])
+    assert np.all(np.isfinite(te2))
