@@ -138,6 +138,7 @@ class TTMConfig:
     cfl_safety: float = 0.9          # dt <= cfl_safety * min(C dx^2 / 2k)
     vlatdim: int = 0                 # virtual-lattice continuum tail cells
     vlatbuffer: int = 0
+    elecpress: bool = False          # electron blast-pressure force (ELECPRESS)
 
 
 @dataclasses.dataclass
@@ -462,6 +463,7 @@ class SimConfig:
         T.fd_g = float(g("fd_g", 0.0))
         T.fd_c = float(g("fd_c", 0.0))
         T.fd_gamma = float(g("fd_gamma", T.fd_c))
+        T.elecpress = bool(g("elecpress", False))
         T.vlatdim = int(g("vlatdim", 0))
         T.vlatbuffer = int(g("vlatbuffer", 0))
         T.wide_range = bool(g("wide_range", False))

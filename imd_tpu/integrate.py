@@ -161,8 +161,8 @@ def nvt(scene: Scene, params: IntegratorParams, nactive,
 
 
 def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
-        vcom_atom: jnp.ndarray, pdecay: bool = False, nrb_mask=None
-        ) -> Tuple[Scene, StepStats]:
+        vcom_atom: jnp.ndarray, pdecay: bool = False, nrb_mask=None,
+        epress_atom=None) -> Tuple[Scene, StepStats]:
     """TTM electron-phonon coupled leapfrog (move_atoms_ttm, integrate.c:581).
 
     ``xi_atom`` [gx,gy,gz,cap] is the per-atom coupling strength gathered
@@ -173,6 +173,9 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     m = scene.fmask()
     v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
     F_coupled = F + (xi_atom * scene.mass * m)[..., None] * (v - vcom_atom)
+    if epress_atom is not None:
+        # electron blast pressure, x only (imd_integrate.c:741-743)
+        F_coupled = F_coupled.at[..., 0].add(-epress_atom * m)
     p_new = scene.mom + params.timestep * F_coupled
     if nrb_mask is not None:
         p_new = jnp.where(nrb_mask[..., None], scene.mom, p_new)

@@ -95,6 +95,18 @@ class FEGEos(struct.PyTreeNode):
         return (ne28 / n_atoms) * (1.5 * kb_ev) * ts * (
             jnp.sqrt(1.0 + x * x) - 1.0)
 
+    def pe(self, dens, ne, Te_eV):
+        """Electron pressure [IMD units eV/A^3]: free-electron gas
+        P_e = (2/3) u_vol (EOS_pe_from_r_te stand-in, imd_ttm.c:2639)."""
+        ts = _tstar_K(ne)
+        x = Te_eV * EV_TO_K / ts
+        ne28 = ne * (1.0 / wr.N28)
+        kb_ev = 1.0 / EV_TO_K
+        # u_vol in eV per A^3: ne[1/A^3] * 1.5 kb_ev * ts * (...)
+        u_a3 = ne28 * (1e28 * 1e-30) * (1.5 * kb_ev) * ts * (
+            jnp.sqrt(1.0 + x * x) - 1.0)
+        return (2.0 / 3.0) * u_a3
+
     def te_from_u(self, dens, ne, U_eV_atom):
         """Inverse of u_from_te, closed form, returns T_e [eV]."""
         ts = _tstar_K(ne)
@@ -155,6 +167,18 @@ class TabulatedEOS:
         tsq = jnp.sqrt(jnp.maximum(Te_eV, 1e-10) * EV_TO_K)
         ee = self._interp2(self.ee, dens, tsq)      # J/kg
         return ee * self.atomic_mass * wr.AMU * units.J_TO_EV
+
+    def pe(self, dens, ne, Te_eV):
+        """Electron pressure [IMD units eV/A^3]: free-electron gas
+        P_e = (2/3) u_vol (EOS_pe_from_r_te stand-in, imd_ttm.c:2639)."""
+        ts = _tstar_K(ne)
+        x = Te_eV * EV_TO_K / ts
+        ne28 = ne * (1.0 / wr.N28)
+        kb_ev = 1.0 / EV_TO_K
+        # u_vol in eV per A^3: ne[1/A^3] * 1.5 kb_ev * ts * (...)
+        u_a3 = ne28 * (1e28 * 1e-30) * (1.5 * kb_ev) * ts * (
+            jnp.sqrt(1.0 + x * x) - 1.0)
+        return (2.0 / 3.0) * u_a3
 
     def te_from_u(self, dens, ne, U_eV_atom):
         """Vectorized bisection on sqrt(T) (replaces Brent, imd_ttm.c:2699)."""

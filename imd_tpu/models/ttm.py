@@ -670,6 +670,24 @@ def calc_ttm_fdtd(grid: TTMGrid, fdtd_state, scene: Scene,
     return grid, fdi, fdtd_state
 
 
+def electron_pressure_force(grid: TTMGrid, params: TTMParams,
+                            eos: FEGEos) -> jnp.ndarray:
+    """Per-cell electron blast force [nx] (do_electronic_pressure,
+    imd_ttm.c:554-625): F_x = -dP_e/dx / n_i, central difference; the
+    integrator subtracts it from the x momentum update."""
+    act = active_mask(grid, params)
+    pe = jnp.where(act, eos.pe(jnp.maximum(grid.dens, 1e-3),
+                               jnp.maximum(grid.ne, 1.0),
+                               jnp.maximum(grid.temp, 1e-6)), 0.0)
+    pe_p = jnp.roll(pe, -1)
+    pe_m = jnp.roll(pe, 1)
+    ni = jnp.maximum(grid.natoms.astype(pe.dtype), 1.0) / params.fd_vol
+    f = (pe_p - pe_m) / (2.0 * params.fd_h_x) / ni
+    f = jnp.where(act, f, 0.0)
+    # one-sided zero at the grid ends
+    return f.at[0].set(0.0).at[-1].set(0.0)
+
+
 def gather_atom_coupling(grid: TTMGrid, scene: Scene, params: TTMParams):
     """Per-atom xi and v_com for move_atoms_ttm (integrate.c:738-748)."""
     fdi = fd_index(scene, params)

@@ -331,9 +331,16 @@ class Simulation:
                     tmm_params=self.tmm_params)
                 xi_atom, vcom = ttm_mod.gather_atom_coupling(
                     ttm_grid, scene, self.ttm_params)
+                epress_atom = None
+                if cfg.ttm.elecpress:
+                    ep_cell = ttm_mod.electron_pressure_force(
+                        ttm_grid, self.ttm_params, self.eos)
+                    epress_atom = ep_cell[ttm_mod.fd_index(
+                        scene, self.ttm_params)]
                 scene, stats = integrate.ttm(scene, params, xi_atom, vcom,
                                              pdecay=pdecay,
-                                             nrb_mask=nrb_mask)
+                                             nrb_mask=nrb_mask,
+                                             epress_atom=epress_atom)
             elif self.ensemble in ("nve", "glok"):
                 scene, stats = integrate.nve(scene, params, pdecay=pdecay,
                                              nrb_mask=nrb_mask)
