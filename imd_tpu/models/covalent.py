@@ -1,0 +1,137 @@
+"""Covalent / angular potentials: Stillinger-Weber and Tersoff.
+
+The reference implements these with hand-derived 3-body force loops over
+per-atom neighbor tables (do_forces2/do_neightab,
+imd_forces_covalent.c).  The TPU-native design is the functional one:
+define the total ENERGY as a masked all-interaction expression and let
+`jax.grad` produce exact forces - no hand-coded 3-body force algebra,
+no neighbor-table second pass, and the gradient compiles into the same
+fused XLA program.
+
+These oracles are O(N^2)/O(N^3)-masked and meant for the covalent
+workloads the reference targets (10^2-10^4-atom Si/C systems,
+relaxation, NEB); the large-scale production path remains the EAM/pair
+Pallas engine.
+
+Parameter sets:
+- SW: Stillinger & Weber, PRB 31, 5262 (1985) silicon (the reference
+  reads the same constants from sw_* tags, imd_param.c).
+- Tersoff: T3 silicon, PRB 38, 9902 (1988) (ters_* tags).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SWParams(NamedTuple):
+    """Stillinger-Weber (single species; eV / Angstrom units)."""
+    epsilon: float = 2.1683      # eV
+    sigma: float = 2.0951        # A
+    a: float = 1.80              # cutoff in sigma
+    A: float = 7.049556277
+    B: float = 0.6022245584
+    p: float = 4.0
+    q: float = 0.0
+    lam: float = 21.0
+    gamma: float = 1.20
+    cos0: float = -1.0 / 3.0
+
+
+class TersoffParams(NamedTuple):
+    """Tersoff T3 silicon (PRB 38, 9902 (1988))."""
+    A: float = 1830.8            # eV
+    B: float = 471.18            # eV
+    lam1: float = 2.4799         # 1/A
+    lam2: float = 1.7322         # 1/A
+    beta: float = 1.1e-6
+    n: float = 0.78734
+    c: float = 1.0039e5
+    d: float = 16.217
+    h: float = -0.59825
+    R: float = 2.7               # cutoff start
+    D: float = 0.3               # cutoff half-width
+
+
+def _pairs(pos, box, mask):
+    dr = pos[:, None, :] - pos[None, :, :]
+    if box is not None:
+        dr = box.min_image(dr)
+    r2 = jnp.sum(dr * dr, -1)
+    n = pos.shape[0]
+    off = ~jnp.eye(n, dtype=bool) & mask[:, None] & mask[None, :]
+    r = jnp.sqrt(jnp.where(off, r2, 1.0))
+    return dr, r, off
+
+
+def sw_energy(pos, box=None, mask=None, P: SWParams = SWParams()):
+    """Total SW energy; differentiable (forces = -grad)."""
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    P = SWParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    rc = P.a * P.sigma
+    inside = off & (r < rc)
+    x = r / P.sigma
+    # two-body: A eps (B x^-p - x^-q) exp(1/(x-a)), cut at x = a
+    expf = jnp.where(inside, jnp.exp(1.0 / jnp.where(inside, x - P.a, -1.0)),
+                     0.0)
+    v2 = P.A * P.epsilon * (P.B * x ** -P.p - x ** -P.q) * expf
+    e2 = 0.5 * jnp.sum(jnp.where(inside, v2, 0.0))
+
+    # three-body: lam eps (cos t - cos0)^2 exp(g/(x_ij-a)) exp(g/(x_ik-a))
+    g = jnp.where(inside, jnp.exp(P.gamma / jnp.where(inside, x - P.a, -1.0)),
+                  0.0)
+    u = dr / (r * P.sigma)[..., None] * P.sigma   # unit vectors
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    hjk = (cosjk - P.cos0) ** 2
+    wjk = g[:, :, None] * g[:, None, :]
+    valid3 = inside[:, :, None] & inside[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    e3 = 0.5 * P.lam * P.epsilon * jnp.sum(jnp.where(valid3, hjk * wjk, 0.0))
+    return e2 + e3
+
+
+def tersoff_energy(pos, box=None, mask=None,
+                   P: TersoffParams = TersoffParams()):
+    """Total Tersoff energy; differentiable."""
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    P = TersoffParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    rc_hi = P.R + P.D
+    inside = off & (r < rc_hi)
+    # smooth cutoff fc
+    fc = jnp.where(r < P.R - P.D, 1.0,
+                   jnp.where(r < rc_hi,
+                             0.5 - 0.5 * jnp.sin(0.5 * math.pi
+                                                 * (r - P.R) / P.D), 0.0))
+    fc = jnp.where(inside, fc, 0.0)
+    f_rep = P.A * jnp.exp(-P.lam1 * r)
+    f_att = -P.B * jnp.exp(-P.lam2 * r)
+
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    gth = 1.0 + (P.c / P.d) ** 2 - P.c ** 2 / (P.d ** 2
+                                               + (P.h - cosjk) ** 2)
+    valid3 = inside[:, :, None] & inside[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    zeta = jnp.sum(jnp.where(valid3, fc[:, None, :] * gth, 0.0), axis=2)
+    bij = (1.0 + (P.beta * jnp.maximum(zeta, 0.0)) ** P.n) ** (-0.5 / P.n)
+    e = 0.5 * jnp.sum(fc * (f_rep + bij * f_att))
+    return e
+
+
+def covalent_forces(energy_fn, pos, box=None, mask=None, params=None):
+    """(F, E) via autodiff (replaces do_forces2's hand-derived 3-body
+    force assembly, imd_forces_covalent.c)."""
+    kw = {} if params is None else {"P": params}
+    e, grad = jax.value_and_grad(
+        lambda x: energy_fn(x, box, mask, **kw))(pos)
+    return -grad, e
