@@ -48,14 +48,24 @@ def main():
         # tight capacity: raw max + thermal headroom, sublane-aligned
         flat = scene.flatten_atoms()
         m = np.asarray(flat["mask"])
-        raw = measured_capacity(grid, np.asarray(flat["pos"])[m], safety=1.0)
-        # +4 thermal headroom so rebinning never overflows mid-run
+        raw = measured_capacity(grid, np.asarray(flat["pos"])[m] + 1.0,
+                                safety=1.0)
+        # +4 thermal headroom (atoms are shifted off cell boundaries
+        # below, so binning is rounding-robust)
         cap = max(8, int(math.ceil((raw + 4) / 4.0)) * 4)
     grid = with_capacity(grid, cap)
     flat = scene.flatten_atoms()
     m = np.asarray(flat["mask"])
-    scene = make_scene(grid, np.asarray(flat["pos"])[m],
+    pos0 = np.asarray(flat["pos"])[m]
+    # shift atoms off the exact cell boundaries: commensurate lattice
+    # planes on boundaries bin differently on TPU vs CPU f32 (fma
+    # rounding), transiently doubling plane cells during rebins
+    pos0 = pos0 + 1.0
+    scene = make_scene(grid, pos0,
                        mass=np.full(int(m.sum()), 26.9815), dtype=dtype)
+    if int(scene.overflow):
+        raise SystemExit(f"initial binning overflow {int(scene.overflow)}"
+                         f" at capacity {cap}; raise --capacity")
 
     if args.engine == "pallas":
         from imd_tpu.models.potential import eam_to_fastpoly

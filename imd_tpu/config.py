@@ -253,6 +253,7 @@ class SimConfig:
     # --- run control ----------------------------------------------------------
     ensemble: str = "nve"
     simulation_phase: int = 1
+    maxwalltime: float = 0.0         # graceful-stop budget (s); 0 = off
     maxsteps: int = 0
     startstep: int = 0
     timestep: float = 0.0            # dt in IMD time units
@@ -375,6 +376,7 @@ class SimConfig:
         c.box_unit = float(g("box_unit", 1.0))
         # run control
         c.ensemble = str(g("ensemble", c.ensemble)).lower()
+        c.maxwalltime = float(g("maxwalltime", 0.0))
         c.maxsteps = int(g("maxsteps", c.maxsteps))
         c.startstep = int(g("startstep", c.startstep))
         c.timestep = float(g("timestep", c.timestep))

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -52,10 +53,15 @@ class Box(struct.PyTreeNode):
         return out
 
     def to_frac(self, pos):
-        return pos @ self.inv_h
+        # HIGHEST precision: TPU f32 matmuls default to reduced (bf16-ish)
+        # MXU precision, which injected ~0.5 A noise into wrapped
+        # positions and scrambled the cell binning on every rebin
+        return jnp.matmul(pos, self.inv_h,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def to_cart(self, frac):
-        return frac @ self.h
+        return jnp.matmul(frac, self.h,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def wrap(self, pos):
         """Wrap positions into the box along periodic directions."""

@@ -484,6 +484,25 @@ class Simulation:
                     state.ttm_grid)
             if on_interval is not None:
                 on_interval(self, state)
+            # graceful-stop machinery (check_write/check_stop/
+            # check_walltime, imd_main_3d.c:1938-1992): an (empty) `write`
+            # file triggers an immediate checkpoint, a `stop` file or the
+            # maxwalltime budget checkpoints and ends the run
+            wfile = self._path("write")
+            sfile = self._path("stop")
+            if os.path.exists(wfile):
+                os.remove(wfile)
+                self.write_checkpoint(state, gstep)
+            stop = False
+            if os.path.exists(sfile):
+                os.remove(sfile)
+                stop = True
+            if (self.cfg.maxwalltime > 0
+                    and time.time() - self.start_time > self.cfg.maxwalltime):
+                stop = True
+            if stop:
+                self.write_checkpoint(state, gstep)
+                break
         self.scene = state.scene
         self.step_count = int(state.step)
         return state

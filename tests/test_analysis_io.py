@@ -183,3 +183,32 @@ def test_msqd_and_temp_profile():
     prof = A.temp_profile(scene, 4)
     assert prof.shape == (4,)
     assert abs(prof.mean() - 0.04) < 0.02
+
+
+def test_loadbalance_metrics_and_pictures(tmp_path):
+    from imd_tpu.parallel import loadbalance as lb
+    from imd_tpu.io.pictures import write_picture, project
+    # inhomogeneous: all atoms in the left half
+    pos, typ, diag = gen.fcc((4, 4, 4), 4.0)
+    scene = _scene_from(pos, [diag[0] * 2, diag[1], diag[2]], cutoff=3.0)
+    mx, mn, var = lb.lb_variance(scene, 4)
+    assert float(mx) > 1.5 and float(mn) < 0.5   # badly imbalanced
+    cuts = lb.equalized_boundaries(scene, 4)
+    assert cuts[0] == 0 and cuts[-1] == scene.grid.dims[0]
+    loads = np.asarray(lb.slab_loads(scene, 4))
+    # equalized cuts put all boundaries inside the occupied half
+    assert cuts[3] <= scene.grid.dims[0] // 2 + 1
+    log = lb.LbLog(str(tmp_path / "run.lb"))
+    log.write(0, (mx, mn, var))
+    log.close()
+    assert len(open(tmp_path / "run.lb").readlines()) == 2
+    # pictures
+    from imd_tpu import integrate
+    import jax as J
+    scene = integrate.maxwell(scene, 0.03, J.random.PRNGKey(0))
+    p = str(tmp_path / "pic.ppm")
+    write_picture(p, scene, dims=(32, 32), axis=2, field="Ekin")
+    head = open(p, "rb").read(20)
+    assert head.startswith(b"P6\n32 32\n255\n")
+    f, num = project(scene, (32, 32), 2, "Ekin")
+    assert num.sum() == 256
