@@ -182,6 +182,46 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     return _finish(scene, params, F_coupled, p_new)
 
 
+def stadium_dampf(pos, center, stadium, stadium2):
+    """Smoothed stadium damping profile 0..1 (DAMP, integrate.c:293-305):
+    0 inside the elliptical core, ramping to 1 at the outer stadium."""
+    maxax = jnp.max(jnp.asarray(stadium))
+    maxax2 = jnp.max(jnp.asarray(stadium2))
+    t = jnp.zeros(pos.shape[:-1], pos.dtype)
+    for ax in range(3):
+        s2 = stadium2[ax]
+        t = t + jnp.where(s2 != 0,
+                          ((pos[..., ax] - center[ax]) / (2.0 * s2)) ** 2,
+                          0.0)
+    f = (t - (maxax / (2.0 * maxax2)) ** 2) / (
+        0.25 - (maxax / (2.0 * maxax2)) ** 2)
+    f = jnp.clip(f, 0.0, 1.0)
+    return 0.5 * (1.0 + jnp.sin(-jnp.pi / 2.0 + jnp.pi * f))
+
+
+def damp(scene: Scene, params: IntegratorParams, center, stadium, stadium2,
+         zeta0, damptemp, delta_finnis: float = 10.0
+         ) -> Tuple[Scene, StepStats]:
+    """NVE + local Finnis stadium thermostat (move_atoms_nve DAMP branch,
+    integrate.c:279-356; also the FRAC/FTG/STM family's damping core):
+    atoms in the damping stadium feel friction
+    zeta = zeta0 (T_loc - T_ramp)/sqrt(T_loc^2 + (T_ramp d)^2) * dampf,
+    with the target temperature ramped to zero across the stadium."""
+    F = _apply_force_mods(scene, params)
+    dampf = stadium_dampf(scene.pos, center, stadium, stadium2)
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    t_loc = jnp.sum(scene.mom ** 2, -1) * inv_m / 3.0
+    t_ramp = damptemp * (1.0 - dampf)
+    zeta = jnp.where(
+        t_ramp > 0,
+        zeta0 * (t_loc - t_ramp)
+        / jnp.sqrt(t_loc ** 2 + (t_ramp * delta_finnis) ** 2) * dampf,
+        zeta0 * dampf)
+    p_new = scene.mom + params.timestep * (
+        F - zeta[..., None] * scene.mom)
+    return _finish(scene, params, F, p_new)
+
+
 def langevin(scene: Scene, params: IntegratorParams, key: jax.Array,
              pdecay: bool = False, nrb_mask=None) -> Tuple[Scene, StepStats]:
     """Langevin thermostat (imd_integrate.c:191-198): uniform random kicks

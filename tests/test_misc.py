@@ -1,0 +1,130 @@
+"""Stadium damping, socket steering, graceful stop, native IO."""
+
+import os
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu import integrate
+from imd_tpu.models.potential import lj_table
+from imd_tpu.ops.forces import compute_pair_forces
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, with_capacity
+from imd_tpu.scene import make_scene
+from imd_tpu.utils.generate import fcc
+
+
+def test_stadium_damp_cools_rim_keeps_core():
+    pos, typ, diag = fcc((6, 6, 6), 1.38)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    scene = make_scene(grid, pos, dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.1, jax.random.PRNGKey(0))
+    pot = lj_table(1.0, 1.0, 2.5, dtype=jnp.float64)
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.004))
+    c = [float(d) / 2 for d in diag]
+    stad = (diag[0] / 4, diag[1] / 4, diag[2] / 4)    # free core
+    stad2 = (diag[0] / 2, diag[1] / 2, diag[2] / 2)   # damped rim
+
+    @jax.jit
+    def step(s):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.damp(s, params, c, stad, stad2,
+                              zeta0=jnp.float64(5.0),
+                              damptemp=jnp.float64(0.0))
+
+    for _ in range(200):
+        scene, stats = step(scene)
+    # rim atoms much colder than core atoms
+    dampf = integrate.stadium_dampf(scene.pos, c, stad, stad2)
+    inv_m = 1.0 / np.maximum(np.asarray(scene.mass), 1e-30)
+    t_loc = np.asarray(jnp.sum(scene.mom ** 2, -1)) * inv_m / 3.0
+    m = np.asarray(scene.mask)
+    df = np.asarray(dampf)
+    rim = m & (df > 0.9)
+    core = m & (df < 0.1)
+    assert rim.sum() > 10 and core.sum() > 10
+    assert t_loc[rim].mean() < 0.3 * t_loc[core].mean()
+
+
+def test_socket_steering(tmp_path):
+    from imd_tpu.io.socket_io import SocketServer, poll
+
+    class FakeSim:
+        class cfg:
+            starttemp = endtemp = 0.02
+        wrote = []
+
+        def write_checkpoint(self, state, n):
+            self.wrote.append(n)
+
+    class FakeState:
+        step = 7
+
+        class scene:
+            @staticmethod
+            def n_atoms():
+                return 10
+
+        class stats:
+            tot_kin_energy = 1.5
+        epot_total = -20.0
+
+    srv = SocketServer(port=0)
+    cl = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+    cl.sendall(b"eng\nwrite\ntemp 0.05\nquit\n")
+    time.sleep(0.6)
+    sim = FakeSim()
+    stop = poll(srv, sim, FakeState())
+    assert stop
+    assert sim.wrote == [7, 7]      # write + quit both checkpoint
+    assert FakeSim.cfg.starttemp == 0.05
+    time.sleep(0.6)
+    cl.settimeout(2)
+    reply = cl.recv(4096)
+    assert b"step 7" in reply and b"epot" in reply
+    cl.close()
+    srv.close()
+
+
+def test_graceful_stop_file(tmp_path):
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    param = """
+coordname   _fcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    1.38
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    400
+starttemp   0.02
+eng_int     10
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+seed        3
+""".format(out=str(tmp_path / "run"))
+    cfg = SimConfig.from_params(parse_param_text(param))
+    sim = Simulation(cfg, workdir=str(tmp_path))
+    stopped = {}
+
+    def hook(sim_, state):
+        if int(state.step) >= 30 and not stopped.get("done"):
+            open(os.path.join(str(tmp_path), "stop"), "w").close()
+            stopped["done"] = True
+
+    state = sim.run(on_interval=hook)
+    assert int(state.step) < 400           # ended early
+    # stop checkpointed
+    chk = [f for f in os.listdir(tmp_path) if f.endswith(".chkpt")]
+    assert chk
