@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--capacity", type=int, default=0)
+    ap.add_argument("--ttm", action="store_true",
+                    help="couple the electron-temperature grid + laser "
+                         "source (the BASELINE north-star configuration)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -83,26 +86,68 @@ def main():
     params = integrate.IntegratorParams(
         timestep=jnp.asarray(0.1, dtype))  # ~1 fs
 
-    def one_step(scene):
-        do_it = needs_rebin(scene, grid.skin)
-        scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
-        res = force_fn(scene)
-        scene = scene.replace(force=res.force, epot=res.epot)
-        scene, stats = integrate.nve(scene, params)
-        return scene
+    if args.ttm:
+        from imd_tpu.config import LaserConfig, TTMConfig
+        from imd_tpu.models import ttm as ttm_mod
+        from imd_tpu.models.eos import FEGEos
+        nxfd = max(8, grid.dims[0] // 2)
+        tcfg = TTMConfig(enabled=True, fd_nx=nxfd, fd_min_atoms=8)
+        tp = ttm_mod.make_params(tcfg, scene.grid.box, 5.0, dtype)
+        eos = FEGEos()
+        lcfg = LaserConfig(rescale_mode=4, sigma_e=0.05, sigma_t=50.0,
+                           t_0=100.0, mu=0.01)
+        fdi0 = -jnp.ones(scene.type.shape, jnp.int32)
+        tgrid0 = ttm_mod.make_grid(tp, dtype)
 
-    @jax.jit
-    def run_block(scene, k):
-        return jax.lax.fori_loop(0, k, lambda i, s: one_step(s), scene)
+        def one_step(carry):
+            scene, tgrid, fdi, step = carry
+            do_it = needs_rebin(scene, grid.skin)
+            scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
+            fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
+            res = force_fn(scene)
+            scene = scene.replace(force=res.force, epot=res.epot)
+            t = step.astype(dtype) * params.timestep
+            tgrid, fdi = ttm_mod.calc_ttm(
+                tgrid, scene, tp, eos, res.num_neighs, fdi,
+                params.timestep, t, laser_cfg=lcfg,
+                first_step=(step == 0))
+            xi_a, vcom = ttm_mod.gather_atom_coupling(tgrid, scene, tp)
+            scene, stats = integrate.ttm(scene, params, xi_a, vcom)
+            return (scene, tgrid, fdi, step + 1)
 
-    # warmup & compile
-    scene = run_block(scene, args.warmup)
-    jax.block_until_ready(scene.pos)
+        @jax.jit
+        def run_block(carry, k):
+            return jax.lax.fori_loop(0, k, lambda i, c: one_step(c), carry)
 
-    t0 = time.perf_counter()
-    scene = run_block(scene, args.steps)
-    jax.block_until_ready(scene.pos)
-    dt = time.perf_counter() - t0
+        carry = (scene, tgrid0, fdi0, jnp.zeros((), jnp.int32))
+        carry = run_block(carry, args.warmup)
+        jax.block_until_ready(carry[0].pos)
+        t0 = time.perf_counter()
+        carry = run_block(carry, args.steps)
+        jax.block_until_ready(carry[0].pos)
+        dt = time.perf_counter() - t0
+        scene = carry[0]
+    else:
+        def one_step(scene):
+            do_it = needs_rebin(scene, grid.skin)
+            scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
+            res = force_fn(scene)
+            scene = scene.replace(force=res.force, epot=res.epot)
+            scene, stats = integrate.nve(scene, params)
+            return scene
+
+        @jax.jit
+        def run_block(scene, k):
+            return jax.lax.fori_loop(0, k, lambda i, s: one_step(s), scene)
+
+        # warmup & compile
+        scene = run_block(scene, args.warmup)
+        jax.block_until_ready(scene.pos)
+
+        t0 = time.perf_counter()
+        scene = run_block(scene, args.steps)
+        jax.block_until_ready(scene.pos)
+        dt = time.perf_counter() - t0
 
     atom_steps_per_sec = n_atoms * args.steps / dt
     sec_per_step_atom = dt / (args.steps * n_atoms)
@@ -120,6 +165,7 @@ def main():
             "grid": list(grid.dims),
             "capacity": grid.capacity,
             "engine": args.engine,
+            "ttm": bool(args.ttm),
             "overflow": int(scene.overflow),
             "dtype": args.dtype,
             "device": str(jax.devices()[0]),
