@@ -128,3 +128,45 @@ seed        3
     # stop checkpointed
     chk = [f for f in os.listdir(tmp_path) if f.endswith(".chkpt")]
     assert chk
+
+
+def test_interp_cubic_exactness_and_linear():
+    from imd_tpu.utils.interpol import interp_cubic, interp_linear
+    # Catmull-Rom reproduces quadratics exactly (interior)
+    xs = np.linspace(0, 4, 21)
+    tab = jnp.asarray(3.0 * xs ** 2 - 2 * xs + 0.5)
+    q = jnp.asarray([1.23, 2.71, 3.3])
+    got = interp_cubic(tab, [0.0], [0.2], q)
+    ref = 3.0 * q ** 2 - 2 * q + 0.5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)
+    # trilinear on a 3-D linear field is exact
+    g = np.linspace(0, 1, 5)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    t3 = jnp.asarray(2 * X - 3 * Y + 0.5 * Z)
+    v = interp_linear(t3, [0, 0, 0], [0.25] * 3,
+                      jnp.asarray(0.3), jnp.asarray(0.6), jnp.asarray(0.9))
+    assert float(v) == pytest.approx(2 * 0.3 - 3 * 0.6 + 0.5 * 0.9, abs=1e-6)
+    # tricubic on a smooth field beats trilinear
+    t3s = jnp.asarray(np.sin(3 * X) * np.cos(2 * Y) + Z ** 2)
+    pt = (jnp.asarray(0.33), jnp.asarray(0.57), jnp.asarray(0.71))
+    exact = np.sin(3 * 0.33) * np.cos(2 * 0.57) + 0.71 ** 2
+    e_lin = abs(float(interp_linear(t3s, [0, 0, 0], [0.25] * 3, *pt)) - exact)
+    e_cub = abs(float(interp_cubic(t3s, [0, 0, 0], [0.25] * 3, *pt)) - exact)
+    assert e_cub < 0.5 * e_lin
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    from imd_tpu.io.sharded import save_state, restore_state
+    pos, typ, diag = fcc((3, 3, 3), 1.38)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]])
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = integrate.maxwell(make_scene(grid, pos), 0.03,
+                           jax.random.PRNGKey(0))
+    p = str(tmp_path / "ckpt")
+    save_state(p, sc)
+    sc2 = restore_state(p, sc)
+    np.testing.assert_array_equal(np.asarray(sc.pos), np.asarray(sc2.pos))
+    np.testing.assert_array_equal(np.asarray(sc.mom), np.asarray(sc2.mom))
+    assert int(sc2.n_atoms()) == int(sc.n_atoms())
