@@ -118,14 +118,15 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c):
             inside = inside & tri
         insf = inside.astype(dx.dtype)
         out = {}
-        if mode == "A":
+        if mode in ("A", "P"):
             phi, grad = _horner_vg(r2, pair_c)
             phi = phi * insf
             grad = grad * insf
-            rv, _ = _horner_vg(r2, rho_c)
-            rv = rv * insf
-            out["rho_i"] = jnp.sum(rv, 1)
-            out["rho_j"] = jnp.sum(rv, 0)
+            if mode == "A":
+                rv, _ = _horner_vg(r2, rho_c)
+                rv = rv * insf
+                out["rho_i"] = jnp.sum(rv, 1)
+                out["rho_j"] = jnp.sum(rv, 0)
             out["e_i"] = 0.5 * jnp.sum(phi, 1)
             out["e_j"] = 0.5 * jnp.sum(phi, 0)
             near = insf * (r2 < nr2).astype(dx.dtype)
@@ -318,3 +319,104 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
         virial=virial, presstens=jnp.zeros((6,), dtype),
         num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims),
         rho=_from_cl(rho_t * maskf, dims))
+
+
+def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
+                               count_neighbors: bool = False,
+                               neigh_r2: float = 0.0,
+                               block: int = 256) -> ForceResult:
+    """Pair-potential Pallas engine (single species fast path).
+
+    ``pot`` must be a PolyPotential (models.potential.to_fastpoly),
+    closed over at trace time like the EAM variant.
+    """
+    grid = scene.grid
+    dims = grid.dims
+    dtype = scene.pos.dtype
+    cap = scene.capacity
+    nc = dims[0] * dims[1] * dims[2]
+
+    cap_pad = ((cap + 7) // 8) * 8
+    budget = block * 16 * 16
+    b = max(128, (budget // (cap * cap_pad)) // 128 * 128)
+    ncp = ((nc + b - 1) // b) * b
+    nblk = ncp // b
+
+    xi, nbr, mask = prep_neighbors(scene)
+    pad = ncp - nc
+    if pad:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=SENTINEL_CELL)
+        nbr = jnp.pad(nbr, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                      constant_values=SENTINEL_CELL)
+
+    rcut2 = float(grid.cutoff) ** 2
+    nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
+    pair_c = _poly_consts(pot)
+    interp = jax.default_backend() == "cpu"
+    sweep_p = _make_sweep(rcut2, nr2, "P", pair_c, None)
+
+    def tri_mask(cap):
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        return ti < tj
+
+    def kern(xi_ref, nbr_ref, fx, fy, fz, e, nn, fjx, fjy, fjz, ej, nnj):
+        xi_x = xi_ref[:, 0, :]
+        xi_y = xi_ref[:, 1, :]
+        xi_z = xi_ref[:, 2, :]
+        o = sweep_p(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
+                    None, None)
+        fx[...] = o["fx_i"] + o["fx_j"]
+        fy[...] = o["fy_i"] + o["fy_j"]
+        fz[...] = o["fz_i"] + o["fz_j"]
+        e[...] = o["e_i"] + o["e_j"]
+        nn[...] = o["nn_i"] + o["nn_j"]
+
+        def body(m, _):
+            o = sweep_p(xi_x, xi_y, xi_z, nbr_ref[m], None, None, None)
+            fx[...] += o["fx_i"]
+            fy[...] += o["fy_i"]
+            fz[...] += o["fz_i"]
+            e[...] += o["e_i"]
+            nn[...] += o["nn_i"]
+            fjx[m] = o["fx_j"]
+            fjy[m] = o["fy_j"]
+            fjz[m] = o["fz_j"]
+            ej[m] = o["e_j"]
+            nnj[m] = o["nn_j"]
+            return 0
+
+        jax.lax.fori_loop(0, NOF, body, 0)
+
+    spec_i = pl.BlockSpec((cap, 3, b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((NOF, cap, 3, b), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((cap, b), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_oj = pl.BlockSpec((NOF, cap, b), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
+    shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
+
+    outs = pl.pallas_call(
+        kern, grid=(nblk,),
+        in_specs=[spec_i, spec_n],
+        out_specs=[spec_o] * 5 + [spec_oj] * 5,
+        out_shape=[shp] * 5 + [shpj] * 5,
+        interpret=interp,
+    )(xi, nbr)
+    outs = [o[..., :nc] for o in outs]
+    fx, fy, fz, e, nn, fjx, fjy, fjz, ej, nnj = outs
+    fx = _assemble(dims, fx, fjx)
+    fy = _assemble(dims, fy, fjy)
+    fz = _assemble(dims, fz, fjz)
+    epot = _assemble(dims, e, ej)
+    nneigh = _assemble(dims, nn, nnj)
+    maskf = mask.astype(dtype)
+    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    return ForceResult(
+        force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
+        virial=jnp.zeros((), dtype), presstens=jnp.zeros((6,), dtype),
+        num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims))

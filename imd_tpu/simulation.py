@@ -75,6 +75,7 @@ class Simulation:
         self.eng: Optional[EngWriter] = None
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
+        self._select_engine()
         self._select_integrator()
         self._step_jit = None
         self.ttm = None          # attached by imd_tpu.models.ttm when enabled
@@ -110,16 +111,29 @@ class Simulation:
         else:
             raise ValueError("no potential configured "
                              "(potfile / EAM files / lj_* parameters)")
+        # engine selection is finished in _select_engine() once the grid
+        # capacity is known (_load_atoms)
+
+    def _select_engine(self):
+        """Pick the force engine.  The Pallas blocked kernels require the
+        per-cell [cap, cap, 128] pair tiles to fit VMEM, which caps the
+        cell capacity at ~32; bigger capacities (tiny boxes with few
+        huge cells) use the XLA engine."""
         import jax as _jax
         use_pallas = (self.engine == "pallas"
                       or (self.engine == "auto"
                           and _jax.default_backend() not in ("cpu",)
-                          and self.eam is not None
-                          and self.cfg.ntypes == 1))
+                          and self.cfg.ntypes == 1
+                          and self.grid.capacity <= 32))
         self.use_pallas = use_pallas
         if use_pallas:
-            from imd_tpu.models.potential import eam_to_fastpoly
-            self.eam_run = eam_to_fastpoly(self.eam)
+            from imd_tpu.models.potential import eam_to_fastpoly, to_fastpoly
+            if self.eam is not None:
+                self.eam_run = eam_to_fastpoly(self.eam)
+                self.pair_run = None
+            else:
+                self.pair_run = to_fastpoly(self.pair, vcap=50.0)
+                self.eam_run = None
         elif self.fast:
             from imd_tpu.models.potential import eam_to_chebyshev, to_chebyshev
             if self.eam is not None:
@@ -239,9 +253,13 @@ class Simulation:
     # ------------------------------------------------------------------
     def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
         if getattr(self, "use_pallas", False):
-            from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
-            return compute_eam_forces_pallas(
-                scene, self.eam_run, count_neighbors=count_neighbors)
+            from imd_tpu.ops.forces_pallas import (
+                compute_eam_forces_pallas, compute_pair_forces_pallas)
+            if self.eam_run is not None:
+                return compute_eam_forces_pallas(
+                    scene, self.eam_run, count_neighbors=count_neighbors)
+            return compute_pair_forces_pallas(
+                scene, self.pair_run, count_neighbors=count_neighbors)
         if self.fast:
             from imd_tpu.ops import forces_fast as fm
             eam_fn, pair_fn = (fm.compute_eam_forces_fast,

@@ -83,3 +83,32 @@ def test_pallas_energy_conservation_short_md():
         if e0 is None:
             e0 = et
     assert abs(et - e0) / abs(e0) < 5e-4
+
+
+def test_pair_pallas_matches_oracle():
+    from imd_tpu.models.potential import lj_table, to_fastpoly
+    from imd_tpu.ops.forces_fast import compute_pair_forces_fast
+    from imd_tpu.ops.forces_pallas import compute_pair_forces_pallas
+    pot = to_fastpoly(lj_table(1.0, 1.0, 2.5, dtype=jnp.float32), deg=12,
+                      vcap=20.0)
+    pos, typ, diag = fcc((5, 4, 4), 1.38)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, dtype=jnp.float32)
+    sc = sc.replace(pos=sc.pos + 0.03 * jax.random.normal(
+        jax.random.PRNGKey(4), sc.pos.shape))
+    r1 = jax.jit(lambda s: compute_pair_forces_fast(s, pot, 1,
+                                                    count_neighbors=True))(sc)
+    r2 = jax.jit(lambda s: compute_pair_forces_pallas(
+        s, pot, count_neighbors=True))(sc)
+    m = np.asarray(sc.mask)
+    f1 = np.asarray(r1.force)[m]
+    f2 = np.asarray(r2.force)[m]
+    assert np.abs(f1 - f2).max() / (np.abs(f1).max() + 1) < 1e-4
+    e1 = np.asarray(r1.epot)[m]
+    e2 = np.asarray(r2.epot)[m]
+    assert np.abs(e1 - e2).max() < 1e-4 * (np.abs(e1).max() + 1)
+    assert np.array_equal(np.asarray(r1.num_neighs)[m],
+                          np.asarray(r2.num_neighs)[m])
