@@ -182,6 +182,42 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     return _finish(scene, params, F_coupled, p_new)
 
 
+def nvx(scene: Scene, params: IntegratorParams, hc_nlayers: int,
+        hc_heatcurr) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """NVX heat-flux ensemble (move_atoms_nvx, integrate.c:2917):
+    NVE step, then withdraw delta_E = hc_heatcurr * 2 A dt of kinetic
+    energy from layer 0 and deposit it in layer nlayers/2 by momentum
+    rescale; the steady temperature gradient gives the conductivity.
+    Returns (scene, stats, delta_E) - accumulate delta_E for kappa.
+    """
+    F = _apply_force_mods(scene, params)
+    p_new = scene.mom + params.timestep * F
+    scene2, stats = _finish(scene, params, F, p_new)
+
+    box = scene.grid.box
+    bx = box.h[0, 0]
+    area = box.h[1, 1] * box.h[2, 2]
+    delta_e = hc_heatcurr * 2.0 * area * params.timestep
+    nhalf = hc_nlayers // 2
+    xx = jnp.where(scene2.pos[..., 0] < 0,
+                   scene2.pos[..., 0] + bx, scene2.pos[..., 0])
+    layer = (hc_nlayers * xx / bx).astype(jnp.int32) % hc_nlayers
+    inv_m = jnp.where(scene2.mask, 1.0 / jnp.maximum(scene2.mass, 1e-30),
+                      0.0)
+    ek2 = jnp.sum(scene2.mom ** 2, -1) * inv_m    # 2*Ekin per atom
+    in_cold = scene2.mask & (layer == 0)
+    in_hot = scene2.mask & (layer == nhalf)
+    ek_cold = jnp.sum(jnp.where(in_cold, ek2, 0.0))
+    ek_hot = jnp.sum(jnp.where(in_hot, ek2, 0.0))
+    r_cold = jnp.sqrt(jnp.maximum(1.0 - delta_e / jnp.maximum(ek_cold,
+                                                              1e-30),
+                                  0.0))
+    r_hot = jnp.sqrt(1.0 + delta_e / jnp.maximum(ek_hot, 1e-30))
+    fac = jnp.where(in_cold, r_cold, jnp.where(in_hot, r_hot, 1.0))
+    return (scene2.replace(mom=scene2.mom * fac[..., None]), stats,
+            delta_e)
+
+
 def stadium_dampf(pos, center, stadium, stadium2):
     """Smoothed stadium damping profile 0..1 (DAMP, integrate.c:293-305):
     0 inside the elliptical core, ramping to 1 at the outer stadium."""

@@ -170,3 +170,36 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(sc.pos), np.asarray(sc2.pos))
     np.testing.assert_array_equal(np.asarray(sc.mom), np.asarray(sc2.mom))
     assert int(sc2.n_atoms()) == int(sc.n_atoms())
+
+
+def test_nvx_builds_temperature_gradient():
+    """NVX: withdrawing heat at layer 0 and depositing at nlayers/2 must
+    build a temperature gradient; the transferred energy is accounted."""
+    from imd_tpu import analysis as A
+    pos, typ, diag = fcc((8, 4, 4), 1.38)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    scene = make_scene(grid, pos, dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.05, jax.random.PRNGKey(0))
+    pot = lj_table(1.0, 1.0, 2.5, dtype=jnp.float64)
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.004))
+    nlay = 8
+
+    @jax.jit
+    def step(s):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.nvx(s, params, nlay, jnp.float64(0.1))
+
+    from imd_tpu.scene import needs_rebin, rebin
+    for i in range(1200):
+        scene, stats, de = step(scene)
+        if bool(needs_rebin(scene, grid.skin)):
+            scene = rebin(scene)
+    prof = A.temp_profile(scene, nlay)
+    cold = prof[0]
+    hot = prof[nlay // 2]
+    assert hot > 1.5 * cold and cold > 0   # gradient established
+    assert np.isfinite(prof).all()
