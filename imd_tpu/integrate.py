@@ -174,8 +174,12 @@ def ttm(scene: Scene, params: IntegratorParams, xi_atom: jnp.ndarray,
     v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
     F_coupled = F + (xi_atom * scene.mass * m)[..., None] * (v - vcom_atom)
     if epress_atom is not None:
-        # electron blast pressure, x only (imd_integrate.c:741-743)
-        F_coupled = F_coupled.at[..., 0].add(-epress_atom * m)
+        if epress_atom.ndim == F_coupled.ndim:
+            # full-vector blast force (3-D TTM grid)
+            F_coupled = F_coupled - epress_atom * m[..., None]
+        else:
+            # electron blast pressure, x only (imd_integrate.c:741-743)
+            F_coupled = F_coupled.at[..., 0].add(-epress_atom * m)
     p_new = scene.mom + params.timestep * F_coupled
     if nrb_mask is not None:
         p_new = jnp.where(nrb_mask[..., None], scene.mom, p_new)

@@ -224,8 +224,19 @@ class Simulation:
             raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
         self.ensemble = ens
         if ens == "ttm" or self.cfg.ttm.enabled:
-            from imd_tpu.models import ttm as ttm_mod
             from imd_tpu.models.eos import FEGEos
+            # [nx] LB-compatible grid (imd_ttm.c) by default; the full
+            # [nx,ny,nz] variant (imd_ttm_3D.c) when ttmdimy/z > 1
+            self.ttm_3d = self.cfg.ttm.fd_ny > 1 or self.cfg.ttm.fd_nz > 1
+            if self.ttm_3d:
+                from imd_tpu.models import ttm3d as ttm_mod
+                if self.cfg.tmm.enabled:
+                    raise NotImplementedError(
+                        "TMM laser source requires the 1-D TTM grid "
+                        "(ttmdimy = ttmdimz = 1)")
+            else:
+                from imd_tpu.models import ttm as ttm_mod
+            self.ttm_mod = ttm_mod
             self.cfg.ttm.enabled = True
             self.ttm_params = ttm_mod.make_params(self.cfg.ttm, self.box,
                                                   self.cutoff, self.dtype)
@@ -233,6 +244,8 @@ class Simulation:
         else:
             self.ttm_params = None
             self.eos = None
+            self.ttm_mod = None
+            self.ttm_3d = False
         if self.cfg.tmm.enabled and self.cfg.ttm.enabled:
             from imd_tpu.models import tmm as tmm_mod
             self.tmm_params = tmm_mod.make_tmm_params(self.cfg.tmm,
@@ -303,7 +316,7 @@ class Simulation:
         pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
 
         if cfg.ttm.enabled:
-            from imd_tpu.models import ttm as ttm_mod
+            ttm_mod = self.ttm_mod
         if self.nrb_state is not None:
             from imd_tpu.models import nrb as nrb_mod
         if cfg.filter.enabled and cfg.filter.interval > 0:
@@ -341,18 +354,21 @@ class Simulation:
             if cfg.ttm.enabled:
                 fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
                 t = state.step.astype(self.dtype) * cfg.timestep
+                kw = {} if self.ttm_3d else {"tmm_params": self.tmm_params}
                 ttm_grid, fdi = ttm_mod.calc_ttm(
                     ttm_grid, scene, self.ttm_params, self.eos,
                     res.num_neighs, fdi, jnp.asarray(cfg.timestep, self.dtype),
                     t, laser_cfg=cfg.laser if cfg.laser.sigma_e > 0 else None,
-                    first_step=(state.step == 0),
-                    tmm_params=self.tmm_params)
+                    first_step=(state.step == 0), **kw)
                 xi_atom, vcom = ttm_mod.gather_atom_coupling(
                     ttm_grid, scene, self.ttm_params)
                 epress_atom = None
                 if cfg.ttm.elecpress:
                     ep_cell = ttm_mod.electron_pressure_force(
                         ttm_grid, self.ttm_params, self.eos)
+                    if self.ttm_3d:    # [nx,ny,nz,3] -> flat gather
+                        ep_cell = ep_cell.reshape(
+                            self.ttm_params.n_cells, 3)
                     epress_atom = ep_cell[ttm_mod.fd_index(
                         scene, self.ttm_params)]
                 scene, stats = integrate.ttm(scene, params, xi_atom, vcom,
@@ -431,8 +447,7 @@ class Simulation:
         z = jnp.zeros((), self.dtype)
         ttm_grid = fdi = None
         if self.cfg.ttm.enabled:
-            from imd_tpu.models import ttm as ttm_mod
-            ttm_grid = ttm_mod.make_grid(self.ttm_params, self.dtype)
+            ttm_grid = self.ttm_mod.make_grid(self.ttm_params, self.dtype)
             if self.cfg.ttm.init_t_el > 0:
                 ttm_grid = ttm_grid.replace(
                     temp=jnp.full_like(ttm_grid.temp, self.cfg.ttm.init_t_el),
@@ -531,9 +546,8 @@ class Simulation:
         ekin = float(state.stats.tot_kin_energy)
         ttm_eng = None
         if self.cfg.ttm.enabled:
-            from imd_tpu.models.ttm import electron_energy_total
-            ttm_eng = float(electron_energy_total(state.ttm_grid,
-                                                  self.ttm_params))
+            ttm_eng = float(self.ttm_mod.electron_energy_total(
+                state.ttm_grid, self.ttm_params))
         self.eng.write(
             time=float(state.step) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,

@@ -1,0 +1,194 @@
+"""3-D TTM variant (imd_ttm_3D.c analog)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu import integrate
+from imd_tpu.config import TTMConfig
+from imd_tpu.models import ttm3d
+from imd_tpu.models.eos import FEGEos
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, \
+    with_capacity
+from imd_tpu.scene import make_scene
+from imd_tpu.utils.generate import fcc
+
+
+def _setup(cells=(8, 8, 8), fd=(4, 4, 4), alat=4.05):
+    pos, typ, diag = fcc(cells, alat)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]])
+    grid = choose_grid(box, 6.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    scene = make_scene(grid, pos, mass=np.full(len(pos), 26.9815))
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+    cfg = TTMConfig(fd_nx=fd[0], fd_ny=fd[1], fd_nz=fd[2], fd_min_atoms=4)
+    params = ttm3d.make_params(cfg, box, 6.0)
+    eos = FEGEos()
+    return scene, params, eos
+
+
+def _num_neighs(scene):
+    return jnp.where(scene.mask, 12, 0).astype(jnp.int32)
+
+
+def test_hot_spot_diffuses_isotropically_and_conserves():
+    scene, params, eos = _setup()
+    grid = ttm3d.make_grid(params)
+    nn = _num_neighs(scene)
+    step = jax.jit(lambda g, s, fdi, first: ttm3d.calc_ttm(
+        g, s, params, eos, nn, fdi, 2.0, 0.0, first_step=first))
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, fdi = step(grid, scene, fdi0, True)
+    assert bool(jnp.all(ttm3d.active_mask(grid, params)))
+    # plant a hot spot at the center voxel
+    t_hot = grid.temp.at[2, 2, 2].set(2.0)
+    ne = ttm3d._ne(grid.replace(temp=t_hot), params)
+    grid = grid.replace(temp=t_hot,
+                        U=eos.u_from_te(grid.dens, ne, t_hot))
+    e0 = float(jnp.sum(grid.U * grid.natoms))
+    t_ctr = float(grid.temp[2, 2, 2])
+    for _ in range(6):
+        grid, fdi = step(grid, scene, fdi, False)
+    t = np.asarray(grid.temp)
+    assert t[2, 2, 2] < t_ctr                      # hot spot cooled
+    # face neighbors along all three axes heated ~equally (isotropy)
+    faces = [t[1, 2, 2], t[3, 2, 2], t[2, 1, 2], t[2, 3, 2],
+             t[2, 2, 1], t[2, 2, 3]]
+    assert min(faces) > float(t_ctr) * 0.01
+    assert max(faces) < 1.3 * min(faces)
+    assert not bool(grid.cfl_overflow)
+    assert np.isfinite(t).all()
+
+
+def test_coupling_pulls_te_toward_ti():
+    """With cold lattice, a uniformly hot electron bath must cool and
+    the xi field must be positive (electrons heat the lattice)."""
+    scene, params, eos = _setup()
+    grid = ttm3d.make_grid(params)
+    nn = _num_neighs(scene)
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, fdi = ttm3d.calc_ttm(grid, scene, params, eos, nn, fdi0,
+                               2.0, 0.0, first_step=True)
+    hot = jnp.full_like(grid.temp, 1.0)
+    ne = ttm3d._ne(grid.replace(temp=hot), params)
+    grid = grid.replace(temp=hot, U=eos.u_from_te(grid.dens, ne, hot))
+    te0 = float(grid.temp.mean())
+    grid, fdi = ttm3d.calc_ttm(grid, scene, params, eos, nn, fdi,
+                               2.0, 0.0, first_step=False)
+    assert float(grid.temp.mean()) < te0
+    xi, vcom = ttm3d.gather_atom_coupling(grid, scene, params)
+    assert xi.shape == scene.pos.shape[:-1]
+    assert vcom.shape == scene.pos.shape
+    m = np.asarray(scene.mask)
+    assert (np.asarray(xi)[m] > 0).all()           # Te > Ti everywhere
+
+
+def test_advection_moves_energy_with_atoms():
+    """Shift every atom one voxel in +x: U must follow the atoms."""
+    scene, params, eos = _setup()
+    grid = ttm3d.make_grid(params)
+    nn = _num_neighs(scene)
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, fdi = ttm3d.calc_ttm(grid, scene, params, eos, nn, fdi0,
+                               1e-6, 0.0, first_step=True)
+    # gradient along x in U
+    ux = jnp.arange(params.dims[0], dtype=grid.U.dtype) + 1.0
+    grid = grid.replace(U=jnp.broadcast_to(
+        ux[:, None, None], grid.U.shape))
+    u_before = np.asarray(grid.U[:, 1, 1]).copy()
+    shifted = scene.replace(pos=scene.pos + jnp.asarray(
+        [params.fd_h[0], 0.0, 0.0], scene.pos.dtype))
+    # unit-level: update_fd + do_adv (calc_ttm's trailing EOS round-trip
+    # re-derives U from Te and would mask the donor-cell arithmetic)
+    grid2, fdi2 = ttm3d.update_fd(grid, shifted, params, nn,
+                                  jnp.asarray(False))
+    grid2 = ttm3d.do_adv(grid2, params, eos, fdi2, fdi,
+                         jnp.asarray(False))
+    u_after = np.asarray(grid2.U[:, 1, 1])
+    # every interior voxel should now carry its left neighbor's U
+    np.testing.assert_allclose(u_after[1:-1], u_before[:-2], rtol=1e-4)
+
+
+def test_lambert_beer_3d_columnwise_surface():
+    scene, params, eos = _setup()
+    grid = ttm3d.make_grid(params)
+    nn = _num_neighs(scene)
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, _ = ttm3d.calc_ttm(grid, scene, params, eos, nn, fdi0,
+                             1e-6, 0.0, first_step=True)
+
+    @dataclasses.dataclass
+    class L:
+        mu: float = 0.05
+        sigma_e: float = 10.0
+        sigma_t: float = 100.0
+        t_0: float = 0.0
+        offset: float = 0.0
+
+    g2, on = ttm3d.lambert_beer_source(grid, params, L(), 0.0)
+    assert bool(on)
+    s = np.asarray(g2.source)
+    assert (s > 0).all()
+    # exponential decay along x, uniform in y/z
+    assert (s[0] > s[-1]).all()
+    np.testing.assert_allclose(s[:, 0, 0] / s[0, 0, 0],
+                               s[:, 2, 3] / s[0, 2, 3], rtol=1e-5)
+
+
+PARAM_TTM3D = """
+coordname   _fcc
+outfiles    {out}
+box_param   6 6 6
+box_unit    4.05
+ntypes      1
+masses      26.9815
+ensemble    ttm
+timestep    0.2
+maxsteps    30
+starttemp   0.026
+eng_int     15
+ttm_int     30
+checkpt_int 0
+lj_epsilon  0.35
+lj_sigma    2.55
+r_cut       5.0
+pbc_dirs    1 1 1
+seed        3
+ttmdimx     3
+ttmdimy     3
+ttmdimz     3
+fd_min_atoms 5
+init_t_el   0.8
+laser_sigma_e 0
+atomic_z    13
+"""
+
+
+def test_param_file_ttm3d_run(tmp_path):
+    """Full driver run on a [3,3,3] grid (imd_ttm_3D.c path)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.io.ttm_io import read_ttm
+    from imd_tpu.simulation import Simulation
+    out = str(tmp_path / "ttm3drun")
+    cfg = SimConfig.from_params(parse_param_text(
+        PARAM_TTM3D.format(out=out)))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.ttm_3d
+    state = sim.run()
+    assert int(state.step) == 30
+    tgrid = state.ttm_grid
+    assert tgrid.temp.shape == (3, 3, 3)
+    act = np.asarray(tgrid.natoms) >= 5
+    te = np.asarray(tgrid.temp)[act]
+    assert (te < 0.8).all() and (te > 0.02).all()
+    # .ttm output carries 3-D voxel indices and round-trips
+    d = read_ttm(out + ".1.ttm")
+    assert len(d["temp"]) == 27
+    assert d["y"].max() == 2 and d["z"].max() == 2
+    from imd_tpu.io.ttm_io import grid_from_ttm
+    g2 = grid_from_ttm(out + ".1.ttm", tgrid)
+    np.testing.assert_allclose(np.asarray(g2.temp), np.asarray(tgrid.temp),
+                               rtol=1e-5)
