@@ -280,6 +280,28 @@ class SimConfig:
     # Langevin / viscous
     viscous_friction: float = 0.0
     damptemp: float = 0.0
+    # DAMP / FRAC / FTG / FINNIS / STM stadium-damping family
+    # (imd_param.c:1228-1410)
+    stadium: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    stadium2: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    gamma_damp: float = 0.0          # initial FRAC friction
+    gamma_bar: float = 0.0           # feedback prefactor
+    gamma_min: float = 0.0           # FTG local minimum friction
+    dampingmode: int = 0             # 0 viscous feedback, 1 Nose-Hoover
+    zeta_0: float = 0.0              # FINNIS / DAMP friction scale
+    delta_finnis: float = 10.0
+    delta_ftg: float = 10.0
+    nslices: int = 1                 # FTG x-slabs
+    nslices_left: int = 1
+    nslices_right: int = 1
+    tleft: float = 0.0
+    tright: float = 0.0
+    dotepsilon0: float = 0.0         # strainrate (homogeneous y expansion)
+    expansionmode: int = 0
+    # NVX heat-flux (imd_param.c:1954-1964)
+    hc_nlayers: int = 0
+    hc_heatcurr: float = 0.0
     # pdecay momentum-damping ramp (integrate.c:232-249)
     pdecay_mode: int = 0
     ramp_start: float = 0.0
@@ -407,6 +429,27 @@ class SimConfig:
         c.shear_rate2 = _vec3(g("shear_rate2"), c.shear_rate2)
         c.viscous_friction = float(g("viscous_friction", 0.0))
         c.damptemp = float(g("damptemp", 0.0))
+        c.stadium = _vec3(g("stadium"), c.stadium)
+        c.stadium2 = _vec3(g("stadium2"), c.stadium2)
+        c.center = _vec3(g("center"), c.center)
+        c.gamma_damp = float(g("gamma_damp", 0.0))
+        c.gamma_bar = float(g("gamma_bar", 0.0))
+        c.gamma_min = float(g("gamma_min", 0.0))
+        c.dampingmode = int(g("dampingmode", 0))
+        c.zeta_0 = float(g("zeta_0", 0.0))
+        c.delta_finnis = float(g("delta_finnis", c.delta_finnis))
+        c.delta_ftg = float(g("delta_ftg", c.delta_ftg))
+        c.nslices = int(g("nslices", c.nslices))
+        c.nslices_left = int(g("nslices_Left", g("nslices_left",
+                                                 c.nslices_left)))
+        c.nslices_right = int(g("nslices_Right", g("nslices_right",
+                                                   c.nslices_right)))
+        c.tleft = float(g("Tleft", g("tleft", 0.0)))
+        c.tright = float(g("Tright", g("tright", 0.0)))
+        c.dotepsilon0 = float(g("strainrate", 0.0))
+        c.expansionmode = int(g("expansionmode", 0))
+        c.hc_nlayers = int(g("hc_nlayers", 0))
+        c.hc_heatcurr = float(g("hc_heatcurr", 0.0))
         c.pdecay_mode = int(g("pdecay_mode", 0))
         c.ramp_start = float(g("ramp_start", 0.0))
         c.ramp_end = float(g("ramp_end", 0.0))

@@ -262,6 +262,206 @@ def damp(scene: Scene, params: IntegratorParams, center, stadium, stadium2,
     return _finish(scene, params, F, p_new)
 
 
+def _dof_per_atom(scene: Scene, params: IntegratorParams):
+    """Active degrees of freedom per atom (restriction-vector sum / 3)."""
+    if params.restrictions is None:
+        return jnp.where(scene.mask, 3.0, 0.0)
+    vt = jnp.clip(scene.vtype, 0, params.restrictions.shape[0] - 1)
+    return jnp.sum(params.restrictions[vt], -1) * scene.fmask()
+
+
+def stadium2d_f(pos, center, stadium, stadium2):
+    """FRAC's x-y bath-tub profile (move_atoms_frac, integrate.c:2188-2205):
+    0 inside the ellipse with half-axes ``stadium``, smoothly ramping to 1
+    at ``stadium2``; 1 everywhere when stadium[0] <= 0 (global damping)."""
+    if stadium[0] <= 0.0:
+        return jnp.ones(pos.shape[:-1], pos.dtype)
+    s = (stadium[0] / (2.0 * stadium2[0])) ** 2
+    t = (((pos[..., 0] - center[0]) / (2.0 * stadium2[0])) ** 2
+         + ((pos[..., 1] - center[1]) / (2.0 * stadium2[1])) ** 2)
+    f = jnp.clip((t - s) / (0.25 - s), 0.0, 1.0)
+    return 0.5 * (1.0 + jnp.sin(-jnp.pi / 2.0 + jnp.pi * f))
+
+
+def _frac_kick(scene, params, F, gamma_atom, dotepsilon):
+    """Shared FRAC/FTG semi-implicit friction kick + homogeneous y
+    expansion (integrate.c:2251-2282): x/z feel gamma, y feels
+    gamma + dotepsilon; y positions additionally stretch by
+    (1 + eps dt/2)/(1 - eps dt/2)."""
+    dt = params.timestep
+    rei = 1.0 - gamma_atom * dt / 2.0
+    inv = 1.0 / (1.0 + gamma_atom * dt / 2.0)
+    rei_y = 1.0 - (gamma_atom + dotepsilon) * dt / 2.0
+    inv_y = 1.0 / (1.0 + (gamma_atom + dotepsilon) * dt / 2.0)
+    p = scene.mom
+    p_new = jnp.stack(
+        [(p[..., 0] * rei + dt * F[..., 0]) * inv,
+         (p[..., 1] * rei_y + dt * F[..., 1]) * inv_y,
+         (p[..., 2] * rei + dt * F[..., 2]) * inv], -1)
+    if params.restrictions is not None:
+        vt = jnp.clip(scene.vtype, 0, params.restrictions.shape[0] - 1)
+        p_new = p_new * params.restrictions[vt]
+    p_new = p_new * scene.fmask()[..., None]
+    # positions: x/z leapfrog, y with expansion scaling
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    eps_p = 1.0 + dotepsilon * dt / 2.0
+    eps_m = 1.0 / (1.0 - dotepsilon * dt / 2.0)
+    x = scene.pos
+    x_new = jnp.stack(
+        [x[..., 0] + dt * p_new[..., 0] * inv_m,
+         (dt * p_new[..., 1] * inv_m + eps_p * x[..., 1]) * eps_m,
+         x[..., 2] + dt * p_new[..., 2] * inv_m], -1)
+    mask = scene.fmask()
+    p_old = scene.mom
+    k1 = jnp.sum(jnp.sum(p_old * p_old, -1) * inv_m)
+    k2 = jnp.sum(jnp.sum(p_new * p_new, -1) * inv_m)
+    stats = StepStats(tot_kin_energy=(k1 + k2) / 4.0,
+                      fnorm=jnp.sum(F * F * mask[..., None]),
+                      pnorm=jnp.sum(p_new * p_new * mask[..., None]),
+                      pxf=jnp.sum(p_new * F * mask[..., None]),
+                      ekin_new=k2 / 2.0)
+    return scene.replace(pos=x_new, mom=p_new), stats
+
+
+def expansion_rate(dotepsilon0, expansionmode, step, timestep):
+    """Time-decaying homogeneous strain rate (integrate.c:2153-2155)."""
+    if expansionmode == 1:
+        return dotepsilon0 / (1.0 + dotepsilon0 * step * timestep)
+    return dotepsilon0
+
+
+def frac(scene: Scene, params: IntegratorParams, center, stadium, stadium2,
+         gamma_damp, gamma_bar, dotepsilon=0.0, dampingmode: int = 0
+         ) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """Fracture ensemble (move_atoms_frac, imd_integrate.c:2134-2341):
+    viscous damping gamma_damp * f(pos) in the stadium rim, feedback-
+    controlled so the damped zone's kinetic energy tracks the target
+    temperature.  Returns (scene, stats, gamma_new)."""
+    F = _apply_force_mods(scene, params)
+    f = stadium2d_f(scene.pos, center, stadium, stadium2) * scene.fmask()
+    scene2, stats = _frac_kick(scene, params, F,
+                               gamma_damp * f, dotepsilon)
+    # constraint evolution from the NEW kinetic energy in the damped zone
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    ek2 = jnp.sum(scene2.mom ** 2, -1) * inv_m
+    e_damp2 = jnp.sum(jnp.where(f > 0, f * ek2, 0.0))
+    sum_f = jnp.sum(f * _dof_per_atom(scene, params) / 3.0)
+    ttt = 3.0 * params.temperature * sum_f
+    if dampingmode == 1:
+        gamma_new = gamma_damp + params.timestep * (
+            e_damp2 / jnp.maximum(ttt, 1e-30) - 1.0) * gamma_bar
+    else:
+        gamma_new = jnp.where(e_damp2 != 0.0,
+                              (1.0 - ttt / jnp.maximum(e_damp2, 1e-30))
+                              * gamma_bar, 0.0)
+    return scene2, stats, gamma_new
+
+
+def ftg(scene: Scene, params: IntegratorParams, nslices: int,
+        ns_left: int, ns_right: int, tleft, tright, gamma_ftg,
+        gamma_bar, gamma_min, delta_ftg, dotepsilon=0.0,
+        dampingmode: int = 0, center=None, stadium=None, stadium2=None
+        ) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """Fracture with temperature gradient (move_atoms_ftg,
+    imd_integrate.c:2361-2646): the box is cut into ``nslices`` x-slabs
+    with target temperatures ramping Tleft -> Tright; each slab carries a
+    feedback friction gamma_ftg[slice].  When ``stadium`` is given
+    (stadium[1] != 0), damping is local per atom: Finnis-form friction
+    scaled by the y-distance ramp between stadium and stadium2.
+    Returns (scene, stats, gamma_ftg_new)."""
+    F = _apply_force_mods(scene, params)
+    bx = scene.grid.box.h[0, 0]
+    frac_x = scene.pos[..., 0] / bx
+    sl = jnp.clip((nslices * frac_x).astype(jnp.int32), 0, nslices - 1)
+    denom = max(nslices - ns_left - ns_right, 1)
+    local = stadium is not None and stadium[1] != 0.0
+    if local:
+        # per-atom target temperature + y-ramped Finnis friction
+        t_tgt = jnp.clip(tleft + (tright - tleft)
+                         * (nslices * frac_x - ns_left) / denom,
+                         min(tleft, tright), max(tleft, tright))
+        inv_m = jnp.where(scene.mask,
+                          1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+        dof = jnp.maximum(_dof_per_atom(scene, params), 1.0)
+        t_at = jnp.sum(scene.mom ** 2, -1) * inv_m / dof
+        g_pos = jnp.clip((jnp.abs(scene.pos[..., 1] - center[1])
+                          - stadium[1]) / (stadium2[1] - stadium[1]),
+                         0.0, 1.0)
+        g_pos = 0.5 * (1.0 + jnp.sin(-jnp.pi / 2.0 + jnp.pi * g_pos))
+        gamma_atom = ((gamma_min + gamma_bar * g_pos)
+                      * (t_at - t_tgt)
+                      / jnp.sqrt(t_at ** 2 + (t_tgt / delta_ftg) ** 2
+                                 + 1e-30))
+    else:
+        gamma_atom = gamma_ftg[sl]
+    scene2, stats = _frac_kick(scene, params, F, gamma_atom, dotepsilon)
+    # per-slice feedback from the new kinetic energy
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    ek2 = jnp.sum(scene2.mom ** 2, -1) * inv_m
+    seg = jnp.where(scene.mask, sl, nslices).reshape(-1)
+    e2_sl = jax.ops.segment_sum(ek2.reshape(-1), seg,
+                                num_segments=nslices + 1)[:nslices]
+    n_sl = jax.ops.segment_sum(_dof_per_atom(scene, params).reshape(-1),
+                               seg, num_segments=nslices + 1)[:nslices]
+    j = jnp.arange(nslices)
+    t_sl = tleft + (tright - tleft) * (j - ns_left + 1.0) / (denom + 1.0
+                                                             if denom > 0
+                                                             else 1.0)
+    t_sl = jnp.where(j < ns_left, tleft, t_sl)
+    t_sl = jnp.where(j >= nslices - ns_right, tright, t_sl)
+    ttt = t_sl * n_sl
+    if dampingmode == 1:
+        g_new = gamma_ftg + params.timestep * (
+            e2_sl / jnp.maximum(ttt, 1e-30) - 1.0) * gamma_bar
+    else:
+        g_new = (1.0 - ttt / jnp.maximum(e2_sl, 1e-30)) * gamma_bar
+    g_new = jnp.where(ttt == 0.0, 0.0, g_new)
+    return scene2, stats, (gamma_ftg if local else g_new)
+
+
+def finnis(scene: Scene, params: IntegratorParams, zeta0, delta_finnis
+           ) -> Tuple[Scene, StepStats]:
+    """Local Finnis thermostat everywhere (move_atoms_finnis,
+    imd_integrate.c:2661-2810): per-atom friction
+    zeta = zeta_0 (T_at - T)/sqrt(T_at^2 + (T delta)^2), explicit kick."""
+    F = _apply_force_mods(scene, params)
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    dof = _dof_per_atom(scene, params)
+    t_at = jnp.where(dof > 0,
+                     jnp.sum(scene.mom ** 2, -1) * inv_m
+                     / jnp.maximum(dof, 1.0), 0.0)
+    t_tgt = jnp.where(dof > 0, dof / 3.0 * params.temperature, 1e-10)
+    zeta = zeta0 * (t_at - t_tgt) / jnp.sqrt(
+        t_at ** 2 + (t_tgt * delta_finnis) ** 2 + 1e-30)
+    p_new = scene.mom + params.timestep * (
+        F - zeta[..., None] * scene.mom) * scene.fmask()[..., None]
+    return _finish(scene, params, F, p_new)
+
+
+def stm(scene: Scene, params: IntegratorParams, center, stadium,
+        nactive, eta) -> Tuple[Scene, StepStats, jnp.ndarray]:
+    """Stadium thermostat (move_atoms_stm, imd_integrate.c:2813-2912):
+    NVE inside the x-y ellipse, Nose-Hoover NVT outside; eta evolves from
+    the outside atoms' kinetic energy.  Returns (scene, stats, eta_new)."""
+    F = _apply_force_mods(scene, params)
+    dt = params.timestep
+    inside = (((scene.pos[..., 0] - center[0]) / stadium[0]) ** 2
+              + ((scene.pos[..., 1] - center[1]) / stadium[1]) ** 2) <= 1.0
+    inside = inside & scene.mask
+    rei = jnp.where(inside, 1.0, 1.0 - eta * dt / 2.0)
+    inv = jnp.where(inside, 1.0, 1.0 / (1.0 + eta * dt / 2.0))
+    p_new = (scene.mom * rei[..., None] + dt * F) * inv[..., None]
+    p_new = p_new * scene.fmask()[..., None]
+    scene2, stats = _finish(scene, params, F, p_new)
+    inv_m = jnp.where(scene.mask, 1.0 / jnp.maximum(scene.mass, 1e-30), 0.0)
+    ek2 = jnp.sum(p_new ** 2, -1) * inv_m
+    e2_out = jnp.sum(jnp.where(inside, 0.0, ek2))
+    n_stadium = jnp.sum(jnp.where(inside, 3.0, 0.0))
+    ttt = jnp.maximum((nactive - n_stadium) * params.temperature, 1e-30)
+    eta_new = eta + dt * (e2_out / ttt - 1.0) * params.isq_tau_eta
+    return scene2, stats, eta_new
+
+
 def langevin(scene: Scene, params: IntegratorParams, key: jax.Array,
              pdecay: bool = False, nrb_mask=None) -> Tuple[Scene, StepStats]:
     """Langevin thermostat (imd_integrate.c:191-198): uniform random kicks

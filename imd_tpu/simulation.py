@@ -47,6 +47,7 @@ class SimState(struct.PyTreeNode):
     xi: Optional[jnp.ndarray] = None      # NPT barostat friction (scalar/[3])
     ekin_old: Optional[jnp.ndarray] = None  # NPT 2*Ekin of previous step
     rng: Optional[jnp.ndarray] = None     # PRNG key (Langevin/Andersen)
+    gamma: Optional[jnp.ndarray] = None   # FRAC scalar / FTG [nslices]
 
 
 def _initial_stats(dtype):
@@ -219,7 +220,8 @@ class Simulation:
     def _select_integrator(self):
         ens = self.cfg.ensemble
         known = ("nve", "nvt", "mik", "glok", "ttm", "ber", "and", "lang",
-                 "npt_iso", "npt_axial", "sllod")
+                 "npt_iso", "npt_axial", "sllod", "damp", "frac", "ftg",
+                 "finnis", "stm", "nvx")
         if ens not in known:
             raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
         self.ensemble = ens
@@ -426,10 +428,55 @@ class Simulation:
                     scene, params, nactive, eta,
                     jnp.asarray(cfg.shear_rate, self.dtype),
                     jnp.asarray(cfg.shear_rate2, self.dtype))
+            elif self.ensemble == "damp":
+                scene, stats = integrate.damp(
+                    scene, params, self._stadium_center(),
+                    cfg.stadium, cfg.stadium2,
+                    jnp.asarray(cfg.zeta_0, self.dtype),
+                    jnp.asarray(cfg.damptemp, self.dtype),
+                    cfg.delta_finnis)
+            elif self.ensemble == "frac":
+                deps = integrate.expansion_rate(
+                    cfg.dotepsilon0, cfg.expansionmode,
+                    state.step.astype(self.dtype), cfg.timestep)
+                scene, stats, gamma = integrate.frac(
+                    scene, params, self._stadium_center(),
+                    cfg.stadium, cfg.stadium2, state.gamma,
+                    jnp.asarray(cfg.gamma_bar, self.dtype), deps,
+                    cfg.dampingmode)
+            elif self.ensemble == "ftg":
+                deps = integrate.expansion_rate(
+                    cfg.dotepsilon0, cfg.expansionmode,
+                    state.step.astype(self.dtype), cfg.timestep)
+                scene, stats, gamma = integrate.ftg(
+                    scene, params, cfg.nslices, cfg.nslices_left,
+                    cfg.nslices_right,
+                    jnp.asarray(cfg.tleft, self.dtype),
+                    jnp.asarray(cfg.tright, self.dtype), state.gamma,
+                    jnp.asarray(cfg.gamma_bar, self.dtype),
+                    jnp.asarray(cfg.gamma_min, self.dtype),
+                    cfg.delta_ftg, deps, cfg.dampingmode,
+                    center=self._stadium_center(),
+                    stadium=cfg.stadium if cfg.stadium[1] != 0 else None,
+                    stadium2=cfg.stadium2)
+            elif self.ensemble == "finnis":
+                scene, stats = integrate.finnis(
+                    scene, params, jnp.asarray(cfg.zeta_0, self.dtype),
+                    cfg.delta_finnis)
+            elif self.ensemble == "stm":
+                scene, stats, eta = integrate.stm(
+                    scene, params, self._stadium_center(), cfg.stadium,
+                    nactive, eta)
+            elif self.ensemble == "nvx":
+                scene, stats, _ = integrate.nvx(
+                    scene, params, cfg.hc_nlayers,
+                    jnp.asarray(cfg.hc_heatcurr, self.dtype))
             else:
                 raise NotImplementedError(self.ensemble)
             new_xi = state.xi
             new_ekin = state.ekin_old
+            gamma = (gamma if self.ensemble in ("frac", "ftg")
+                     else state.gamma)
             if self.ensemble in ("npt_iso", "npt_axial"):
                 new_xi, new_ekin = npt.xi, npt.ekin_old
             new_rng = state.rng
@@ -439,9 +486,17 @@ class Simulation:
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
                             nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi,
-                            xi=new_xi, ekin_old=new_ekin, rng=new_rng)
+                            xi=new_xi, ekin_old=new_ekin, rng=new_rng,
+                            gamma=gamma)
 
         return step_fn
+
+    def _stadium_center(self):
+        """Config `center`, defaulting to the box center when unset."""
+        if any(self.cfg.center):
+            return self.cfg.center
+        h = self.box.heights()
+        return (float(h[0]) / 2, float(h[1]) / 2, float(h[2]) / 2)
 
     def init_state(self) -> SimState:
         z = jnp.zeros((), self.dtype)
@@ -461,6 +516,12 @@ class Simulation:
             ekin_old = z
         if self.cfg.ensemble in ("lang", "and"):
             rng = jax.random.PRNGKey(self.cfg.seed + 1)
+        gamma = None
+        if self.cfg.ensemble == "frac":
+            gamma = jnp.asarray(self.cfg.gamma_damp, self.dtype)
+        elif self.cfg.ensemble == "ftg":
+            gamma = jnp.full((self.cfg.nslices,), self.cfg.gamma_damp,
+                             self.dtype)
         return SimState(scene=self.scene,
                         step=jnp.asarray(self.step_count, jnp.int32),
                         eta=jnp.asarray(self.cfg.eta, self.dtype),
@@ -469,7 +530,7 @@ class Simulation:
                         stats=_initial_stats(self.dtype),
                         nbl_count=jnp.zeros((), jnp.int32),
                         ttm_grid=ttm_grid, fdi=fdi,
-                        xi=xi, ekin_old=ekin_old, rng=rng)
+                        xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma)
 
     # ------------------------------------------------------------------
     # host loop with I/O

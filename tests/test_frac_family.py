@@ -1,0 +1,209 @@
+"""FRAC / FTG / FINNIS / STM fracture-family ensembles
+(imd_integrate.c:2134-2917)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imd_tpu import integrate
+from imd_tpu.models.potential import lj_table
+from imd_tpu.ops.forces import compute_pair_forces
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, \
+    with_capacity
+from imd_tpu.scene import make_scene, needs_rebin, rebin
+from imd_tpu.utils.generate import fcc
+
+
+def _sys(cells=(6, 6, 6), temp=0.05):
+    pos, typ, diag = fcc(cells, 1.38)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    scene = make_scene(grid, pos, dtype=jnp.float64)
+    scene = integrate.maxwell(scene, temp, jax.random.PRNGKey(0))
+    pot = lj_table(1.0, 1.0, 2.5, dtype=jnp.float64)
+    return scene, grid, pot, [float(d) for d in diag]
+
+
+def _t_mean(scene):
+    inv_m = 1.0 / np.maximum(np.asarray(scene.mass), 1e-30)
+    t = np.asarray(jnp.sum(scene.mom ** 2, -1)) * inv_m / 3.0
+    m = np.asarray(scene.mask)
+    return t[m].mean(), t
+
+
+def test_finnis_thermostats_to_target():
+    scene, grid, pot, diag = _sys(temp=0.02)
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.004), temperature=jnp.float64(0.08))
+
+    @jax.jit
+    def step(s):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.finnis(s, params, jnp.float64(5.0), 1.0)
+
+    for i in range(600):
+        scene, stats = step(scene)
+        if bool(needs_rebin(scene, grid.skin)):
+            scene = rebin(scene)
+    t_mean, _ = _t_mean(scene)
+    # kinetic temperature pulled up toward 0.08 (virial splits energy,
+    # so accept a broad band around the target)
+    assert 0.05 < t_mean < 0.12
+
+
+def test_frac_damps_rim_feedback_sign():
+    scene, grid, pot, diag = _sys(temp=0.08)
+    c = [d / 2 for d in diag]
+    stad = (diag[0] / 5, diag[1] / 5, 0.0)
+    stad2 = (diag[0] / 2, diag[1] / 2, 0.0)
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.004), temperature=jnp.float64(0.01))
+    gamma = jnp.float64(0.5)
+
+    @jax.jit
+    def step(s, g):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.frac(s, params, c, stad, stad2, g,
+                              jnp.float64(0.5))
+
+    for i in range(400):
+        scene, stats, gamma = step(scene, gamma)
+        if bool(needs_rebin(scene, grid.skin)):
+            scene = rebin(scene)
+    # rim (f ~ 1) colder than core (f = 0, NVE)
+    f = np.asarray(integrate.stadium2d_f(scene.pos, c, stad, stad2))
+    _, t = _t_mean(scene)
+    m = np.asarray(scene.mask)
+    rim = m & (f > 0.9)
+    core = m & (f < 0.1)
+    assert rim.sum() > 20 and core.sum() > 20
+    # the feedback holds the rim at its own 0.01 target while heat keeps
+    # flowing in from the NVE core, so the contrast is modest but real
+    assert t[rim].mean() < 0.85 * t[core].mean()
+    # feedback keeps gamma positive while hotter than target
+    assert float(gamma) > 0
+    assert np.isfinite(np.asarray(scene.pos)[m]).all()
+
+
+def test_ftg_builds_gradient():
+    scene, grid, pot, diag = _sys(cells=(10, 4, 4), temp=0.05)
+    nsl = 5
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.004))
+    gamma = jnp.zeros((nsl,), jnp.float64)
+
+    @jax.jit
+    def step(s, g):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.ftg(s, params, nsl, 1, 1,
+                             jnp.float64(0.02), jnp.float64(0.10), g,
+                             jnp.float64(1.0), jnp.float64(0.0), 10.0)
+
+    for i in range(800):
+        scene, stats, gamma = step(scene, gamma)
+        if bool(needs_rebin(scene, grid.skin)):
+            scene = rebin(scene)
+    # left slab near Tleft, right slab near Tright
+    bx = float(diag[0])
+    x = np.asarray(scene.pos[..., 0])
+    m = np.asarray(scene.mask)
+    _, t = _t_mean(scene)
+    left = m & (x < bx / nsl)
+    right = m & (x > bx * (nsl - 1) / nsl)
+    t_l, t_r = t[left].mean(), t[right].mean()
+    assert t_r > 1.8 * t_l
+    assert 0.01 < t_l < 0.05 and 0.05 < t_r < 0.2
+    assert np.isfinite(np.asarray(gamma)).all()
+
+
+def test_stm_nve_core_nvt_rim():
+    scene, grid, pot, diag = _sys(temp=0.02)
+    c = [d / 2 for d in diag]
+    stad = (diag[0] / 4, diag[1] / 4, 0.0)
+    params = integrate.IntegratorParams(
+        timestep=jnp.float64(0.004), temperature=jnp.float64(0.09),
+        isq_tau_eta=jnp.float64(20.0))
+    nactive = integrate.count_active_dof(scene, None)
+    eta = jnp.float64(0.0)
+
+    @jax.jit
+    def step(s, e):
+        r = compute_pair_forces(s, pot)
+        s = s.replace(force=r.force, epot=r.epot)
+        return integrate.stm(s, params, c, stad, nactive, e)
+
+    for i in range(700):
+        scene, stats, eta = step(scene, eta)
+        if bool(needs_rebin(scene, grid.skin)):
+            scene = rebin(scene)
+    # the NVT rim is pulled toward 0.09; thermal contact drags the core
+    # along, but the rim must lead
+    x = np.asarray(scene.pos)
+    inside = (((x[..., 0] - c[0]) / stad[0]) ** 2
+              + ((x[..., 1] - c[1]) / stad[1]) ** 2) <= 1.0
+    m = np.asarray(scene.mask)
+    _, t = _t_mean(scene)
+    t_rim = t[m & ~inside].mean()
+    assert t_rim > 0.04                       # heated well above 0.02
+    assert np.isfinite(float(eta))
+
+
+def test_frac_expansion_stretches_y():
+    """dotepsilon > 0 homogeneously expands y positions."""
+    scene, grid, pot, diag = _sys(temp=0.0)
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.01))
+    y0 = np.asarray(scene.pos[..., 1]).copy()
+    scene2, stats, g = integrate.frac(
+        scene.replace(force=jnp.zeros_like(scene.force)), params,
+        [d / 2 for d in diag], (-1.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+        jnp.float64(0.0), jnp.float64(0.0), dotepsilon=jnp.float64(0.01))
+    y1 = np.asarray(scene2.pos[..., 1])
+    m = np.asarray(scene.mask)
+    ratio = y1[m & (y0 > 1e-6)] / y0[m & (y0 > 1e-6)]
+    expected = (1 + 0.01 * 0.01 / 2) / (1 - 0.01 * 0.01 / 2)
+    np.testing.assert_allclose(ratio, expected, rtol=1e-10)
+
+
+def test_driver_dispatch_frac_family(tmp_path):
+    """Param-file driver accepts the new ensemble tags."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+    base = """
+coordname   _fcc
+outfiles    {out}
+box_param   5 5 5
+box_unit    1.38
+ntypes      1
+masses      1.0
+timestep    0.004
+maxsteps    25
+starttemp   0.04
+eng_int     0
+checkpt_int 0
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+seed        3
+ensemble    {ens}
+{extra}
+"""
+    cases = {
+        "finnis": "zeta_0  1.0",
+        "frac": "stadium 1.5 1.5 0\nstadium2 3.4 3.4 0\ngamma_bar 0.4",
+        "ftg": "nslices 4\nTleft 0.02\nTright 0.08\ngamma_bar 0.5",
+        "stm": "stadium 1.5 1.5 0\ninv_tau_eta 3.0",
+        "nvx": "hc_nlayers 4\nhc_heatcurr 0.002",
+    }
+    for ens, extra in cases.items():
+        out = str(tmp_path / ens)
+        cfg = SimConfig.from_params(parse_param_text(
+            base.format(out=out, ens=ens, extra=extra)))
+        sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+        state = sim.run()
+        assert int(state.step) == 25, ens
+        assert int(state.scene.overflow) == 0, ens
+        assert np.isfinite(float(state.stats.tot_kin_energy)), ens
