@@ -57,13 +57,19 @@ def parse_param_text(text: str, phase: int = 1) -> Dict[str, Any]:
             if cur_phase > phase:
                 break
             continue
-        if not vals:
+        if tag in _ACCUM_TAGS:
+            # indexed tags: repeated lines accumulate (ep_pos 0 x y z ...)
+            params.setdefault(tag, []).append(vals)
+        elif not vals:
             params[tag] = True
         elif len(vals) == 1:
             params[tag] = vals[0]
         else:
             params[tag] = vals
     return params
+
+
+_ACCUM_TAGS = {"ep_pos", "ep_vel", "ep_dir"}
 
 
 def read_param_file(path: str, phase: int = 1) -> Dict[str, Any]:
@@ -302,6 +308,15 @@ class SimConfig:
     # NVX heat-flux (imd_param.c:1954-1964)
     hc_nlayers: int = 0
     hc_heatcurr: float = 0.0
+    # external indenters / walls (imd_param.c:3612-3680)
+    ep_n: int = 0
+    ep_nind: int = 0
+    ep_key: int = 0
+    ep_a: float = 0.0
+    ep_rcut: float = 0.0
+    ep_pos: list = dataclasses.field(default_factory=list)
+    ep_vel: list = dataclasses.field(default_factory=list)
+    ep_dir: list = dataclasses.field(default_factory=list)
     # pdecay momentum-damping ramp (integrate.c:232-249)
     pdecay_mode: int = 0
     ramp_start: float = 0.0
@@ -450,6 +465,14 @@ class SimConfig:
         c.expansionmode = int(g("expansionmode", 0))
         c.hc_nlayers = int(g("hc_nlayers", 0))
         c.hc_heatcurr = float(g("hc_heatcurr", 0.0))
+        c.ep_n = int(g("ep_n", 0))
+        c.ep_nind = int(g("ep_nind", c.ep_n))
+        c.ep_key = int(g("ep_key", 0))
+        c.ep_a = float(g("ep_a", 0.0))
+        c.ep_rcut = float(g("ep_rcut", 0.0))
+        c.ep_pos = list(g("ep_pos", []))
+        c.ep_vel = list(g("ep_vel", []))
+        c.ep_dir = list(g("ep_dir", []))
         c.pdecay_mode = int(g("pdecay_mode", 0))
         c.ramp_start = float(g("ramp_start", 0.0))
         c.ramp_end = float(g("ramp_end", 0.0))

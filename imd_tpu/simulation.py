@@ -48,6 +48,7 @@ class SimState(struct.PyTreeNode):
     ekin_old: Optional[jnp.ndarray] = None  # NPT 2*Ekin of previous step
     rng: Optional[jnp.ndarray] = None     # PRNG key (Langevin/Andersen)
     gamma: Optional[jnp.ndarray] = None   # FRAC scalar / FTG [nslices]
+    ep: Optional["object"] = None         # ExtPotParams (moving indenters)
 
 
 def _initial_stats(dtype):
@@ -254,6 +255,11 @@ class Simulation:
                                                       self.dtype)
         else:
             self.tmm_params = None
+        if self.cfg.ep_n > 0:
+            from imd_tpu.models import extpot as extpot_mod
+            self.extpot0 = extpot_mod.make_extpot(self.cfg)
+        else:
+            self.extpot0 = None
         if self.cfg.nrb.enabled:
             from imd_tpu.models import nrb as nrb_mod
             mass = float(self.cfg.masses[0]) if self.cfg.masses else 26.9815
@@ -347,6 +353,14 @@ class Simulation:
             ttm_grid, fdi = state.ttm_grid, state.fdi
             res = self._compute_forces(scene, count_neighbors=cfg.ttm.enabled)
             scene = scene.replace(force=res.force, epot=res.epot)
+            ep = state.ep
+            if ep is not None:
+                from imd_tpu.models import extpot as extpot_mod
+                f_ep, e_ep, _ = extpot_mod.extpot_forces(scene, ep)
+                scene = scene.replace(force=scene.force + f_ep,
+                                      epot=scene.epot + e_ep)
+                ep = extpot_mod.move_extpot(
+                    ep, jnp.asarray(cfg.timestep, self.dtype))
             nrb_mask = None
             if self.nrb_state is not None:
                 scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
@@ -487,7 +501,7 @@ class Simulation:
                             presstens=res.presstens, stats=stats,
                             nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi,
                             xi=new_xi, ekin_old=new_ekin, rng=new_rng,
-                            gamma=gamma)
+                            gamma=gamma, ep=ep)
 
         return step_fn
 
@@ -530,7 +544,8 @@ class Simulation:
                         stats=_initial_stats(self.dtype),
                         nbl_count=jnp.zeros((), jnp.int32),
                         ttm_grid=ttm_grid, fdi=fdi,
-                        xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma)
+                        xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma,
+                        ep=self.extpot0)
 
     # ------------------------------------------------------------------
     # host loop with I/O
