@@ -225,3 +225,219 @@ def temp_profile(scene, n_bins: int) -> np.ndarray:
         vcom = p.sum(0) / mass[m].sum()
         out[k] = (mass[m] * ((v - vcom) ** 2).sum(1)).sum() / (3.0 * m.sum())
     return out
+
+
+# ---------------------------------------------------------------------------
+# van Hove self-correlation (imd_correl.c:140-268)
+# ---------------------------------------------------------------------------
+
+def van_hove_self(scene, ref_pos_by_id: np.ndarray, n_r: int, dr: float,
+                  ntypes: int = 1) -> np.ndarray:
+    """G_s(r) histogram per type relative to reference positions
+    (correlate, imd_correl.c:140; GS[type][t][r] for one t-slice).
+
+    ``ref_pos_by_id``: [max_id+1, 3] positions at the reference step
+    (indexed by atom id, like REF_POS).  Displacements are reduced into
+    the periodic box (reduce_displacement).  Returns [ntypes, n_r]
+    integer counts; dr is the bin width (1/inv_dr).
+    """
+    pos, _, _, vt, ids = _scene_atoms(scene)
+    typ = np.asarray(scene.flatten_atoms()["type"])[
+        np.asarray(scene.flatten_atoms()["mask"])]
+    box_diag = np.diag(np.asarray(scene.grid.box.h))
+    d = pos - ref_pos_by_id[ids]
+    pbc_b = np.asarray(scene.grid.box.pbc, bool)
+    for ax in range(3):
+        if pbc_b[ax]:
+            d[:, ax] -= box_diag[ax] * np.round(d[:, ax] / box_diag[ax])
+    r = np.linalg.norm(d, axis=-1)
+    idx = np.minimum((r / dr).astype(np.int64), n_r - 1)
+    out = np.zeros((ntypes, n_r), np.int64)
+    np.add.at(out, (np.minimum(typ, ntypes - 1), idx), 1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ATDIST: time-averaged atom-position distribution (imd_distrib.c:863-1010)
+# ---------------------------------------------------------------------------
+
+class AtDist:
+    """Accumulated per-type density histogram over a (possibly rotated)
+    window, with periodic images (update_atdist, imd_distrib.c:905).
+
+    ll/ur: window corners; dims: bin counts; phi: rotation of x-y
+    coordinates before binning; per_ll/per_ur: range of periodic images
+    added along each box vector.
+    """
+
+    def __init__(self, ll, ur, dims, ntypes=1, phi=0.0,
+                 per_ll=(0, 0, 0), per_ur=(0, 0, 0)):
+        self.ll = np.asarray(ll, float)
+        self.ur = np.asarray(ur, float)
+        self.dims = tuple(int(v) for v in dims)
+        self.ntypes = ntypes
+        self.phi = phi
+        self.per_ll = tuple(int(v) for v in per_ll)
+        self.per_ur = tuple(int(v) for v in per_ur)
+        self.hist = np.zeros((ntypes,) + self.dims, np.float32)
+        self.scale = np.asarray(self.dims) / (self.ur - self.ll)
+
+    def update(self, scene) -> None:
+        pos, _, _, _, _ = _scene_atoms(scene)
+        typ = np.asarray(scene.flatten_atoms()["type"])[
+            np.asarray(scene.flatten_atoms()["mask"])]
+        h = np.asarray(scene.grid.box.h)
+        co, si = np.cos(self.phi), np.sin(self.phi)
+        for ix in range(self.per_ll[0], self.per_ur[0] + 1):
+            for iy in range(self.per_ll[1], self.per_ur[1] + 1):
+                for iz in range(self.per_ll[2], self.per_ur[2] + 1):
+                    p = pos + ix * h[:, 0] + iy * h[:, 1] + iz * h[:, 2]
+                    x = co * p[:, 0] + si * p[:, 1]
+                    y = -si * p[:, 0] + co * p[:, 1]
+                    q = np.stack([x, y, p[:, 2]], -1)
+                    inside = ((q >= self.ll) & (q <= self.ur)).all(-1)
+                    if not inside.any():
+                        continue
+                    b = ((q[inside] - self.ll) * self.scale).astype(int)
+                    b = np.clip(b, 0, np.asarray(self.dims) - 1)
+                    np.add.at(self.hist,
+                              (np.minimum(typ[inside], self.ntypes - 1),
+                               b[:, 0], b[:, 1], b[:, 2]), 1.0)
+
+    def write(self, path: str) -> None:
+        """Binary blocked format like write_atdist (imd_distrib.c:1012)."""
+        with open(path, "wb") as f:
+            hdr = (f"#F L 3 0 {self.ntypes}\n#C atoms_dist\n"
+                   f"#D {self.dims[0]} {self.dims[1]} {self.dims[2]}\n"
+                   f"#S {1.0/self.scale[0]:e} {1.0/self.scale[1]:e} "
+                   f"{1.0/self.scale[2]:e}\n#E\n")
+            f.write(hdr.encode())
+            np.moveaxis(self.hist, 0, -1).astype("<f4").tofile(f)
+
+
+# ---------------------------------------------------------------------------
+# DIFFPAT: accumulated diffraction pattern (imd_distrib.c:1061-1260)
+# ---------------------------------------------------------------------------
+
+class DiffPat:
+    """|FFT(density)|^2 accumulator (update_diffpat, imd_distrib.c:1136):
+    atoms are binned (weighted per type) into a density grid; every
+    ``interval`` updates the grid is Fourier transformed, the squared
+    modulus added to the pattern, and the grid cleared."""
+
+    def __init__(self, ll, ur, dims, weights, interval=1):
+        self.ll = np.asarray(ll, float)
+        self.ur = np.asarray(ur, float)
+        self.dims = tuple(int(v) for v in dims)
+        self.weights = np.asarray(weights, float)
+        self.interval = max(int(interval), 1)
+        self.scale = np.asarray(self.dims) / (self.ur - self.ll)
+        self.dist = np.zeros(self.dims, np.float32)
+        self.pattern = np.zeros(self.dims[:2] + (self.dims[2] // 2 + 1,),
+                                np.float32)
+        self._count = 0
+
+    def update(self, scene) -> None:
+        pos, _, _, _, _ = _scene_atoms(scene)
+        typ = np.asarray(scene.flatten_atoms()["type"])[
+            np.asarray(scene.flatten_atoms()["mask"])]
+        inside = ((pos >= self.ll) & (pos <= self.ur)).all(-1)
+        b = ((pos[inside] - self.ll) * self.scale).astype(int)
+        b = np.clip(b, 0, np.asarray(self.dims) - 1)
+        w = self.weights[np.minimum(typ[inside], len(self.weights) - 1)]
+        np.add.at(self.dist, (b[:, 0], b[:, 1], b[:, 2]), w)
+        self._count += 1
+        if self._count % self.interval == 0:
+            F = np.fft.rfftn(self.dist)
+            self.pattern += (F.real ** 2 + F.imag ** 2).astype(np.float32)
+            self.dist[:] = 0.0
+
+    def k_steps(self):
+        """Reciprocal bin widths 2 pi scale / dim (write_diffpat)."""
+        return 2.0 * np.pi * self.scale / np.asarray(self.dims)
+
+
+# ---------------------------------------------------------------------------
+# Nye tensor dislocation analysis (imd_nyeTensorAnalysis_3d.c)
+# ---------------------------------------------------------------------------
+
+def fcc_reference_vectors(alat: float) -> np.ndarray:
+    """The 12 fcc nearest-neighbor vectors (init_NyeTensor analog)."""
+    half = alat / 2.0
+    v = []
+    for a in range(3):
+        b, c = (a + 1) % 3, (a + 2) % 3
+        for sb in (-1, 1):
+            for sc in (-1, 1):
+                vec = [0.0, 0.0, 0.0]
+                vec[b], vec[c] = sb * half, sc * half
+                v.append(vec)
+    return np.asarray(v)
+
+
+def bcc_reference_vectors(alat: float) -> np.ndarray:
+    """8 nearest + 6 second-shell bcc vectors (neighPerf[14])."""
+    h = alat / 2.0
+    v = [[sx * h, sy * h, sz * h] for sx in (-1, 1) for sy in (-1, 1)
+         for sz in (-1, 1)]
+    for ax in range(3):
+        for s in (-1, 1):
+            vec = [0.0, 0.0, 0.0]
+            vec[ax] = s * alat
+            v.append(vec)
+    return np.asarray(v)
+
+
+def nye_tensor(scene, ref_vectors: np.ndarray, r_cut: float,
+               angle_cos: float = 0.9396926207859084):
+    """Per-atom Nye tensor alpha (calculateLcm/calculateNye,
+    imd_nyeTensorAnalysis_3d.c:237/300; Hartley & Mishin, Acta Mater 53).
+
+    Two passes: (1) lattice-correspondence matrix per atom from
+    least-squares matching of neighbor vectors to ``ref_vectors``
+    (matches accepted within 20 deg); (2) spatial gradient of the LCM
+    over neighbors, assembled into alpha = -curl(LCM).
+    Returns (alpha [n,3,3], lcm [n,3,3]).
+    """
+    pos, _, _, _, _ = _scene_atoms(scene)
+    box_diag = np.diag(np.asarray(scene.grid.box.h))
+    n = len(pos)
+    i, j, d = _neighbor_pairs(pos, box_diag, scene.grid.box.pbc, r_cut)
+    # full (directed) pair list
+    ii = np.concatenate([i, j])
+    jj = np.concatenate([j, i])
+    dd = np.concatenate([d, -d])
+
+    # pass 1: match neighbor vectors to reference vectors
+    lref = np.linalg.norm(ref_vectors, axis=-1)
+    l = np.linalg.norm(dd, axis=-1)
+    cosang = (dd @ ref_vectors.T) / np.maximum(l[:, None] * lref, 1e-30)
+    best = np.argmax(cosang, -1)
+    ok = cosang[np.arange(len(dd)), best] > angle_cos
+    perf = ref_vectors[best]
+    A = np.zeros((n, 3, 3))
+    B = np.zeros((n, 3, 3))
+    np.add.at(A, ii[ok], dd[ok, :, None] * perf[ok, None, :])
+    np.add.at(B, ii[ok], dd[ok, :, None] * dd[ok, None, :])
+    lcm = np.tile(np.eye(3), (n, 1, 1))
+    dets = np.abs(np.linalg.det(A)) > 1e-12
+    lcm[dets] = np.linalg.solve(A[dets], B[dets])
+
+    # pass 2: gradient of each lcm component over all neighbors
+    A2 = np.zeros((n, 3, 3))
+    np.add.at(A2, ii, dd[:, :, None] * dd[:, None, :])
+    de = lcm[jj] - lcm[ii]                       # [pairs, 3, 3]
+    C = np.zeros((n, 3, 3, 3))                   # [n, i, j, axis]
+    np.add.at(C, ii, de[:, :, :, None] * dd[:, None, None, :])
+    ok2 = np.abs(np.linalg.det(A2)) > 1e-12
+    grd = np.zeros((n, 3, 3, 3))
+    if ok2.any():
+        # solve A2[n] g = C[n,i,j] for every component pair
+        grd[ok2] = np.linalg.solve(
+            A2[ok2, None, None, :, :],
+            C[ok2][..., None])[..., 0]
+    alpha = np.zeros((n, 3, 3))
+    alpha[:, 0, :] = -grd[:, 2, :, 1] + grd[:, 1, :, 2]
+    alpha[:, 1, :] = -grd[:, 0, :, 2] + grd[:, 2, :, 0]
+    alpha[:, 2, :] = -grd[:, 1, :, 0] + grd[:, 0, :, 1]
+    return alpha, lcm
