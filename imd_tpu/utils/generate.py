@@ -146,4 +146,9 @@ def generate_atoms(coordname: str, box_param, box_unit: float, ntypes: int = 1):
         return laves(box_param, box_unit)
     if name in ("diamond", "dia"):
         return diamond(box_param, box_unit)
+    if name in ("qc", "quasi"):
+        # box_param = Fibonacci approximant orders, box_unit = scale
+        from imd_tpu.utils.qc import generate_qc
+        return generate_qc(tuple(int(v) for v in box_param),
+                           scale=box_unit)
     raise ValueError(f"unknown internal lattice '{coordname}'")
