@@ -90,32 +90,44 @@ class CellGrid(struct.PyTreeNode):
     capacity: int = struct.field(pytree_node=False)
     cutoff: float = struct.field(pytree_node=False)   # interaction cutoff (A)
     skin: float = struct.field(pytree_node=False)     # nbl_margin (A)
+    # optional non-uniform x-partition: [gx+1] fractional slab boundaries
+    # (0 .. 1).  A traced LEAF, so the load balancer can move the slab
+    # planes every lb_frequency steps without recompiling — the TPU-native
+    # balanceOrtho (imd_loadBalance.c:1283).  Every slab must stay at
+    # least (cutoff+skin)/Lx wide so the 27-stencil still covers all pairs.
+    xbounds: Optional[jnp.ndarray] = None
 
     @property
     def n_cells(self) -> int:
         return self.dims[0] * self.dims[1] * self.dims[2]
 
-    def cell_index(self, pos):
-        """Flat cell id for (wrapped) cartesian positions [N,3] -> [N]."""
+    def _ijk_from_frac(self, frac):
         gx, gy, gz = self.dims
-        frac = self.box.to_frac(pos)
         dims = jnp.asarray(self.dims, frac.dtype)
         ijk = jnp.floor(frac * dims).astype(jnp.int32)
         ijk = jnp.clip(ijk, 0, jnp.asarray(self.dims, jnp.int32) - 1)
+        if self.xbounds is not None:
+            ix = jnp.searchsorted(self.xbounds.astype(frac.dtype),
+                                  frac[..., 0], side="right") - 1
+            ix = jnp.clip(ix.astype(jnp.int32), 0, gx - 1)
+            ijk = jnp.concatenate([ix[..., None], ijk[..., 1:]], axis=-1)
+        return ijk
+
+    def cell_index(self, pos):
+        """Flat cell id for (wrapped) cartesian positions [N,3] -> [N]."""
+        gy, gz = self.dims[1], self.dims[2]
+        ijk = self._ijk_from_frac(self.box.to_frac(pos))
         return (ijk[..., 0] * gy + ijk[..., 1]) * gz + ijk[..., 2]
 
     def cell_ijk(self, pos):
-        gx, gy, gz = self.dims
-        frac = self.box.to_frac(pos)
-        dims = jnp.asarray(self.dims, frac.dtype)
-        ijk = jnp.floor(frac * dims).astype(jnp.int32)
-        return jnp.clip(ijk, 0, jnp.asarray(self.dims, jnp.int32) - 1)
+        return self._ijk_from_frac(self.box.to_frac(pos))
 
 
 def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
                 capacity: int = 0, n_atoms: int = 0,
                 min_dims: Tuple[int, int, int] = (1, 1, 1),
                 dims_multiple: Tuple[int, int, int] = (1, 1, 1),
+                max_dims: Tuple[int, int, int] = (0, 0, 0),
                 headroom: float = 1.6) -> CellGrid:
     """Pick cell-grid dims and capacity (init_cells, imd_geom_3d.c:118).
 
@@ -128,6 +140,10 @@ def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
     dims = []
     for d in range(3):
         n = max(1, int(math.floor(heights[d] / reach)))
+        if max_dims[d] > 0:
+            # coarser-than-cutoff cells: gives the x load balancer slack
+            # to move slab planes (every slab must stay >= reach wide)
+            n = min(n, max_dims[d])
         n = max(n, min_dims[d])
         m = dims_multiple[d]
         if n % m:
@@ -176,4 +192,5 @@ def measured_capacity(grid: CellGrid, pos, safety: float = 1.25,
 
 def with_capacity(grid: CellGrid, capacity: int) -> CellGrid:
     return CellGrid(box=grid.box, dims=grid.dims, capacity=int(capacity),
-                    cutoff=grid.cutoff, skin=grid.skin)
+                    cutoff=grid.cutoff, skin=grid.skin,
+                    xbounds=grid.xbounds)

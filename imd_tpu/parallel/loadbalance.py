@@ -78,3 +78,62 @@ class LbLog:
 
     def close(self):
         self._f.close()
+
+
+def repartition_x(scene: Scene, min_frac: float = 0.0):
+    """Move the x slab planes to equalize atoms per slab (jit-safe).
+
+    The TPU-native balanceLoad (imd_loadBalance.c:272): instead of
+    deforming rank domains, the cell grid's x-partition (grid.xbounds, a
+    traced leaf) is moved to the atom-count quantiles, subject to every
+    slab keeping width >= (cutoff+skin)/Lx so the roll stencil stays
+    valid.  Returns a new Scene rebinned under the moved planes — no
+    recompilation, because dims/capacity are unchanged.
+
+    Call every lb_frequency steps (main_3d:864-914); follow with an
+    overflow check exactly like after any rebin.
+    """
+    from imd_tpu.scene import rebin
+
+    grid = scene.grid
+    gx = grid.dims[0]
+    dtype = scene.pos.dtype
+    if min_frac <= 0.0:
+        # fractional minimum slab width from the box height along x
+        hx = float(np.asarray(grid.box.h, np.float64)[0, 0]) if not isinstance(
+            grid.box.h, jax.core.Tracer) else None
+        reach = grid.cutoff + grid.skin
+        if hx is not None and hx > 0:
+            min_frac = reach / hx
+        else:
+            min_frac = 1.0 / (2 * gx)
+    if gx * min_frac >= 1.0:
+        raise ValueError("box too small to move slab planes")
+
+    flat = scene.flatten_atoms()
+    frac = grid.box.to_frac(flat["pos"])[:, 0]
+    frac = jnp.where(flat["mask"], jnp.clip(frac, 0.0, 1.0), 2.0)
+    fs = jnp.sort(frac)
+    n_alive = jnp.sum(flat["mask"].astype(jnp.int32))
+    # sequential constrained quantiles: cut k takes an equal share of the
+    # atoms REMAINING right of the (already clamped) previous cut, then
+    # clamps to the feasible band.  A one-shot quantile pass goes stale
+    # as soon as a clamp binds in a dense region and starves the next
+    # slab; this is the plane-shift iteration of balanceOrtho collapsed
+    # into one sweep.
+    def one_cut(carry, k):
+        prev = carry
+        n_left = jnp.searchsorted(fs, prev, side="right").astype(jnp.int32)
+        remaining = n_alive - n_left
+        share = remaining // (gx - k + 1)
+        idx = jnp.clip(n_left + share, 0, frac.shape[0] - 1)
+        c = fs[idx]
+        c = jnp.clip(c, prev + min_frac,
+                     1.0 - (gx - k).astype(c.dtype) * min_frac)
+        return c, c
+    _, cuts = jax.lax.scan(one_cut, jnp.zeros((), fs.dtype),
+                           jnp.arange(1, gx, dtype=jnp.int32))
+    xb = jnp.concatenate([jnp.zeros((1,), dtype), cuts.astype(dtype),
+                          jnp.ones((1,), dtype)])
+    new_grid = grid.replace(xbounds=xb)
+    return rebin(scene, grid=new_grid)

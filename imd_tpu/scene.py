@@ -107,7 +107,11 @@ def _bin_flat(grid: CellGrid, pos, arrays, cap, dtype):
     rank = ar - run_start
     alive_s = cidx_s < n_cells
     over = alive_s & (rank >= cap)
-    target = jnp.where(alive_s & (rank < cap), cidx_s * cap + rank, -1)
+    # drop sentinel must be out of bounds PAST the end: .at[] mode="drop"
+    # wraps negative indices like normal indexing instead of dropping them,
+    # which parked every dead/overflow atom in the last cell's last slot
+    target = jnp.where(alive_s & (rank < cap), cidx_s * cap + rank,
+                       n_cells * cap)
 
     out = {}
     for name, a in arrays.items():
@@ -129,6 +133,68 @@ def _bin_flat(grid: CellGrid, pos, arrays, cap, dtype):
     return out, overflow
 
 
+def _bin_flat_host(grid: CellGrid, pos, arrays, cap, dtype):
+    """NumPy twin of _bin_flat for setup time.
+
+    make_scene runs once per phase on host inputs; doing the wrap/sort/
+    scatter in NumPy keeps setup at one bulk host->device transfer
+    instead of ~50 dispatched device ops (which crawl over the remote
+    TPU tunnel at 1M atoms and dominated bench start-up).
+    """
+    gx, gy, gz = grid.dims
+    n_cells = gx * gy * gz
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
+    pos = np.asarray(pos, np.float64)
+    mask = np.asarray(arrays["mask"], bool)
+    h = np.asarray(grid.box.h, np.float64)
+    inv_h = np.asarray(grid.box.inv_h, np.float64)
+    period = np.asarray(grid.box.pbc, np.float64)
+    frac = pos @ inv_h
+    frac = frac - np.floor(frac) * period
+    wrapped = (frac @ h).astype(np_dtype)
+    # recompute frac from the rounded positions so binning matches what
+    # the on-device skin-check/rebin will see
+    frac2 = (wrapped.astype(np.float64) @ inv_h) * np.array([gx, gy, gz])
+    ijk = np.clip(np.floor(frac2).astype(np.int64), 0,
+                  np.array([gx - 1, gy - 1, gz - 1]))
+    if grid.xbounds is not None:
+        xb = np.asarray(grid.xbounds, np.float64)
+        ix = np.clip(np.searchsorted(xb, frac2[:, 0] / gx,
+                                     side="right") - 1, 0, gx - 1)
+        ijk[:, 0] = ix
+    cidx = (ijk[:, 0] * gy + ijk[:, 1]) * gz + ijk[:, 2]
+    cidx = np.where(mask, cidx, n_cells)
+    order = np.argsort(cidx, kind="stable")
+    cidx_s = cidx[order]
+    # rank within each run of equal cell ids
+    counts = np.bincount(cidx_s, minlength=n_cells + 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(cidx_s)) - starts[cidx_s]
+    alive_s = cidx_s < n_cells
+    keep = alive_s & (rank < cap)
+    target = (cidx_s * cap + rank)[keep]
+    overflow = int(np.sum(alive_s & (rank >= cap)))
+
+    out = {}
+    for name, a in arrays.items():
+        if name == "mask":
+            continue
+        a = np.asarray(a)
+        a_s = a[order][keep]
+        fill_shape = (n_cells * cap,) + a.shape[1:]
+        if np.issubdtype(a.dtype, np.integer):
+            binned = np.full(fill_shape, -1, np.int32)
+        else:
+            binned = np.zeros(fill_shape, np_dtype)
+        binned[target] = a_s
+        out[name] = jnp.asarray(
+            binned.reshape((gx, gy, gz, cap) + a.shape[1:]))
+    pos_binned = np.zeros((n_cells * cap, 3), np_dtype)
+    pos_binned[target] = wrapped[order][keep]
+    out["pos"] = jnp.asarray(pos_binned.reshape(gx, gy, gz, cap, 3))
+    return out, overflow
+
+
 def make_scene(grid: CellGrid, pos, *, mom=None, mass=None, type=None,
                vtype=None, id=None, epot=None, mask=None,
                dtype=jnp.float32) -> Scene:
@@ -147,7 +213,10 @@ def make_scene(grid: CellGrid, pos, *, mom=None, mass=None, type=None,
     cap = grid.capacity
     arrays = {"mask": mask, "mom": mom, "mass": mass, "type": type_,
               "vtype": vtype, "id": id_, "epot": epot}
-    out, overflow = _bin_flat(grid, pos, arrays, cap, dtype)
+    concrete = not any(isinstance(a, jax.core.Tracer)
+                       for a in (pos, grid.box.h, *arrays.values()))
+    bin_fn = _bin_flat_host if concrete else _bin_flat
+    out, overflow = bin_fn(grid, pos, arrays, cap, dtype)
     return Scene(
         pos=out["pos"], mom=out["mom"],
         force=jnp.zeros_like(out["pos"]),
@@ -158,23 +227,27 @@ def make_scene(grid: CellGrid, pos, *, mom=None, mass=None, type=None,
     )
 
 
-def rebin(scene: Scene) -> Scene:
+def rebin(scene: Scene, grid: Optional[CellGrid] = None) -> Scene:
     """Re-sort all atoms into their current cells (fix_cells equivalent).
 
     jit-safe: static shapes throughout.  Also resets the skin-check
-    reference positions.
+    reference positions.  ``grid`` overrides the scene's grid (same
+    dims/capacity, possibly moved xbounds slab planes) — the load
+    balancer's lb_relocateParticles analog.
     """
+    grid = scene.grid if grid is None else grid
     flat = scene.flatten_atoms()
     arrays = {"mask": flat["mask"], "mom": flat["mom"], "mass": flat["mass"],
               "type": flat["type"], "vtype": flat["vtype"], "id": flat["id"],
               "epot": flat["epot"]}
-    out, overflow = _bin_flat(scene.grid, flat["pos"], arrays,
+    out, overflow = _bin_flat(grid, flat["pos"], arrays,
                               scene.capacity, scene.pos.dtype)
     return scene.replace(
         pos=out["pos"], mom=out["mom"], force=jnp.zeros_like(out["pos"]),
         epot=out["epot"], mass=out["mass"], type=out["type"],
         vtype=out["vtype"], id=out["id"], nbl_ref_pos=out["pos"],
         overflow=(scene.overflow + overflow).astype(jnp.int32),
+        grid=grid,
     )
 
 

@@ -203,3 +203,35 @@ def test_nvx_builds_temperature_gradient():
     hot = prof[nlay // 2]
     assert hot > 1.5 * cold and cold > 0   # gradient established
     assert np.isfinite(prof).all()
+
+
+def test_host_device_binning_equivalence_and_drop_sentinel():
+    """_bin_flat_host (setup path) must agree with the jit _bin_flat, and
+    dead/overflow atoms must be DROPPED, not wrapped into the last slot
+    (negative scatter indices wrap under mode='drop')."""
+    from imd_tpu.scene import _bin_flat, _bin_flat_host
+
+    rng = np.random.default_rng(3)
+    box = Box.cubic(30.0)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=500)
+    grid = with_capacity(grid, 8)
+    pos = rng.uniform(-5.0, 35.0, (500, 3)).astype(np.float32)
+    mask = rng.random(500) > 0.2          # dead atoms present
+    arrays = {"mask": mask, "id": np.arange(500, dtype=np.int32),
+              "mass": rng.random(500).astype(np.float32)}
+    oj, ovj = _bin_flat(grid, jnp.asarray(pos),
+                        {k: jnp.asarray(v) for k, v in arrays.items()},
+                        8, jnp.float32)
+    oh, ovh = _bin_flat_host(grid, pos, arrays, 8, jnp.float32)
+    assert int(ovj) == int(ovh)
+    ids_dev = np.asarray(oj["id"]).reshape(-1)
+    ids_host = np.asarray(oh["id"]).reshape(-1)
+    dead = set(np.nonzero(~mask)[0].tolist())
+    assert not (set(ids_dev[ids_dev >= 0].tolist()) & dead)
+    assert set(ids_dev[ids_dev >= 0].tolist()) == \
+        set(ids_host[ids_host >= 0].tolist())
+    n_cells = grid.n_cells
+    for k in ("id", "mass", "pos"):
+        a = np.sort(np.asarray(oj[k]).reshape(n_cells, 8, -1), axis=1)
+        b = np.sort(np.asarray(oh[k]).reshape(n_cells, 8, -1), axis=1)
+        np.testing.assert_allclose(a, b, atol=2e-4)
