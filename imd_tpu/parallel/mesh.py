@@ -72,3 +72,25 @@ def check_grid_divisible(grid_dims: Tuple[int, int, int], mesh: Mesh):
             raise ValueError(
                 f"cell grid dim {ax} ({grid_dims[ax]}) not divisible by "
                 f"mesh axis '{name}' ({n}); choose grid dims_multiple")
+
+
+def ttm_shardings(mesh: Mesh, ttm_grid):
+    """NamedShardings for a models.ttm.TTMGrid: the FD x axis rides the
+    mesh's x axis (P8 in SURVEY §2.4: the reference splits the FD grid
+    evenly by rank along x, imd_ttm.c:963-977; ghost exchanges and the
+    Allgather-of-columns become XLA halo permutes / psums under jit)."""
+    def shard_leaf(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and \
+                mesh.shape[mesh.axis_names[0]] > 1 and \
+                leaf.shape[0] % mesh.shape[mesh.axis_names[0]] == 0 and \
+                leaf.shape[0] > 1:
+            return NamedSharding(
+                mesh, P(mesh.axis_names[0], *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(shard_leaf, ttm_grid)
+
+
+def shard_ttm(mesh: Mesh, ttm_grid):
+    """Place a TTMGrid onto the mesh, FD columns block-sharded along x."""
+    sh = ttm_shardings(mesh, ttm_grid)
+    return jax.tree.map(jax.device_put, ttm_grid, sh)

@@ -73,3 +73,47 @@ def test_sharded_step_and_rebin_match():
     np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos),
                                rtol=1e-12, atol=1e-12)
     assert int(s2.overflow) == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_ttm_step_matches_single_device():
+    """P8: the TTM FD grid sharded along the mesh x axis produces the
+    same electron temperatures and coupled forces as one device."""
+    from imd_tpu.config import LaserConfig, TTMConfig
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.parallel.mesh import shard_ttm
+
+    scene, pot = _scene(dims_multiple=(8, 1, 1))
+    mesh = make_mesh((8, 1, 1))
+    dtype = scene.pos.dtype
+    tcfg = TTMConfig(enabled=True, fd_nx=16, fd_min_atoms=2)
+    tp = ttm_mod.make_params(tcfg, scene.grid.box, 2.5, dtype)
+    eos = FEGEos()
+    lcfg = LaserConfig(rescale_mode=4, sigma_e=0.05, sigma_t=50.0,
+                       t_0=100.0, mu=0.01)
+    params = integrate.IntegratorParams(timestep=jnp.asarray(0.05, dtype))
+    fdi0 = -jnp.ones(scene.type.shape, jnp.int32)
+
+    @jax.jit
+    def step(scene, tgrid, fdi, t):
+        res = compute_pair_forces(scene, pot, ntypes=1,
+                                  count_neighbors=True)
+        scene = scene.replace(force=res.force, epot=res.epot)
+        tgrid, fdi = ttm_mod.calc_ttm(
+            tgrid, scene, tp, eos, res.num_neighs, fdi, params.timestep,
+            t, laser_cfg=lcfg, first_step=(t == 0))
+        xi_a, vcom = ttm_mod.gather_atom_coupling(tgrid, scene, tp)
+        scene, stats = integrate.ttm(scene, params, xi_a, vcom)
+        return scene, tgrid, fdi
+
+    tg = ttm_mod.make_grid(tp, dtype)
+    s1, tg1, _ = step(scene, tg, fdi0, jnp.zeros((), dtype))
+    s8, tg8, _ = step(shard_scene(mesh, scene), shard_ttm(mesh, tg),
+                      fdi0, jnp.zeros((), dtype))
+    np.testing.assert_allclose(np.asarray(tg8.temp), np.asarray(tg1.temp),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s8.mom), np.asarray(s1.mom),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tg8.xi), np.asarray(tg1.xi),
+                               rtol=1e-12, atol=1e-12)
