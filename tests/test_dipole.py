@@ -1,0 +1,75 @@
+"""Tangney-Scandolo induced dipoles: SCF fixed point, HF forces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imd_tpu.models.dipole import (DipoleParams, dipole_energy,
+                                   dipole_forces, scf_dipoles,
+                                   sio2_demo_params)
+
+
+def _sio2_cluster(seed=0, n_si=3, n_o=6):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(0, 6.0, (n_si + n_o, 3))
+    # spread atoms to avoid unphysical overlaps
+    for _ in range(40):
+        d = pos[None] - pos[:, None]
+        r = np.linalg.norm(d, axis=-1) + np.eye(len(pos)) * 10
+        bad = r < 1.6
+        if not bad.any():
+            break
+        i, j = np.argwhere(bad)[0]
+        pos[j] += 0.4 * (pos[j] - pos[i]) / r[i, j]
+    types = np.array([0] * n_si + [1] * n_o, np.int32)
+    return jnp.asarray(pos, jnp.float64), jnp.asarray(types)
+
+
+def test_scf_converges_to_fixed_point():
+    pos, types = _sio2_cluster()
+    P = sio2_demo_params()
+    p, iters = scf_dipoles(pos, types, P=P)
+    assert int(iters) < P.max_iter
+    # verify p = alpha * E(p) by one more un-mixed application
+    P1 = P._replace(dp_mix=1.0, max_iter=1, dp_tol=0.0)
+    from imd_tpu.models.dipole import _field_tensors, _geometry, COUL_EV_A
+    dr, r, nb = _geometry(pos, types, None, jnp.ones(len(pos), bool), P)
+    E1, T2, q, taper, inv_r = _field_tensors(dr, r, nb, types, P,
+                                             jnp.float64)
+    E = E1 + jnp.einsum("ijab,jb->ia", T2, p)
+    alpha = P.alpha[types]
+    np.testing.assert_allclose(np.asarray(p),
+                               np.asarray(alpha[:, None] * E), atol=1e-6)
+    # silicon (alpha=0) carries no dipole
+    np.testing.assert_allclose(np.asarray(p[types == 0]), 0.0, atol=0)
+
+
+def test_forces_match_finite_differences():
+    pos, types = _sio2_cluster(3)
+    P = sio2_demo_params()._replace(dp_tol=1e-12)
+    e, f, p, iters = dipole_forces(pos, types, P=P)
+    assert np.isfinite(float(e))
+    h = 1e-6
+    for idx in [(0, 0), (4, 1), (7, 2)]:
+        d = np.zeros(pos.shape)
+        d[idx] = h
+
+        def etot(x):
+            return float(dipole_energy(jnp.asarray(x), types, P=P))
+        fd = -(etot(pos + d) - etot(pos - d)) / (2 * h)
+        assert abs(fd - float(f[idx])) < 2e-5 * max(1.0, abs(fd)), idx
+
+
+def test_dipole_points_along_field():
+    """A lone O between two symmetric Si has zero dipole; breaking the
+    symmetry induces one along the broken axis."""
+    P = sio2_demo_params()
+    types = jnp.asarray([0, 0, 1], jnp.int32)
+    sym = jnp.asarray([[-2.0, 0, 0], [2.0, 0, 0], [0.0, 0, 0]],
+                      jnp.float64)
+    p_sym, _ = scf_dipoles(sym, types, P=P)
+    np.testing.assert_allclose(np.asarray(p_sym[2]), 0.0, atol=1e-12)
+    asym = sym.at[2, 0].add(0.4)
+    p_asym, _ = scf_dipoles(asym, types, P=P)
+    assert abs(float(p_asym[2, 0])) > 1e-4
+    np.testing.assert_allclose(np.asarray(p_asym[2, 1:]), 0.0, atol=1e-10)
