@@ -17,6 +17,7 @@ neighbor search), operating on a Scene snapshot.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -441,3 +442,96 @@ def nye_tensor(scene, ref_vectors: np.ndarray, r_cut: float,
     alpha[:, 1, :] = -grd[:, 0, :, 2] + grd[:, 2, :, 0]
     alpha[:, 2, :] = -grd[:, 1, :, 0] + grd[:, 0, :, 1]
     return alpha, lcm
+
+
+# ---------------------------------------------------------------------------
+# Heat current (imd_transport.c:32-112, do_heat_cond) and defect distance
+# (imd_ada.c:300-349, hopsToDefect)
+# ---------------------------------------------------------------------------
+
+class HeatCurrent:
+    """Green-Kubo microscopic heat-current accumulator (do_heat_cond).
+
+    Usage mirrors the reference's hc_av_start/hc_start window: call
+    `update(scene, res, step)` each step with a ForceResult computed with
+    per_atom_stress=True.  Steps in [av_start, start) accumulate each
+    atom's average energy and the average temperature; steps >= start
+    yield the scaled heat current J = fac * sum_i [p_i (e_i - <e_i>) +
+    0.5 sigma_i p_i] / m_i with fac = 1/(sqrt(V) T)
+    (imd_transport.c:67-111).
+    """
+
+    def __init__(self, av_start: int, start: int, timestep: float,
+                 volume: float):
+        if start <= av_start:
+            raise ValueError("hc_start must be > hc_av_start")
+        self.av_start, self.start = av_start, start
+        self.dt, self.volume = timestep, volume
+        self.avg_eng = None       # by atom id
+        self.fac_sum = 0.0
+        self.fac = None
+
+    def _per_atom(self, scene, res):
+        flat = scene.flatten_atoms()
+        m = np.asarray(flat["mask"])
+        ids = np.asarray(flat["id"])[m]
+        mom = np.asarray(flat["mom"])[m]
+        mass = np.asarray(flat["mass"])[m]
+        force = np.asarray(flat["force"])[m]
+        epot = np.asarray(flat["epot"])[m]
+        pt = np.asarray(res.presstens_atom).reshape(-1, 6)[m.reshape(-1)]
+        pp = mom + 0.5 * self.dt * force    # momenta at force time
+        ekin = np.sum(pp * pp, 1) / (2.0 * mass)
+        return ids, pp, mass, ekin, ekin + epot, pt
+
+    def update(self, scene, res, step: int):
+        """Returns J [3] for step >= hc_start, else None."""
+        if res.presstens_atom is None:
+            raise ValueError("need compute_*_forces(per_atom_stress=True)")
+        ids, pp, mass, ekin, e, pt = self._per_atom(scene, res)
+        n = int(ids.max()) + 1
+        if self.avg_eng is None:
+            self.avg_eng = np.zeros(n)
+        if step < self.start:
+            if step >= self.av_start:
+                ae = np.zeros(n)
+                ae[ids] = e
+                self.avg_eng += ae
+                self.fac_sum += float(ekin.sum())
+            return None
+        if self.fac is None:
+            window = self.start - self.av_start
+            self.avg_eng /= window
+            temp = 2.0 * self.fac_sum / (3.0 * n * window)
+            self.fac = 1.0 / (math.sqrt(self.volume) * temp)
+        de = e - self.avg_eng[ids]
+        # sigma . p with Voigt order xx yy zz yz zx xy
+        sx = pt[:, 0] * pp[:, 0] + pt[:, 5] * pp[:, 1] + pt[:, 4] * pp[:, 2]
+        sy = pt[:, 5] * pp[:, 0] + pt[:, 1] * pp[:, 1] + pt[:, 3] * pp[:, 2]
+        sz = pt[:, 4] * pp[:, 0] + pt[:, 3] * pp[:, 1] + pt[:, 2] * pp[:, 2]
+        sv = np.stack([sx, sy, sz], 1)
+        J = np.sum((pp * de[:, None] + 0.5 * sv) / mass[:, None], 0)
+        return self.fac * J
+
+
+def hops_to_defect(scene, defect_mask: np.ndarray, r_cut: float,
+                   rounds: int = 3) -> np.ndarray:
+    """Bond-graph distance to the nearest defect atom, capped at
+    ``rounds`` (imd_ada.c:300-349: 127 = farther than `rounds` hops).
+
+    ``defect_mask`` is per alive atom (e.g. ackland_jones(...) != fcc
+    class); returns per alive atom hop counts (0 = defect itself).
+    """
+    pos, _, _, _, _ = _scene_atoms(scene)
+    box_diag = np.abs(np.diag(np.asarray(scene.grid.box.h)))
+    i, j, _ = _neighbor_pairs(pos, box_diag, scene.grid.box.pbc, r_cut)
+    hops = np.where(np.asarray(defect_mask), 0, 127).astype(np.int32)
+    for h in range(rounds):
+        front = hops == h
+        touch_j = front[i]
+        touch_i = front[j]
+        upd = np.zeros(len(pos), bool)
+        upd[j[touch_j]] = True
+        upd[i[touch_i]] = True
+        hops = np.where(upd & (hops > h + 1), h + 1, hops)
+    return hops

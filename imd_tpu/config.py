@@ -308,6 +308,49 @@ class SimConfig:
     # NVX heat-flux (imd_param.c:1954-1964)
     hc_nlayers: int = 0
     hc_heatcurr: float = 0.0
+    # Green-Kubo heat-current window (imd_transport.c, hc_* tags)
+    hc_int: int = 0
+    hc_start: int = 0
+    hc_av_start: int = 0
+    # SHOCK loading (imd_param.c:1783-1800; imd_maxwell.c:221-235)
+    shock_mode: int = 0
+    shock_strip: float = 0.0
+    shock_speed: float = 0.0
+    shock_speed_left: float = 0.0
+    shock_speed_right: float = 0.0
+    # MEAM (imd_param.c meam_* tags; models/meam.py)
+    meam_t_average: int = 0
+    meam_t1: Tuple[float, ...] = ()
+    meam_t2: Tuple[float, ...] = ()
+    meam_t3: Tuple[float, ...] = ()
+    meam_f0: Tuple[float, ...] = ()
+    meam_r0: Tuple[float, ...] = ()
+    meam_beta0: Tuple[float, ...] = ()
+    meam_beta1: Tuple[float, ...] = ()
+    meam_beta2: Tuple[float, ...] = ()
+    meam_beta3: Tuple[float, ...] = ()
+    meam_cmin: Tuple[float, ...] = ()
+    meam_cmax: Tuple[float, ...] = ()
+    meam_rcut: Tuple[float, ...] = ()
+    meam_deltar: Tuple[float, ...] = ()
+    meam_e: Tuple[float, ...] = ()
+    meam_a: Tuple[float, ...] = ()
+    meam_rho0: Tuple[float, ...] = ()
+    # DIPOLE / Tangney-Scandolo (imd_param.c:3451-3539; models/dipole.py)
+    dp_fix: int = 0
+    dp_mix: float = 0.6
+    dp_tol: float = 1e-7
+    dp_alpha: Tuple[float, ...] = ()
+    dp_b: Tuple[float, ...] = ()
+    dp_c: Tuple[float, ...] = ()
+    ms_D: Tuple[float, ...] = ()
+    ms_gamma: Tuple[float, ...] = ()
+    ms_r0: Tuple[float, ...] = ()
+    charge: Tuple[float, ...] = ()
+    # UNIAX Gay-Berne (models/uniax.py)
+    uniax_inert: float = 1.0
+    uniax_sigma: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    uniax_eps: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # external indenters / walls (imd_param.c:3612-3680)
     ep_n: int = 0
     ep_nind: int = 0
@@ -465,6 +508,33 @@ class SimConfig:
         c.expansionmode = int(g("expansionmode", 0))
         c.hc_nlayers = int(g("hc_nlayers", 0))
         c.hc_heatcurr = float(g("hc_heatcurr", 0.0))
+        c.hc_int = int(g("hc_int", 0))
+        c.hc_start = int(g("hc_start", 0))
+        c.hc_av_start = int(g("hc_av_start", 0))
+        c.shock_mode = int(g("shock_mode", 0))
+        c.shock_strip = float(g("shock_strip", 0.0))
+        c.shock_speed = float(g("shock_speed", 0.0))
+        c.shock_speed_left = float(g("shock_speed_l",
+                                     g("shock_speed_left", 0.0)))
+        c.shock_speed_right = float(g("shock_speed_r",
+                                      g("shock_speed_right", 0.0)))
+        c.meam_t_average = int(g("meam_t_average", 0))
+        for tag in ("meam_t1", "meam_t2", "meam_t3", "meam_f0", "meam_r0",
+                    "meam_beta0", "meam_beta1", "meam_beta2", "meam_beta3",
+                    "meam_cmin", "meam_cmax", "meam_rcut", "meam_deltar",
+                    "meam_e", "meam_a", "meam_rho0",
+                    "dp_alpha", "dp_b", "dp_c",
+                    "ms_D", "ms_gamma", "ms_r0", "charge"):
+            v = g(tag)
+            if v is not None:
+                v = v if isinstance(v, list) else [v]
+                setattr(c, tag, tuple(float(x) for x in v))
+        c.dp_fix = int(g("dp_fix", 0))
+        c.dp_mix = float(g("dp_mix", c.dp_mix))
+        c.dp_tol = float(g("dp_tol", c.dp_tol))
+        c.uniax_inert = float(g("uniax_inert", 1.0))
+        c.uniax_sigma = _vec3(g("uniax_sigma"), c.uniax_sigma)
+        c.uniax_eps = _vec3(g("uniax_eps"), c.uniax_eps)
         c.ep_n = int(g("ep_n", 0))
         c.ep_nind = int(g("ep_nind", c.ep_n))
         c.ep_key = int(g("ep_key", 0))

@@ -661,3 +661,58 @@ def count_active_dof(scene: Scene,
         return 3.0 * jnp.sum(mask)
     vt = jnp.clip(scene.vtype, 0, restrictions.shape[0] - 1)
     return jnp.sum(restrictions[vt] * mask[..., None])
+
+
+# ---------------------------------------------------------------------------
+# SHOCK: piston/mirror shock loading (imd_maxwell.c:221-235 init;
+# imd_integrate.c:434-452 step mirrors)
+# ---------------------------------------------------------------------------
+
+def shock_init(scene: Scene, mode: int, shock_speed, strip=0.0) -> Scene:
+    """Superimpose the shock drift on the thermal velocities.
+
+    mode 1: plate (x < shock_strip) against bulk; mode 2: two halves
+    against each other; mode 3: whole bulk against a wall.
+    """
+    m = scene.fmask()
+    x = scene.pos[..., 0]
+    dp = jnp.asarray(shock_speed, scene.pos.dtype) * scene.mass * m
+    if mode == 1:
+        dp = jnp.where(x < strip, dp, 0.0)
+    elif mode == 2:
+        bx = scene.grid.box.h[0, 0]
+        dp = jnp.where(x < 0.5 * bx, dp, -dp)
+    elif mode != 3:
+        raise ValueError(f"shock_mode {mode} has no velocity init")
+    mom = scene.mom.at[..., 0].add(dp)
+    return scene.replace(mom=mom)
+
+
+def shock_mirrors(scene: Scene, mode: int, step, timestep,
+                  shock_speed_l=0.0, shock_speed_r=0.0) -> Scene:
+    """Post-step reflecting walls (imd_integrate.c:434-452).
+
+    mode 3: fixed wall at box_x (atoms crossing bounce back); mode 4:
+    two pistons moving inward at shock_speed_l/r.
+    """
+    x = scene.pos[..., 0]
+    px = scene.mom[..., 0]
+    bx = scene.grid.box.h[0, 0]
+    dtype = scene.pos.dtype
+    if mode == 3:
+        hit = (x > bx) & scene.mask & (step > 0)
+        px = jnp.where(hit, -px, px)
+        x = jnp.where(hit, 2.0 * bx - x, x)
+    elif mode == 4:
+        rand = jnp.asarray(shock_speed_l, dtype) * timestep * step
+        hit_l = (x < rand) & scene.mask
+        px = jnp.where(hit_l, -px + 2.0 * shock_speed_l * scene.mass, px)
+        x = jnp.where(hit_l, 2.0 * rand - x, x)
+        randr = bx - jnp.asarray(shock_speed_r, dtype) * timestep * step
+        hit_r = (x > randr) & scene.mask
+        px = jnp.where(hit_r, -px - 2.0 * shock_speed_r * scene.mass, px)
+        x = jnp.where(hit_r, 2.0 * randr - x, x)
+    else:
+        raise ValueError(f"shock_mode {mode} has no step mirrors")
+    return scene.replace(mom=scene.mom.at[..., 0].set(px),
+                         pos=scene.pos.at[..., 0].set(x))

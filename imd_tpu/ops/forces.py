@@ -105,6 +105,9 @@ class ForceResult(struct.PyTreeNode):
     num_neighs: jnp.ndarray   # [gx,gy,gz,cap] int32 (TTM local density probe)
     rho: Optional[jnp.ndarray] = None    # EAM host density
     embed_dF: Optional[jnp.ndarray] = None
+    # per-atom virial tensor [gx,gy,gz,cap,6] (STRESS_TENS PRESSTENS,
+    # imd_forces_nbl.c:955-975); only filled on request
+    presstens_atom: Optional[jnp.ndarray] = None
 
 
 def _pair_terms(pot: PotTable, ntypes, t_i, t_j, r2, valid):
@@ -123,7 +126,8 @@ def _pair_terms(pot: PotTable, ntypes, t_i, t_j, r2, valid):
 
 def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
                         count_neighbors: bool = False,
-                        neigh_r2: float = 0.0) -> ForceResult:
+                        neigh_r2: float = 0.0,
+                        per_atom_stress: bool = False) -> ForceResult:
     """Pair-potential forces with Newton's 3rd law over the 14-offset stencil.
 
     Mirrors calc_forces for PAIR (imd_forces_nbl.c:419-672) including the
@@ -143,9 +147,10 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
     virial = jnp.zeros((), dtype)
     presstens = jnp.zeros((6,), dtype)
     nneigh = jnp.zeros(pos.shape[:-1], jnp.int32)
+    pt_atom = jnp.zeros(pos.shape[:-1] + (6,), dtype)
 
     def pair_block(off, self_cell):
-        nonlocal F, epot, virial, presstens, nneigh
+        nonlocal F, epot, virial, presstens, nneigh, pt_atom
         if self_cell:
             npos, ntyp, nmask = pos, typ, mask
             shift = jnp.zeros((1, 1, 1, 1, 3), dtype)
@@ -190,6 +195,17 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
             jnp.sum(gv * dr[..., 0] * dr[..., 1]),
         ])
         presstens = presstens - pt
+        if per_atom_stress:
+            # half of each pair's d(x)f to i and to j (forces_nbl:959-975)
+            comps = ((0, 0), (1, 1), (2, 2), (1, 2), (2, 0), (0, 1))
+            pts = jnp.stack([gv * dr[..., a] * dr[..., b]
+                             for a, b in comps], axis=-1)
+            pt_i = -0.5 * jnp.sum(pts, axis=-2)
+            pt_j = -0.5 * jnp.sum(pts, axis=-3)
+            if self_cell:
+                pt_atom = pt_atom + pt_i + pt_j
+            else:
+                pt_atom = pt_atom + pt_i + _reverse_roll(grid, pt_j, off)
         if count_neighbors:
             near = valid & (r2 < nr2)
             n_i = jnp.sum(near, axis=-1).astype(jnp.int32)
@@ -204,7 +220,8 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
         pair_block(off, False)
 
     return ForceResult(force=F, epot=epot, virial=virial,
-                       presstens=presstens, num_neighs=nneigh)
+                       presstens=presstens, num_neighs=nneigh,
+                       presstens_atom=pt_atom if per_atom_stress else None)
 
 
 def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,

@@ -150,3 +150,33 @@ def test_cg_relaxes_perturbed_crystal():
     # monotone-ish decrease (allow tiny line-search overshoots)
     ep = np.asarray(epots)
     assert ep[-1] < ep[0]
+
+
+def test_shock_init_and_mirrors():
+    """SHOCK: drift superposition and reflecting pistons."""
+    import numpy as np
+    from imd_tpu.integrate import shock_init, shock_mirrors
+    from imd_tpu.ops.geometry import Box, choose_grid
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    pos, _, diag = fcc((4, 4, 4), 1.5874)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.3, n_atoms=len(pos))
+    scene = make_scene(grid, pos, dtype=jnp.float64)
+    # mode 2: two halves approach: net momentum ~ 0, nonzero per half
+    s2 = shock_init(scene, 2, 0.5)
+    px = np.asarray(s2.mom[..., 0])[np.asarray(s2.mask)]
+    xs = np.asarray(s2.pos[..., 0])[np.asarray(s2.mask)]
+    assert (px[xs < float(diag[0]) / 2] > 0).all()
+    assert (px[xs >= float(diag[0]) / 2] < 0).all()
+    # mode 4 mirrors: an atom pushed past the left moving piston bounces
+    s = scene.replace(mom=scene.mom.at[..., 0].add(-5.0 * scene.fmask()))
+    s = s.replace(pos=s.pos.at[..., 0].add(-0.9 * s.fmask()))
+    sm = shock_mirrors(s, 4, jnp.asarray(10.0), jnp.asarray(0.01),
+                       shock_speed_l=1.0, shock_speed_r=1.0)
+    xs2 = np.asarray(sm.pos[..., 0])[np.asarray(sm.mask)]
+    assert xs2.min() >= 0.1 - 1e-9    # nothing left of the piston plane
+    px2 = np.asarray(sm.mom[..., 0])[np.asarray(sm.mask)]
+    assert (px2[xs2 < 0.5] > 0).all()  # bounced forward with piston boost
