@@ -1,0 +1,93 @@
+"""CLI driver: the `imd_<target> -p paramfile [-r N]` equivalent.
+
+Reference surface: read_command_line (imd_param.c:4077: `-p file`,
+`-r restart#`) and the per-phase main loop of main() (imd.c:31-405,
+`simulation N` sections).  One binary replaces the reference's
+compile-time product line: every feature is runtime-configured from the
+parameter file.
+
+Usage:
+    python -m imd_tpu -p params.imd [-r N] [--dtype float32|float64]
+                      [--engine auto|pallas|xla] [--steps-override N]
+
+Phases: the parameter file may contain `simulation K` sections; each
+phase re-reads the file at that phase (imd_param.c:314-318) and
+continues from the previous phase's final state (handed over via an
+in-memory scene transplant, matching the reference's keep-in-memory
+behavior).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+
+def count_phases(text: str) -> int:
+    mx = 1
+    for line in text.splitlines():
+        toks = line.split()
+        if toks and toks[0].lower() == "simulation" and len(toks) > 1:
+            try:
+                mx = max(mx, int(toks[1]))
+            except ValueError:
+                pass
+    return mx
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="imd_tpu", description="TPU-native IMD/lasMD")
+    ap.add_argument("-p", "--paramfile", required=True)
+    ap.add_argument("-r", "--restart", type=int, default=None,
+                    help="restart number: read <outfiles>.<N>.{chkpt,itr}")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "xla"])
+    ap.add_argument("--steps-override", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    with open(args.paramfile) as f:
+        text = f.read()
+    n_phases = count_phases(text)
+    dtype = getattr(jnp, args.dtype)
+
+    import os
+    workdir = os.path.dirname(os.path.abspath(args.paramfile)) or "."
+
+    prev_scene = None
+    prev_step = 0
+    for phase in range(1, n_phases + 1):
+        cfg = SimConfig.from_params(parse_param_text(text, phase=phase))
+        cfg.simulation_phase = phase
+        if args.restart is not None and phase == 1:
+            cfg.coordname = f"{cfg.outfiles}.{args.restart}.chkpt"
+            cfg.itrname = f"{cfg.outfiles}.{args.restart}.itr"
+        sim = Simulation(cfg, workdir=workdir, dtype=dtype,
+                         engine=args.engine)
+        if prev_scene is not None:
+            # phase handover: keep the evolved atoms (imd.c re-reads
+            # params per phase but keeps the cell contents)
+            sim.scene = prev_scene
+            sim.step_count = prev_step
+        steps = args.steps_override if args.steps_override else None
+        print(f"# phase {phase}/{n_phases}: ensemble={cfg.ensemble} "
+              f"steps={steps or cfg.maxsteps}", flush=True)
+        state = sim.run(steps=steps)
+        prev_scene, prev_step = sim.scene, sim.step_count
+        n = int(prev_scene.n_atoms())
+        print(f"# phase {phase} done: step={prev_step} atoms={n} "
+              f"epot/atom={float(state.epot_total) / max(n, 1):.6f}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 class EngWriter:
     def __init__(self, path: str, *, relax: bool = False, fnorm: bool = False,
                  nvt: bool = False, ttm: bool = False,
-                 extra_cols: Sequence[str] = ()):
+                 extra_cols: Sequence[str] = (), append: bool = False):
         self.path = path
         self.cols = ["time", "Epot", "temperature"]
         if fnorm:
@@ -25,9 +25,12 @@ class EngWriter:
         if ttm:
             self.cols += ["ttm_eng"]
         self.cols += list(extra_cols)
-        self._f = open(path, "w")
-        self._f.write("# " + " ".join(self.cols) + "\n")
-        self._f.flush()
+        # later simulation phases continue the same time series
+        # (imd.c:297 runs main_loop per phase into one .eng)
+        self._f = open(path, "a" if append else "w")
+        if not append:
+            self._f.write("# " + " ".join(self.cols) + "\n")
+            self._f.flush()
 
     def write(self, *, time, epot_per_atom, temperature, pressure, volume,
               fnorm=None, fmax=None, eta=None, ttm_eng=None, extra=()):

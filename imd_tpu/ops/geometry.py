@@ -166,8 +166,36 @@ def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
                     cutoff=float(cutoff), skin=float(skin))
 
 
+def host_bin_ijk(grid: CellGrid, pos, dtype=np.float32) -> np.ndarray:
+    """Host-side cell indices [N,3], exactly as a Scene of ``dtype`` will
+    bin: wrap in f64, round positions to the storage dtype, then bin the
+    ROUNDED positions.  Using raw f64 indices here undercounts cells when
+    lattice planes sit exactly on cell boundaries (the f32 rounding tips
+    whole planes into the neighboring cell) and capacity sizing then
+    overflows at make_scene time."""
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name) \
+        if not isinstance(dtype, np.dtype) else dtype
+    p = np.asarray(pos, np.float64)
+    h = np.asarray(grid.box.h, np.float64)
+    inv_h = np.asarray(grid.box.inv_h, np.float64)
+    period = np.asarray(grid.box.pbc, np.float64)
+    frac = p @ inv_h
+    frac = frac - np.floor(frac) * period
+    wrapped = (frac @ h).astype(np_dtype)
+    gx, gy, gz = grid.dims
+    frac2 = (wrapped.astype(np.float64) @ inv_h) * np.array([gx, gy, gz])
+    ijk = np.clip(np.floor(frac2).astype(np.int64), 0,
+                  np.array([gx - 1, gy - 1, gz - 1]))
+    if grid.xbounds is not None:
+        xb = np.asarray(grid.xbounds, np.float64)
+        ijk[:, 0] = np.clip(np.searchsorted(xb, frac2[:, 0] / gx,
+                                            side="right") - 1, 0, gx - 1)
+    return ijk
+
+
 def measured_capacity(grid: CellGrid, pos, safety: float = 1.25,
-                      extra: int = 2, multiple: int = 8) -> int:
+                      extra: int = 2, multiple: int = 8,
+                      dtype=np.float32) -> int:
     """Capacity from the MEASURED max cell occupancy (host-side, at setup).
 
     Mean-density sizing wastes padded pairs quadratically; for near-uniform
@@ -176,14 +204,11 @@ def measured_capacity(grid: CellGrid, pos, safety: float = 1.25,
     kernel's cap^2 work by 2x.  Overflow during a run is detected
     (scene.overflow) and handled by re-initializing with a larger cap, the
     equivalent of the reference's nbl_size regrowth (imd_forces_nbl.c:75).
+    ``dtype`` must match the Scene storage dtype so the measurement bins
+    identically to make_scene.
     """
-    import numpy as np
-    p = np.asarray(pos)
-    frac = p @ np.asarray(grid.box.inv_h)
-    frac -= np.floor(frac)
     gx, gy, gz = grid.dims
-    ijk = np.minimum((frac * np.asarray(grid.dims)).astype(np.int64),
-                     np.asarray(grid.dims) - 1)
+    ijk = host_bin_ijk(grid, pos, dtype)
     flat = (ijk[:, 0] * gy + ijk[:, 1]) * gz + ijk[:, 2]
     occ = np.bincount(flat, minlength=gx * gy * gz)
     cap = int(np.ceil(occ.max() * safety)) + extra

@@ -141,6 +141,8 @@ def _bin_flat_host(grid: CellGrid, pos, arrays, cap, dtype):
     instead of ~50 dispatched device ops (which crawl over the remote
     TPU tunnel at 1M atoms and dominated bench start-up).
     """
+    from imd_tpu.ops.geometry import host_bin_ijk
+
     gx, gy, gz = grid.dims
     n_cells = gx * gy * gz
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
@@ -152,16 +154,9 @@ def _bin_flat_host(grid: CellGrid, pos, arrays, cap, dtype):
     frac = pos @ inv_h
     frac = frac - np.floor(frac) * period
     wrapped = (frac @ h).astype(np_dtype)
-    # recompute frac from the rounded positions so binning matches what
-    # the on-device skin-check/rebin will see
-    frac2 = (wrapped.astype(np.float64) @ inv_h) * np.array([gx, gy, gz])
-    ijk = np.clip(np.floor(frac2).astype(np.int64), 0,
-                  np.array([gx - 1, gy - 1, gz - 1]))
-    if grid.xbounds is not None:
-        xb = np.asarray(grid.xbounds, np.float64)
-        ix = np.clip(np.searchsorted(xb, frac2[:, 0] / gx,
-                                     side="right") - 1, 0, gx - 1)
-        ijk[:, 0] = ix
+    # bin from the ROUNDED positions so binning matches what the
+    # on-device skin-check/rebin will see (shared with measured_capacity)
+    ijk = host_bin_ijk(grid, pos, np_dtype)
     cidx = (ijk[:, 0] * gy + ijk[:, 1]) * gz + ijk[:, 2]
     cidx = np.where(mask, cidx, n_cells)
     order = np.argsort(cidx, kind="stable")

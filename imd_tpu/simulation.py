@@ -182,7 +182,8 @@ class Simulation:
             from imd_tpu.ops.geometry import measured_capacity, with_capacity
             self.grid = with_capacity(
                 self.grid, measured_capacity(self.grid, pos,
-                                             safety=1.2 * cfg.nbl_size))
+                                             safety=1.2 * cfg.nbl_size,
+                                             dtype=self.dtype))
         # vtype -> real type map (cfg.types); vtype kept for restrictions/FBC
         vtyp = np.asarray(typ, np.int32)
         types_map = np.asarray(cfg.types if cfg.types else range(max(cfg.vtypes, vtyp.max() + 1)), np.int32)
@@ -199,6 +200,10 @@ class Simulation:
             self.scene = integrate.maxwell(
                 self.scene, cfg.starttemp, key,
                 restrictions=self._restrictions())
+        if cfg.shock_mode in (1, 2, 3) and cfg.shock_speed:
+            self.scene = integrate.shock_init(
+                self.scene, cfg.shock_mode,
+                jnp.asarray(cfg.shock_speed, self.dtype), cfg.shock_strip)
 
     def _restrictions(self):
         cfg = self.cfg
@@ -487,6 +492,14 @@ class Simulation:
                     jnp.asarray(cfg.hc_heatcurr, self.dtype))
             else:
                 raise NotImplementedError(self.ensemble)
+            if cfg.shock_mode in (3, 4):
+                scene = integrate.shock_mirrors(
+                    scene, cfg.shock_mode, state.step.astype(self.dtype),
+                    params.timestep,
+                    jnp.asarray(cfg.shock_speed_left or cfg.shock_speed,
+                                self.dtype),
+                    jnp.asarray(cfg.shock_speed_right or cfg.shock_speed,
+                                self.dtype))
             new_xi = state.xi
             new_ekin = state.ekin_old
             gamma = (gamma if self.ensemble in ("frac", "ftg")
@@ -575,7 +588,8 @@ class Simulation:
         if cfg.eng_int > 0 and self.eng is None:
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
                                  nvt=(self.ensemble == "nvt"),
-                                 ttm=cfg.ttm.enabled)
+                                 ttm=cfg.ttm.enabled,
+                                 append=cfg.simulation_phase > 1)
         done = 0
         while done < steps:
             state = run_block(state)

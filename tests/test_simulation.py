@@ -148,3 +148,18 @@ def test_param_file_ttm_run(tmp_path):
     eng = open(out + ".eng").read().splitlines()
     assert "ttm_eng" in eng[0]
     assert float(eng[-1].split()[-1]) > 0
+
+
+def test_cli_two_phase_run(tmp_path):
+    """python -m imd_tpu -p file: phases run, atoms conserved, files out."""
+    import imd_tpu.__main__ as cli
+
+    param = tmp_path / "run.imd"
+    param.write_text(PARAM_LJ.format(out=str(tmp_path / "cli"))
+                     + "\nsimulation 2\nensemble mik\nmaxsteps 20\n")
+    assert cli.count_phases(param.read_text()) == 2
+    cli.main(["-p", str(param), "--dtype", "float32"])
+    eng = (tmp_path / "cli.eng").read_text().strip().splitlines()
+    assert len(eng) >= 4
+    d = read_chkpt(str(tmp_path / "cli.00001.chkpt"))
+    assert d.n == 4 * 4 * 4 * 4      # all atoms survived (f32 binning)
