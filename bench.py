@@ -28,6 +28,10 @@ def main():
                     help="couple the electron-temperature grid + laser "
                          "source (the BASELINE north-star configuration)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--energy-every-step", action="store_true",
+                    help="accumulate per-atom epot every step (production "
+                         "schedule evaluates energies only at .eng "
+                         "intervals; forces-only is the default hot loop)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +78,9 @@ def main():
         from imd_tpu.models.potential import eam_to_fastpoly
         from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
         eam_run = eam_to_fastpoly(eam, deg=12)
-        force_fn = lambda s: compute_eam_forces_pallas(s, eam_run)  # noqa
+        need_e = bool(args.energy_every_step)
+        force_fn = lambda s: compute_eam_forces_pallas(  # noqa
+            s, eam_run, need_energy=need_e)
     else:
         from imd_tpu.models.potential import eam_to_chebyshev
         from imd_tpu.ops.forces_fast import compute_eam_forces_fast

@@ -75,6 +75,33 @@ def _horner_vg(x, consts):
     return v, 2.0 * g * inv_half
 
 
+def _horner_v(x, consts):
+    """Value-only Horner (2 flops/term instead of the fused 4)."""
+    coef, b, e = consts
+    inv_half = 2.0 / (e - b)
+    t = (jnp.clip(x, b, e) - b) * inv_half - 1.0
+    v = jnp.full_like(t, coef[-1])
+    for k in range(len(coef) - 2, -1, -1):
+        v = v * t + coef[k]
+    return v
+
+
+def _horner_g(x, consts):
+    """Derivative-only Horner over trace-time-differentiated coefficients
+    (2 flops/term; halves the polynomial cost of the embedding sweep and
+    of forces-only pair sweeps vs the fused value+grad recurrence)."""
+    coef, b, e = consts
+    d = len(coef) - 1
+    if d == 0:
+        return jnp.zeros_like(x)
+    inv_half = 2.0 / (e - b)
+    t = (jnp.clip(x, b, e) - b) * inv_half - 1.0
+    g = jnp.full_like(t, coef[d] * d)
+    for k in range(d - 1, 0, -1):
+        g = g * t + coef[k] * k
+    return 2.0 * g * inv_half
+
+
 def prep_neighbors(scene: Scene):
     """Cells-last views with sentinel-pushed invalid positions.
 
@@ -105,8 +132,16 @@ def _assemble(dims, acc_i, accj):
     return total
 
 
-def _make_sweep(rcut2, nr2, mode, pair_c, rho_c):
-    """Per-offset sweep closure shared by both kernels."""
+def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
+                want_nn=True):
+    """Per-offset sweep closure shared by both kernels.
+
+    ``want_energy``/``want_nn`` gate the phi-value and neighbor-count
+    work: the leapfrog integrator needs only forces, so the production
+    hot loop skips the epot accumulation (the reference gets it nearly
+    free in scalar code, forces_nbl:540; on the VPU it is real work) and
+    evaluates the full kernel only at .eng/observable intervals.
+    """
 
     def sweep(xi_x, xi_y, xi_z, xj, tri, dF_i, dFj):
         dx = xi_x[:, None, :] - xj[:, 0, :][None, :, :]
@@ -119,21 +154,24 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c):
         insf = inside.astype(dx.dtype)
         out = {}
         if mode in ("A", "P"):
-            phi, grad = _horner_vg(r2, pair_c)
-            phi = phi * insf
+            if want_energy:
+                phi, grad = _horner_vg(r2, pair_c)
+                phi = phi * insf
+                out["e_i"] = 0.5 * jnp.sum(phi, 1)
+                out["e_j"] = 0.5 * jnp.sum(phi, 0)
+            else:
+                grad = _horner_g(r2, pair_c)
             grad = grad * insf
             if mode == "A":
-                rv, _ = _horner_vg(r2, rho_c)
-                rv = rv * insf
+                rv = _horner_v(r2, rho_c) * insf
                 out["rho_i"] = jnp.sum(rv, 1)
                 out["rho_j"] = jnp.sum(rv, 0)
-            out["e_i"] = 0.5 * jnp.sum(phi, 1)
-            out["e_j"] = 0.5 * jnp.sum(phi, 0)
-            near = insf * (r2 < nr2).astype(dx.dtype)
-            out["nn_i"] = jnp.sum(near, 1)
-            out["nn_j"] = jnp.sum(near, 0)
+            if want_nn:
+                near = insf * (r2 < nr2).astype(dx.dtype)
+                out["nn_i"] = jnp.sum(near, 1)
+                out["nn_j"] = jnp.sum(near, 0)
         else:
-            _, rg = _horner_vg(r2, rho_c)
+            rg = _horner_g(r2, rho_c)
             grad = (dF_i[:, None, :] + dFj[None, :, :]) * rg * insf
         out["fx_i"] = -jnp.sum(grad * dx, 1)
         out["fy_i"] = -jnp.sum(grad * dy, 1)
@@ -149,7 +187,8 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c):
 def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
                               count_neighbors: bool = False,
                               neigh_r2: float = 0.0,
-                              block: int = 256) -> ForceResult:
+                              block: int = 256,
+                              need_energy: bool = True) -> ForceResult:
     """3-phase EAM with Pallas blocked sweeps (ntypes == 1 fast path).
 
     ``eam`` must hold PolyPotential tables (models.potential.
@@ -194,36 +233,31 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
         return ti < tj
 
     # ---------------- kernel A: pair forces + host density ----------------
-    sweep_a = _make_sweep(rcut2, nr2, "A", pair_c, rho_c)
+    sweep_a = _make_sweep(rcut2, nr2, "A", pair_c, rho_c,
+                          want_energy=need_energy,
+                          want_nn=count_neighbors)
+    keys_a = ["fx", "fy", "fz", "rho"]
+    if need_energy:
+        keys_a.append("e")
+    if count_neighbors:
+        keys_a.append("nn")
+    nk = len(keys_a)
 
-    def kern_a(xi_ref, nbr_ref, fx, fy, fz, e, rho, nn,
-               fjx, fjy, fjz, ej, rhoj, nnj):
+    def kern_a(xi_ref, nbr_ref, *refs):
+        iref, jref = refs[:nk], refs[nk:]
         xi_x = xi_ref[:, 0, :]
         xi_y = xi_ref[:, 1, :]
         xi_z = xi_ref[:, 2, :]
         o = sweep_a(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
                     None, None)
-        fx[...] = o["fx_i"] + o["fx_j"]
-        fy[...] = o["fy_i"] + o["fy_j"]
-        fz[...] = o["fz_i"] + o["fz_j"]
-        e[...] = o["e_i"] + o["e_j"]
-        rho[...] = o["rho_i"] + o["rho_j"]
-        nn[...] = o["nn_i"] + o["nn_j"]
+        for k, name in enumerate(keys_a):
+            iref[k][...] = o[name + "_i"] + o[name + "_j"]
 
         def body(m, _):
             o = sweep_a(xi_x, xi_y, xi_z, nbr_ref[m], None, None, None)
-            fx[...] += o["fx_i"]
-            fy[...] += o["fy_i"]
-            fz[...] += o["fz_i"]
-            e[...] += o["e_i"]
-            rho[...] += o["rho_i"]
-            nn[...] += o["nn_i"]
-            fjx[m] = o["fx_j"]
-            fjy[m] = o["fy_j"]
-            fjz[m] = o["fz_j"]
-            ej[m] = o["e_j"]
-            rhoj[m] = o["rho_j"]
-            nnj[m] = o["nn_j"]
+            for k, name in enumerate(keys_a):
+                iref[k][...] += o[name + "_i"]
+                jref[k][m] = o[name + "_j"]
             return 0
 
         jax.lax.fori_loop(0, NOF, body, 0)
@@ -242,24 +276,22 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
     outs = pl.pallas_call(
         kern_a, grid=(nblk,),
         in_specs=[spec_i, spec_n],
-        out_specs=[spec_o] * 6 + [spec_oj] * 6,
-        out_shape=[shp] * 6 + [shpj] * 6,
+        out_specs=[spec_o] * nk + [spec_oj] * nk,
+        out_shape=[shp] * nk + [shpj] * nk,
         interpret=interp,
     )(xi, nbr)
     outs = [o[..., :nc] for o in outs]
-    fx, fy, fz, e, rho, nn, fjx, fjy, fjz, ej, rhoj, nnj = outs
-
-    fx = _assemble(dims, fx, fjx)
-    fy = _assemble(dims, fy, fjy)
-    fz = _assemble(dims, fz, fjz)
-    epot = _assemble(dims, e, ej)
-    rho_t = _assemble(dims, rho, rhoj)
-    nneigh = _assemble(dims, nn, nnj)
+    acc = {name: _assemble(dims, outs[k], outs[nk + k])
+           for k, name in enumerate(keys_a)}
+    fx, fy, fz, rho_t = acc["fx"], acc["fy"], acc["fz"], acc["rho"]
     maskf = mask.astype(dtype)
+    epot = acc["e"] if need_energy else jnp.zeros_like(rho_t)
+    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
 
     # ---------------- embedding (XLA elementwise) --------------------------
     emb_v, emb_g = eam.embed.interp(0, rho_t)
-    epot = (epot + emb_v) * maskf
+    if need_energy:
+        epot = (epot + emb_v) * maskf
     dF = 0.5 * emb_g * maskf        # interp returns 2*dV/dx
 
     # pre-rolled dF neighbor views (send_cells(copy_dF) analog)
@@ -324,7 +356,8 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
 def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
                                count_neighbors: bool = False,
                                neigh_r2: float = 0.0,
-                               block: int = 256) -> ForceResult:
+                               block: int = 256,
+                               need_energy: bool = True) -> ForceResult:
     """Pair-potential Pallas engine (single species fast path).
 
     ``pot`` must be a PolyPotential (models.potential.to_fastpoly),
@@ -354,37 +387,36 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
     nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
     pair_c = _poly_consts(pot)
     interp = jax.default_backend() == "cpu"
-    sweep_p = _make_sweep(rcut2, nr2, "P", pair_c, None)
+    sweep_p = _make_sweep(rcut2, nr2, "P", pair_c, None,
+                          want_energy=need_energy,
+                          want_nn=count_neighbors)
+    keys_p = ["fx", "fy", "fz"]
+    if need_energy:
+        keys_p.append("e")
+    if count_neighbors:
+        keys_p.append("nn")
+    nk = len(keys_p)
 
     def tri_mask(cap):
         ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
         tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
         return ti < tj
 
-    def kern(xi_ref, nbr_ref, fx, fy, fz, e, nn, fjx, fjy, fjz, ej, nnj):
+    def kern(xi_ref, nbr_ref, *refs):
+        iref, jref = refs[:nk], refs[nk:]
         xi_x = xi_ref[:, 0, :]
         xi_y = xi_ref[:, 1, :]
         xi_z = xi_ref[:, 2, :]
         o = sweep_p(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
                     None, None)
-        fx[...] = o["fx_i"] + o["fx_j"]
-        fy[...] = o["fy_i"] + o["fy_j"]
-        fz[...] = o["fz_i"] + o["fz_j"]
-        e[...] = o["e_i"] + o["e_j"]
-        nn[...] = o["nn_i"] + o["nn_j"]
+        for k, name in enumerate(keys_p):
+            iref[k][...] = o[name + "_i"] + o[name + "_j"]
 
         def body(m, _):
             o = sweep_p(xi_x, xi_y, xi_z, nbr_ref[m], None, None, None)
-            fx[...] += o["fx_i"]
-            fy[...] += o["fy_i"]
-            fz[...] += o["fz_i"]
-            e[...] += o["e_i"]
-            nn[...] += o["nn_i"]
-            fjx[m] = o["fx_j"]
-            fjy[m] = o["fy_j"]
-            fjz[m] = o["fz_j"]
-            ej[m] = o["e_j"]
-            nnj[m] = o["nn_j"]
+            for k, name in enumerate(keys_p):
+                iref[k][...] += o[name + "_i"]
+                jref[k][m] = o[name + "_j"]
             return 0
 
         jax.lax.fori_loop(0, NOF, body, 0)
@@ -403,18 +435,17 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
     outs = pl.pallas_call(
         kern, grid=(nblk,),
         in_specs=[spec_i, spec_n],
-        out_specs=[spec_o] * 5 + [spec_oj] * 5,
-        out_shape=[shp] * 5 + [shpj] * 5,
+        out_specs=[spec_o] * nk + [spec_oj] * nk,
+        out_shape=[shp] * nk + [shpj] * nk,
         interpret=interp,
     )(xi, nbr)
     outs = [o[..., :nc] for o in outs]
-    fx, fy, fz, e, nn, fjx, fjy, fjz, ej, nnj = outs
-    fx = _assemble(dims, fx, fjx)
-    fy = _assemble(dims, fy, fjy)
-    fz = _assemble(dims, fz, fjz)
-    epot = _assemble(dims, e, ej)
-    nneigh = _assemble(dims, nn, nnj)
+    acc = {name: _assemble(dims, outs[k], outs[nk + k])
+           for k, name in enumerate(keys_p)}
+    fx, fy, fz = acc["fx"], acc["fy"], acc["fz"]
     maskf = mask.astype(dtype)
+    epot = acc["e"] if need_energy else jnp.zeros_like(fx)
+    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(fx)
     F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
     return ForceResult(
         force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),

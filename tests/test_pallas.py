@@ -112,3 +112,20 @@ def test_pair_pallas_matches_oracle():
     assert np.abs(e1 - e2).max() < 1e-4 * (np.abs(e1).max() + 1)
     assert np.array_equal(np.asarray(r1.num_neighs)[m],
                           np.asarray(r2.num_neighs)[m])
+
+
+def test_forces_only_path_matches_full():
+    """need_energy=False must produce identical forces and rho."""
+    scene = _scene()
+    scene = scene.replace(pos=scene.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), scene.pos.shape))
+    full = compute_eam_forces_pallas(scene, EAM, count_neighbors=True)
+    fast = compute_eam_forces_pallas(scene, EAM, need_energy=False)
+    f1 = np.asarray(full.force)
+    f2 = np.asarray(fast.force)
+    # same pairs, different f32 evaluation order (grad-only Horner):
+    # agreement to engine noise relative to the force scale
+    assert np.abs(f1 - f2).max() / (np.abs(f1).max() + 1) < 1e-4
+    np.testing.assert_allclose(np.asarray(fast.rho), np.asarray(full.rho),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.sum(jnp.abs(fast.epot))) == 0.0
