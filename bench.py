@@ -52,14 +52,19 @@ def main():
     if args.capacity:
         cap = args.capacity
     else:
-        # tight capacity: raw max + thermal headroom, sublane-aligned
+        # tight capacity: padded-pair waste scales with (raw/cap)^2, so
+        # prefer the sublane multiple of 8 when it leaves >=1 slot of
+        # thermal headroom (atoms are shifted off cell boundaries below,
+        # so binning is rounding-robust); overflow is reported in the
+        # output detail
         flat = scene.flatten_atoms()
         m = np.asarray(flat["mask"])
         raw = measured_capacity(grid, np.asarray(flat["pos"])[m] + 1.0,
-                                safety=1.0)
-        # +4 thermal headroom (atoms are shifted off cell boundaries
-        # below, so binning is rounding-robust)
-        cap = max(8, int(math.ceil((raw + 4) / 4.0)) * 4)
+                                safety=1.0, extra=0, multiple=1,
+                                dtype=dtype)
+        cap4 = int(math.ceil((raw + 1) / 4.0)) * 4
+        cap8 = int(math.ceil(raw / 8.0)) * 8
+        cap = max(8, cap8 if cap8 >= raw + 1 else cap4)
     grid = with_capacity(grid, cap)
     flat = scene.flatten_atoms()
     m = np.asarray(flat["mask"])
