@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--capacity", type=int, default=0)
+    ap.add_argument("--deg", type=int, default=12,
+                    help="fast-poly degree for the Pallas engine")
+    ap.add_argument("--block", type=int, default=256,
+                    help="Pallas VMEM block budget knob")
     ap.add_argument("--ttm", action="store_true",
                     help="couple the electron-temperature grid + laser "
                          "source (the BASELINE north-star configuration)")
@@ -82,10 +86,10 @@ def main():
     if args.engine == "pallas":
         from imd_tpu.models.potential import eam_to_fastpoly
         from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
-        eam_run = eam_to_fastpoly(eam, deg=12)
+        eam_run = eam_to_fastpoly(eam, deg=args.deg)
         need_e = bool(args.energy_every_step)
         force_fn = lambda s: compute_eam_forces_pallas(  # noqa
-            s, eam_run, need_energy=need_e)
+            s, eam_run, need_energy=need_e, block=args.block)
     else:
         from imd_tpu.models.potential import eam_to_chebyshev
         from imd_tpu.ops.forces_fast import compute_eam_forces_fast
@@ -178,7 +182,7 @@ def main():
             "engine": args.engine,
             "ttm": bool(args.ttm),
             "overflow": int(scene.overflow),
-            "dtype": args.dtype,
+            "dtype": args.dtype, "deg": args.deg,
             "device": str(jax.devices()[0]),
         },
     }))
