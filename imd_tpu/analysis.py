@@ -535,3 +535,27 @@ def hops_to_defect(scene, defect_mask: np.ndarray, r_cut: float,
         upd[i[touch_i]] = True
         hops = np.where(upd & (hops > h + 1), h + 1, hops)
     return hops
+
+
+def local_order(scene, alat: float, r_cut: float,
+                lodnorm: Optional[float] = None) -> np.ndarray:
+    """Per-atom local order parameter (LOD, imd_forces.c:61-140):
+    LOD_i = |sum_q sum_j exp(i q . d_ij)| over the fcc wavevectors
+    q = (4 pi / alat) {100, 010, 001}, neighbors within r_cut.  On a
+    perfect fcc lattice every nearest neighbor contributes e^{i 2 pi} =
+    1 per q (maximal order); in a disordered melt the phases cancel.
+    Normalized by ``lodnorm`` (default 3 * 12, the perfect-fcc value).
+    """
+    pos, _, _, _, ids = _scene_atoms(scene)
+    box_diag = np.abs(np.diag(np.asarray(scene.grid.box.h)))
+    i, j, d = _neighbor_pairs(pos, box_diag, scene.grid.box.pbc, r_cut)
+    qfac = 4.0 * np.pi / alat
+    acc = np.zeros(len(pos), np.complex128)
+    for q in (np.array([qfac, 0, 0]), np.array([0, qfac, 0]),
+              np.array([0, 0, qfac])):
+        ph = np.exp(1j * (d @ q))
+        np.add.at(acc, i, ph)
+        np.add.at(acc, j, np.conj(ph))
+    if lodnorm is None:
+        lodnorm = 3.0 * 12.0
+    return np.abs(acc) / lodnorm

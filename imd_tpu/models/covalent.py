@@ -135,3 +135,41 @@ def covalent_forces(energy_fn, pos, box=None, mask=None, params=None):
     e, grad = jax.value_and_grad(
         lambda x: energy_fn(x, box, mask, **kw))(pos)
     return -grad, e
+
+
+class KeatingParams(NamedTuple):
+    """Keating valence force field (keating_* tags, imd_param.c;
+    do_forces Keating branch of imd_forces_covalent.c)."""
+    alpha: float = 2.965     # bond-stretch (eV/A^2 scale-folded below)
+    beta: float = 0.285 * 2.965   # angle-bend
+    d: float = 2.35          # equilibrium bond length (A)
+    r_cut: float = 3.0       # bond cutoff
+
+
+def keating_energy(pos, box=None, mask=None,
+                   P: KeatingParams = KeatingParams()):
+    """Keating energy (PRB 145, 637 (1966)):
+
+        E = 3 alpha/(16 d^2) sum_bonds (r.r - d^2)^2
+          + 3 beta /(8  d^2) sum_angles (r_ij.r_ik + d^2/3)^2
+
+    Differentiable; bonds are pairs within r_cut (the reference uses the
+    covalent neighbor tables the same way).
+    """
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    P = KeatingParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    bond = off & (r < P.r_cut)
+    bf = bond.astype(pos.dtype)
+    d2 = P.d * P.d
+    r2 = jnp.sum(dr * dr, -1)
+    e_bond = 3.0 * P.alpha / (16.0 * d2) * 0.5 * jnp.sum(
+        bf * (r2 - d2) ** 2)
+    # angles at i between bonds (i,j) and (i,k), j != k
+    dots = jnp.einsum("ijc,ikc->ijk", dr, dr)
+    valid3 = bond[:, :, None] & bond[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    e_ang = 3.0 * P.beta / (8.0 * d2) * 0.5 * jnp.sum(
+        jnp.where(valid3, (dots + d2 / 3.0) ** 2, 0.0))
+    return e_bond + e_ang

@@ -137,3 +137,64 @@ def test_nye_detects_dislocation_core():
     a_per_atom = diag[0] * diag[1] / (len(pos2) / planes)
     b_est = azx.sum() * a_per_atom / planes
     assert 0.4 * b < abs(b_est) < 2.0 * b
+
+
+def test_local_order_fcc_vs_gas():
+    """LOD (imd_forces.c:61-140): ~1 on perfect fcc, ~0 in a gas."""
+    import jax.numpy as jnp
+    from imd_tpu.analysis import local_order
+    from imd_tpu.ops.geometry import Box, choose_grid
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    alat = 4.05
+    pos, _, diag = fcc((4, 4, 4), alat)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 3.2, skin=0.3, n_atoms=len(pos))
+    sc = make_scene(grid, pos, dtype=jnp.float64)
+    lod = local_order(sc, alat, r_cut=3.2)
+    np.testing.assert_allclose(lod, 1.0, atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    gas = rng.uniform(0, diag[0], (256, 3))
+    sc2 = make_scene(grid, gas, dtype=jnp.float64)
+    lod2 = local_order(sc2, alat, r_cut=3.2)
+    assert np.mean(lod2) < 0.35
+
+
+def test_keating_minimum_at_diamond():
+    """Keating energy vanishes on the ideal diamond lattice and rises
+    under strain; autodiff forces match finite differences."""
+    import jax
+    import jax.numpy as jnp
+    from imd_tpu.models.covalent import KeatingParams, keating_energy
+    from imd_tpu.utils.generate import diamond
+
+    a0 = 5.431
+    P = KeatingParams(d=a0 * np.sqrt(3) / 4.0, r_cut=2.8)
+    pos, _, diag = diamond((2, 2, 2), a0)
+    from imd_tpu.ops.geometry import Box
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    p64 = jnp.asarray(pos, jnp.float64)
+    e0 = float(keating_energy(p64, box=box, P=P))
+    assert abs(e0) < 1e-18 * len(pos) + 1e-12
+    # isotropic strain raises the energy
+    e1 = float(keating_energy(p64 * 1.02,
+                              box=Box.create([diag[0] * 1.02, 0, 0],
+                                             [0, diag[1] * 1.02, 0],
+                                             [0, 0, diag[2] * 1.02],
+                                             dtype=jnp.float64), P=P))
+    assert e1 > 1e-4
+    # FD force check on a perturbed cluster
+    rng = np.random.default_rng(1)
+    clus = jnp.asarray(pos[:10] + rng.normal(0, 0.05, (10, 3)),
+                       jnp.float64)
+    e, g = jax.value_and_grad(lambda x: keating_energy(x, P=P))(clus)
+    h = 1e-6
+    dlt = np.zeros(clus.shape)
+    dlt[3, 1] = h
+    fd = (float(keating_energy(clus + dlt, P=P))
+          - float(keating_energy(clus - dlt, P=P))) / (2 * h)
+    assert abs(fd - float(g[3, 1])) < 1e-7 * max(1.0, abs(fd))
