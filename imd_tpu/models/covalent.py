@@ -173,3 +173,44 @@ def keating_energy(pos, box=None, mask=None,
     e_ang = 3.0 * P.beta / (8.0 * d2) * 0.5 * jnp.sum(
         jnp.where(valid3, (dots + d2 / 3.0) ** 2, 0.0))
     return e_bond + e_ang
+
+
+class TTBPParams(NamedTuple):
+    """TTBP three-body (do_forces2, imd_forces_covalent.c:183-373):
+    E3 = sum_i sum_{j<k} c_i (cos theta_jik + 1/sp_i)^2 f(r_ij) f(r_ik)
+    with f the tabulated smoothing potential (ttbp_* tags)."""
+    constant: float = 10.0       # ttbp_constant (eV)
+    sp: float = 3.0              # 1/sp is -cos theta_0 (sp=3: 109.47 deg)
+    r_cut: float = 3.2           # smoothing cutoff
+
+
+def _ttbp_smooth(r, r_cut):
+    """Default smoothing f(r): 1 at short range, smooth C1 decay to the
+    cutoff (the reference reads this as a table, smooth_pot)."""
+    x = jnp.clip(r / r_cut, 0.0, 1.0)
+    return (1.0 - x * x) ** 2
+
+
+def ttbp_energy(pos, box=None, mask=None, P: TTBPParams = TTBPParams(),
+                pair_fn=None, smooth_fn=None):
+    """Total TTBP energy (3-body + optional tabulated pair term);
+    differentiable."""
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    P = TTBPParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    nb = off & (r < P.r_cut)
+    f = smooth_fn(r) if smooth_fn is not None else _ttbp_smooth(r, P.r_cut)
+    f = jnp.where(nb, f, 0.0)
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    ang = (cosjk + 1.0 / P.sp) ** 2
+    w = f[:, :, None] * f[:, None, :]
+    valid3 = nb[:, :, None] & nb[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    # j<k once <=> half the symmetric double sum
+    e3 = 0.5 * P.constant * jnp.sum(jnp.where(valid3, ang * w, 0.0))
+    e2 = jnp.zeros((), pos.dtype)
+    if pair_fn is not None:
+        e2 = 0.5 * jnp.sum(jnp.where(nb, pair_fn(r), 0.0))
+    return e2 + e3

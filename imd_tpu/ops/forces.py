@@ -226,7 +226,8 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
 
 def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                        count_neighbors: bool = False,
-                       neigh_r2: float = 0.0) -> ForceResult:
+                       neigh_r2: float = 0.0,
+                       eeam_embed=None) -> ForceResult:
     """EAM2 forces: fused pair + rho pass, embedding, then force pass.
 
     Follows the 3-phase structure of the reference NBL engine
@@ -255,6 +256,9 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
     presstens = jnp.zeros((6,), dtype)
     nneigh = jnp.zeros(pos.shape[:-1], jnp.int32)
     rho = jnp.zeros(pos.shape[:-1], dtype)
+    # EEAM: second host function p = sum rho^2 with its own embedding M(p)
+    # (EAM_DM terms of the NBL loop, imd_forces_nbl.c:878-882)
+    rho2 = jnp.zeros(pos.shape[:-1], dtype)
 
     def views(off, self_cell):
         if self_cell:
@@ -293,7 +297,7 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                 jnp.where(valid, v_ji, z), jnp.where(valid, g_ji, z))
 
     def pass1(off, self_cell):
-        nonlocal F, epot, virial, presstens, nneigh, rho
+        nonlocal F, epot, virial, presstens, nneigh, rho, rho2
         dr, r2, valid, ntyp = geometry(off, self_cell)
         t_i, t_j = typ[..., :, None], ntyp[..., None, :]
         phi, grad = _pair_terms(eam.pair, ntypes, t_i, t_j, r2, valid)
@@ -313,6 +317,13 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
             F = F + F_i + _reverse_roll(grid, F_j, off)
             epot = epot + e_i + _reverse_roll(grid, e_j, off)
             rho = rho + r_i + _reverse_roll(grid, r_j, off)
+        if eeam_embed is not None:
+            p_i = jnp.sum(rho_ij * rho_ij, axis=-1)
+            p_j = jnp.sum(rho_ji * rho_ji, axis=-2)
+            if self_cell:
+                rho2 = rho2 + p_i + p_j
+            else:
+                rho2 = rho2 + p_i + _reverse_roll(grid, p_j, off)
         gv = jnp.where(valid, grad, 0.0)
         virial_l = -jnp.sum(gv * r2)
         nonlocal_virial(gv, dr, valid, virial_l)
@@ -355,13 +366,22 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
     fm = scene.fmask()
     epot = epot + jnp.where(mask, f_emb, 0.0)
     dF = jnp.where(mask, df_emb, 0.0)
+    dM = None
+    if eeam_embed is not None:
+        p_c = jnp.maximum(rho2, 1e-12)
+        if ntypes == 1:
+            m_v, m_g = eeam_embed.interp(0, p_c)
+        else:
+            m_v, m_g = eeam_embed.interp(jnp.clip(typ, 0, ntypes - 1), p_c)
+        epot = epot + jnp.where(mask, m_v, 0.0)
+        dM = jnp.where(mask, 0.5 * m_g, 0.0)     # dM/dp
 
     # ---- pass 2: density-mediated forces (loop 2) ------------------------
     def pass2(off, self_cell):
         nonlocal F, virial, presstens
         dr, r2, valid, ntyp = geometry(off, self_cell)
         t_i, t_j = typ[..., :, None], ntyp[..., None, :]
-        _, g_ij, _, g_ji = rho_cols(t_i, t_j, r2, valid)
+        rho_ij, g_ij, rho_ji, g_ji = rho_cols(t_i, t_j, r2, valid)
         if self_cell:
             dF_j = dF
         else:
@@ -369,6 +389,11 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
         # pair force factor: dF_i * d(rho_i)/dr + dF_j * d(rho_j)/dr, with
         # grads already in (1/r) d/dr form
         s = dF[..., :, None] * g_ij + dF_j[..., None, :] * g_ji
+        if dM is not None:
+            # d(rho^2) chain: + 2 rho dM (EEAM, forces_nbl:878-882)
+            dM_j = dM if self_cell else _neighbor_view(grid, dM, off)
+            s = s + 2.0 * (dM[..., :, None] * rho_ij * g_ij
+                           + dM_j[..., None, :] * rho_ji * g_ji)
         s = jnp.where(valid, s, 0.0)
         fvec = s[..., None] * dr
         F_i = -jnp.sum(fvec, axis=-2)

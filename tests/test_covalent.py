@@ -61,3 +61,32 @@ def test_sw_forces_match_finite_differences():
         pm = pos.at[idx].add(-eps)
         fd = -(cv.sw_energy(pp, box) - cv.sw_energy(pm, box)) / (2 * eps)
         assert float(F[idx]) == pytest.approx(float(fd), rel=1e-5)
+
+
+def test_ttbp_angular_minimum_and_fd_forces():
+    """TTBP: energy minimal at cos(theta) = -1/sp; FD force check."""
+    import numpy as np
+    from imd_tpu.models.covalent import TTBPParams, ttbp_energy
+
+    P = TTBPParams(constant=5.0, sp=3.0, r_cut=3.5)
+    d = 2.2
+
+    def tri(theta):
+        return jnp.asarray(
+            [[0.0, 0, 0], [d, 0, 0],
+             [d * np.cos(theta), d * np.sin(theta), 0.0]], jnp.float64)
+
+    th0 = np.arccos(-1.0 / 3.0)           # 109.47 degrees
+    e0 = float(ttbp_energy(tri(th0), P=P))
+    for th in (th0 - 0.3, th0 + 0.3):
+        assert float(ttbp_energy(tri(th), P=P)) > e0
+    # FD forces
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 3.5, (6, 3)), jnp.float64)
+    e, g = jax.value_and_grad(lambda x: ttbp_energy(x, P=P))(pos)
+    h = 1e-6
+    dlt = np.zeros(pos.shape)
+    dlt[2, 0] = h
+    fd = (float(ttbp_energy(pos + dlt, P=P))
+          - float(ttbp_energy(pos - dlt, P=P))) / (2 * h)
+    assert abs(fd - float(g[2, 0])) < 1e-7 * max(1.0, abs(fd))

@@ -98,3 +98,50 @@ def test_eam_nve_energy_conservation():
     # so allow bounded oscillation; secular drift must stay small
     spread = (e.max() - e.min()) / abs(e[0])
     assert spread < 5e-5, f"EAM energy spread {spread}"
+
+
+def test_eeam_second_embedding_energy_force_consistency():
+    """EEAM (EAM_DM terms, imd_forces_nbl.c:878-882): forces must be the
+    exact gradient of epot including the M(p = sum rho^2) term."""
+    import numpy as np
+    from imd_tpu.models.potential import PotTable, analytic_eam
+    from imd_tpu.ops.forces import compute_eam_forces
+    from imd_tpu.ops.geometry import Box, choose_grid, with_capacity
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    eam = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float64)
+    # simple analytic second embedding M(p) = 0.05 * p sampled as a table
+    import numpy as _np
+    from imd_tpu.models.potential import _make_table
+    ps = _np.linspace(0.0, 50.0, 400)
+    m_tab = _make_table([0.05 * ps], [0.0], [50.0],
+                        [ps[1] - ps[0]], dtype=jnp.float64)
+
+    pos, _, diag = fcc((3, 3, 3), 4.05)
+    rng = np.random.default_rng(0)
+    pos = pos + rng.normal(0, 0.05, pos.shape)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, 24)
+
+    def etot(p):
+        sc = make_scene(grid, p, dtype=jnp.float64)
+        res = compute_eam_forces(sc, eam, 1, eeam_embed=m_tab)
+        return float(jnp.sum(res.epot)), res, sc
+
+    e0, res, sc = etot(pos)
+    ids = np.asarray(sc.id).reshape(-1)
+    f = np.asarray(res.force).reshape(-1, 3)[ids >= 0]
+    f = f[np.argsort(ids[ids >= 0])]
+    h = 1e-6
+    for idx in [(0, 0), (17, 2)]:
+        d = np.zeros(pos.shape)
+        d[idx] = h
+        fd = -(etot(pos + d)[0] - etot(pos - d)[0]) / (2 * h)
+        assert abs(fd - f[idx]) < 1e-6 * max(1.0, abs(fd)), idx
+    # and the M term actually contributes
+    res0 = compute_eam_forces(make_scene(grid, pos, dtype=jnp.float64),
+                              eam, 1)
+    assert float(jnp.sum(res.epot)) > float(jnp.sum(res0.epot))
