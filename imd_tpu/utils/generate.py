@@ -87,9 +87,37 @@ def nacl(box_param, alat):
     return _from_basis(box_param, alat, basis, [0, 0, 0, 0, 1, 1, 1, 1])
 
 
+def sio2(box_param, alat=1.0):
+    """Alpha-quartz SiO2 (generate_SiO2, imd_generate.c:714-790): the
+    18-atom orthorhombic cell (4.9134 x 8.51026 x 5.4052 A), types
+    0 = Si (6), 1 = O (12).  ``alat`` scales the cell uniformly."""
+    cell_sz = np.asarray([4.9134, 8.51025844, 5.4052]) * alat
+    typ18 = np.asarray([0] * 6 + [1] * 12, np.int32)
+    basis = np.asarray([
+        [0.677893, 5.145130, 0.900000], [3.134590, 0.890000, 0.900000],
+        [1.684400, 2.889490, 2.701730], [4.141100, 7.144610, 2.701730],
+        [1.684400, 7.400770, 4.503470], [4.141100, 3.145640, 4.503470],
+        [4.067400, 8.259460, 1.541777], [1.610700, 4.004330, 1.541777],
+        [2.205960, 1.511250, 2.059960], [4.662660, 5.766380, 2.059960],
+        [0.230040, 2.652050, 3.343510], [2.686740, 6.907180, 3.343510],
+        [2.686740, 3.383080, 3.861690], [0.230040, 7.638210, 3.861690],
+        [2.205960, 0.268752, 5.145240], [4.662660, 4.523880, 5.145240],
+        [1.610700, 6.285930, 0.258220], [4.067400, 2.030800, 0.258220],
+    ]) * alat
+    nx, ny, nz = (box_param if hasattr(box_param, "__len__")
+                  else (box_param,) * 3)
+    cells = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij"),
+                     axis=-1).reshape(-1, 3)
+    pos = (cells[:, None, :] * cell_sz + basis[None, :, :]).reshape(-1, 3)
+    typ = np.tile(typ18, len(cells))
+    box_diag = np.asarray([nx, ny, nz]) * cell_sz
+    return pos, typ, box_diag
+
+
 def diamond(box_param, alat):
-    """Diamond cubic (the reference's ZrO2/SiO2 generators are specialty;
-    diamond serves the covalent potentials)."""
+    """Diamond cubic (plus the sio2 quartz generator for the silica
+    models; diamond serves the covalent potentials)."""
     basis = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
              [0.25, 0.25, 0.25], [0.75, 0.75, 0.25],
              [0.75, 0.25, 0.75], [0.25, 0.75, 0.75]]
@@ -146,6 +174,8 @@ def generate_atoms(coordname: str, box_param, box_unit: float, ntypes: int = 1):
         return laves(box_param, box_unit)
     if name in ("diamond", "dia"):
         return diamond(box_param, box_unit)
+    if name == "sio2":
+        return sio2(box_param, box_unit)
     if name in ("qc", "quasi"):
         # box_param = Fibonacci approximant orders, box_unit = scale
         from imd_tpu.utils.qc import generate_qc

@@ -131,3 +131,18 @@ def test_bond_boost_bias_and_clock():
     # clock multiplier
     f = bboost.boost_factor(dv, jnp.float64(0.05))
     np.testing.assert_allclose(float(f), np.exp(0.5 / 0.05), rtol=1e-6)
+
+
+def test_sio2_quartz_generator():
+    """generate_SiO2 (imd_generate.c:714): density and bond lengths."""
+    import numpy as np
+    from imd_tpu.utils.generate import generate_atoms
+
+    pos, typ, diag = generate_atoms("_sio2", (2, 2, 2), 1.0)
+    assert len(pos) == 144 and (np.bincount(typ) == [48, 96]).all()
+    dens = len(pos) / np.prod(diag)
+    assert abs(dens - 0.0796) < 0.002        # alpha quartz 2.65 g/cm^3
+    d = pos[None] - pos[:, None]
+    r = np.linalg.norm(d, axis=-1) + np.eye(len(pos)) * 9
+    sio = r[(typ[:, None] == 0) & (typ[None] == 1)].min()
+    assert 1.55 < sio < 1.65                 # Si-O bond ~1.61 A
