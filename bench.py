@@ -22,7 +22,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--engine", default="pallas",
+                    choices=["pallas", "pallas2", "xla"])
     ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--deg", type=int, default=12,
                     help="fast-poly degree for the Pallas engine")
@@ -83,12 +84,14 @@ def main():
         raise SystemExit(f"initial binning overflow {int(scene.overflow)}"
                          f" at capacity {cap}; raise --capacity")
 
-    if args.engine == "pallas":
+    if args.engine in ("pallas", "pallas2"):
         from imd_tpu.models.potential import eam_to_fastpoly
-        from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+        from imd_tpu.ops import forces_pallas as fp
+        kern = (fp.compute_eam_forces_pallas if args.engine == "pallas"
+                else fp.compute_eam_forces_pallas2)
         eam_run = eam_to_fastpoly(eam, deg=args.deg)
         need_e = bool(args.energy_every_step)
-        force_fn = lambda s: compute_eam_forces_pallas(  # noqa
+        force_fn = lambda s: kern(  # noqa
             s, eam_run, need_energy=need_e, block=args.block)
     else:
         from imd_tpu.models.potential import eam_to_chebyshev

@@ -451,3 +451,182 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
         force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
         virial=jnp.zeros((), dtype), presstens=jnp.zeros((6,), dtype),
         num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims))
+
+
+# ---------------------------------------------------------------------------
+# v2 engine: the 13-offset loop rides the pallas grid (output revisiting)
+# ---------------------------------------------------------------------------
+
+def compute_eam_forces_pallas2(scene: Scene, eam, ntypes: int = 1,
+                               count_neighbors: bool = False,
+                               neigh_r2: float = 0.0,
+                               block: int = 512,
+                               need_energy: bool = True) -> ForceResult:
+    """EAM engine with grid = (cell-blocks, offsets) instead of an
+    in-kernel fori_loop over the 13 stencil offsets.
+
+    Why: v1 keeps the full [13, cap, 3, b] neighbor stack resident in
+    VMEM (6.4 MB at cap 16, b 256), which caps the lane-block size.  Here
+    each grid step streams ONE offset's neighbor view (Mosaic
+    double-buffers the DMA across grid steps) while the i-side
+    accumulators revisit the same output block (index map constant in m,
+    so they stay VMEM-resident across the inner grid dimension).  The
+    freed VMEM buys 2-4x larger b - fewer grid iterations and less
+    per-block overhead.  Numerics identical to v1.
+    """
+    grid_g = scene.grid
+    dims = grid_g.dims
+    dtype = scene.pos.dtype
+    cap = scene.capacity
+    nc = dims[0] * dims[1] * dims[2]
+
+    b = max(128, block // 128 * 128)
+    ncp = ((nc + b - 1) // b) * b
+    nblk = ncp // b
+
+    xi, nbr, mask = prep_neighbors(scene)
+    pad = ncp - nc
+    if pad:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=SENTINEL_CELL)
+        nbr = jnp.pad(nbr, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                      constant_values=SENTINEL_CELL)
+
+    rcut2 = float(grid_g.cutoff) ** 2
+    nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
+    pair_c = _poly_consts(eam.pair)
+    rho_c = _poly_consts(eam.rho)
+    interp = jax.default_backend() == "cpu"
+
+    sweep_a = _make_sweep(rcut2, nr2, "A", pair_c, rho_c,
+                          want_energy=need_energy,
+                          want_nn=count_neighbors)
+    keys = ["fx", "fy", "fz", "rho"]
+    if need_energy:
+        keys.append("e")
+    if count_neighbors:
+        keys.append("nn")
+    nk = len(keys)
+
+    def tri_mask(cap):
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        return ti < tj
+
+    def kern_a(xi_ref, nbr_ref, *refs):
+        iref, jref = refs[:nk], refs[nk:]
+        m = pl.program_id(1)
+        xi_x = xi_ref[:, 0, :]
+        xi_y = xi_ref[:, 1, :]
+        xi_z = xi_ref[:, 2, :]
+
+        @pl.when(m == 0)
+        def _():
+            o = sweep_a(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
+                        None, None)
+            for k, name in enumerate(keys):
+                iref[k][...] = o[name + "_i"] + o[name + "_j"]
+
+        @pl.when(m > 0)
+        def _():
+            o = sweep_a(xi_x, xi_y, xi_z, nbr_ref[0], None, None, None)
+            for k, name in enumerate(keys):
+                iref[k][...] += o[name + "_i"]
+                jref[k][0] = o[name + "_j"]
+
+    spec_i = pl.BlockSpec((cap, 3, b), lambda i, m: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((1, cap, 3, b),
+                          lambda i, m: (jnp.maximum(m - 1, 0), 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((cap, b), lambda i, m: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_oj = pl.BlockSpec((1, cap, b),
+                           lambda i, m: (jnp.maximum(m - 1, 0), 0, i),
+                           memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
+    shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
+
+    outs = pl.pallas_call(
+        kern_a, grid=(nblk, NOF + 1),
+        in_specs=[spec_i, spec_n],
+        out_specs=[spec_o] * nk + [spec_oj] * nk,
+        out_shape=[shp] * nk + [shpj] * nk,
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(xi, nbr)
+    outs = [o[..., :nc] for o in outs]
+    acc = {name: _assemble(dims, outs[k], outs[nk + k])
+           for k, name in enumerate(keys)}
+    fx, fy, fz, rho_t = acc["fx"], acc["fy"], acc["fz"], acc["rho"]
+    maskf = mask.astype(dtype)
+    epot = acc["e"] if need_energy else jnp.zeros_like(rho_t)
+    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+
+    emb_v, emb_g = eam.embed.interp(0, rho_t)
+    if need_energy:
+        epot = (epot + emb_v) * maskf
+    dF = 0.5 * emb_g * maskf
+
+    dF_n = jnp.stack([_roll_cells(dF, dims, off) for off in HALF_OFFSETS])
+    dF_p, dF_np = dF, dF_n
+    if pad:
+        dF_p = jnp.pad(dF, ((0, 0), (0, pad)))
+        dF_np = jnp.pad(dF_n, ((0, 0), (0, 0), (0, pad)))
+
+    sweep_b = _make_sweep(rcut2, nr2, "B", None, rho_c)
+
+    def kern_b(xi_ref, nbr_ref, dfi_ref, dfn_ref, fx, fy, fz,
+               fjx, fjy, fjz):
+        m = pl.program_id(1)
+        xi_x = xi_ref[:, 0, :]
+        xi_y = xi_ref[:, 1, :]
+        xi_z = xi_ref[:, 2, :]
+        dfi = dfi_ref[...]
+
+        @pl.when(m == 0)
+        def _():
+            o = sweep_b(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
+                        dfi, dfi)
+            fx[...] = o["fx_i"] + o["fx_j"]
+            fy[...] = o["fy_i"] + o["fy_j"]
+            fz[...] = o["fz_i"] + o["fz_j"]
+
+        @pl.when(m > 0)
+        def _():
+            o = sweep_b(xi_x, xi_y, xi_z, nbr_ref[0], None, dfi,
+                        dfn_ref[0])
+            fx[...] += o["fx_i"]
+            fy[...] += o["fy_i"]
+            fz[...] += o["fz_i"]
+            fjx[0] = o["fx_j"]
+            fjy[0] = o["fy_j"]
+            fjz[0] = o["fz_j"]
+
+    spec_df = pl.BlockSpec((cap, b), lambda i, m: (0, i),
+                           memory_space=pltpu.VMEM)
+    spec_dfn = pl.BlockSpec((1, cap, b),
+                            lambda i, m: (jnp.maximum(m - 1, 0), 0, i),
+                            memory_space=pltpu.VMEM)
+    outs2 = pl.pallas_call(
+        kern_b, grid=(nblk, NOF + 1),
+        in_specs=[spec_i, spec_n, spec_df, spec_dfn],
+        out_specs=[spec_o] * 3 + [spec_oj] * 3,
+        out_shape=[shp] * 3 + [shpj] * 3,
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(xi, nbr, dF_p, dF_np)
+    outs2 = [o[..., :nc] for o in outs2]
+    fx = fx + _assemble(dims, outs2[0], outs2[3])
+    fy = fy + _assemble(dims, outs2[1], outs2[4])
+    fz = fz + _assemble(dims, outs2[2], outs2[5])
+
+    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    virial = jnp.zeros((), dtype)
+    return ForceResult(
+        force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
+        virial=virial, presstens=jnp.zeros((6,), dtype),
+        num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims),
+        rho=_from_cl(rho_t * maskf, dims))

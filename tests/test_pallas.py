@@ -129,3 +129,21 @@ def test_forces_only_path_matches_full():
     np.testing.assert_allclose(np.asarray(fast.rho), np.asarray(full.rho),
                                rtol=1e-4, atol=1e-5)
     assert float(jnp.sum(jnp.abs(fast.epot))) == 0.0
+
+
+def test_pallas2_grid_engine_matches_v1():
+    """v2 (offsets on the pallas grid, output revisiting) == v1 exactly."""
+    from imd_tpu.ops.forces_pallas import (compute_eam_forces_pallas,
+                                           compute_eam_forces_pallas2)
+
+    sc = _scene()
+    sc = sc.replace(pos=sc.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), sc.pos.shape))
+    r1 = compute_eam_forces_pallas(sc, EAM, count_neighbors=True)
+    r2 = compute_eam_forces_pallas2(sc, EAM, count_neighbors=True)
+    np.testing.assert_array_equal(np.asarray(r1.force),
+                                  np.asarray(r2.force))
+    np.testing.assert_array_equal(np.asarray(r1.epot),
+                                  np.asarray(r2.epot))
+    np.testing.assert_array_equal(np.asarray(r1.num_neighs),
+                                  np.asarray(r2.num_neighs))
