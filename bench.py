@@ -116,6 +116,15 @@ def main():
                            t_0=100.0, mu=0.01)
         fdi0 = -jnp.ones(scene.type.shape, jnp.int32)
         tgrid0 = ttm_mod.make_grid(tp, dtype)
+        # the TTM needs the per-atom neighbor counts for its ambient
+        # density (NUMNEIGHS, imd_ttm.c:418)
+        if args.engine in ("pallas", "pallas2"):
+            force_fn = lambda s: kern(  # noqa
+                s, eam_run, need_energy=need_e, block=args.block,
+                count_neighbors=True)
+        else:
+            force_fn = lambda s: compute_eam_forces_fast(  # noqa
+                s, eam_run, 1, count_neighbors=True)
 
         def one_step(carry):
             scene, tgrid, fdi, step = carry
