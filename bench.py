@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--capacity", type=int, default=0)
     ap.add_argument("--deg", type=int, default=12,
                     help="fast-poly degree for the Pallas engine")
-    ap.add_argument("--block", type=int, default=256,
+    ap.add_argument("--block", type=int, default=128,
                     help="Pallas VMEM block budget knob")
     ap.add_argument("--ttm", action="store_true",
                     help="couple the electron-temperature grid + laser "
