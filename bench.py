@@ -154,6 +154,24 @@ def main():
         jax.block_until_ready(carry[0].pos)
         dt = time.perf_counter() - t0
         scene = carry[0]
+    elif args.engine == "pallas" and not args.energy_every_step:
+        # production hot loop: fused cells-last step (ops/fused_step.py)
+        from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step
+        step_cl, cl = make_fused_step(scene, eam_run, 0.1,
+                                      block=args.block)
+
+        @jax.jit
+        def run_block(cl, k):
+            return jax.lax.fori_loop(
+                0, k, lambda i, c: step_cl(c)[0], cl)
+
+        cl = run_block(cl, args.warmup)
+        jax.block_until_ready(cl.xi)
+        t0 = time.perf_counter()
+        cl = run_block(cl, args.steps)
+        jax.block_until_ready(cl.xi)
+        dt = time.perf_counter() - t0
+        scene = cl_to_scene(cl, scene)
     else:
         def one_step(scene):
             do_it = needs_rebin(scene, grid.skin)

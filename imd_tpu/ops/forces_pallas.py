@@ -184,36 +184,32 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
     return sweep
 
 
-def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
-                              count_neighbors: bool = False,
-                              neigh_r2: float = 0.0,
-                              block: int = 256,
-                              need_energy: bool = True) -> ForceResult:
-    """3-phase EAM with Pallas blocked sweeps (ntypes == 1 fast path).
+def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
+                   neigh_r2: float = 0.0, block: int = 256,
+                   need_energy: bool = True):
+    """Kernel core on prebuilt cells-last views.
 
-    ``eam`` must hold PolyPotential tables (models.potential.
-    eam_to_fastpoly) and must be CLOSED OVER (concrete) at trace time -
-    the polynomial coefficients are baked into the kernel as immediates.
-    Callers jit the surrounding step function; do not pass ``eam`` as a
-    jit argument.  Multi-type systems use the XLA engine.
+    ``xi`` [cap,3,NC] sentinel-filled positions, ``nbr`` [13,cap,3,NC]
+    shifted neighbor views, ``mask`` [cap,NC].  Returns cells-last
+    (F [cap,3,NC], epot, rho, nneigh).  Used by compute_eam_forces_pallas
+    (Scene entry) and by ops.fused_step (state kept cells-last so the
+    _to_cl transpose and its re-fusion into 13 rolls — measured 10 ms at
+    1M atoms — never happen in the hot loop).
     """
-    grid = scene.grid
     dims = grid.dims
-    dtype = scene.pos.dtype
-    cap = scene.capacity
+    dtype = xi.dtype
+    cap = xi.shape[0]
     nc = dims[0] * dims[1] * dims[2]
 
     # scale the block down for larger capacities so the kernel's live set
     # stays inside the 16 MB scoped-VMEM limit: it grows ~ ci*cj_pad*b
-    # (cj is a sublane dim, padded to a multiple of 8); cap=16, b=256 is
-    # the known-good point
+    # (cj is a sublane dim, padded to a multiple of 8)
     cap_pad = ((cap + 7) // 8) * 8
     budget = block * 16 * 16
     b = max(128, (budget // (cap * cap_pad)) // 128 * 128)
     ncp = ((nc + b - 1) // b) * b
     nblk = ncp // b
 
-    xi, nbr, mask = prep_neighbors(scene)
     pad = ncp - nc
     if pad:
         xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)),
@@ -343,14 +339,36 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
     fz = fz + _assemble(dims, fz2, fjz2)
 
     F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    return F, epot * maskf, rho_t * maskf, nneigh * maskf
+
+
+def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
+                              count_neighbors: bool = False,
+                              neigh_r2: float = 0.0,
+                              block: int = 256,
+                              need_energy: bool = True) -> ForceResult:
+    """3-phase EAM with Pallas blocked sweeps (ntypes == 1 fast path).
+
+    ``eam`` must hold PolyPotential tables (models.potential.
+    eam_to_fastpoly) and must be CLOSED OVER (concrete) at trace time -
+    the polynomial coefficients are baked into the kernel as immediates.
+    Callers jit the surrounding step function; do not pass ``eam`` as a
+    jit argument.  Multi-type systems use the XLA engine.
+    """
+    grid = scene.grid
+    dims = grid.dims
+    dtype = scene.pos.dtype
+    xi, nbr, mask = prep_neighbors(scene)
+    F, epot, rho_t, nneigh = eam_kernels_cl(
+        xi, nbr, mask, eam, grid, count_neighbors=count_neighbors,
+        neigh_r2=neigh_r2, block=block, need_energy=need_energy)
     # stress/virial requests route through the XLA engine (validation and
     # .eng intervals); the hot path returns zeros there
-    virial = jnp.zeros((), dtype)
     return ForceResult(
-        force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
-        virial=virial, presstens=jnp.zeros((6,), dtype),
-        num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims),
-        rho=_from_cl(rho_t * maskf, dims))
+        force=_from_cl(F, dims), epot=_from_cl(epot, dims),
+        virial=jnp.zeros((), dtype), presstens=jnp.zeros((6,), dtype),
+        num_neighs=_from_cl(nneigh.astype(jnp.int32), dims),
+        rho=_from_cl(rho_t, dims))
 
 
 def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,

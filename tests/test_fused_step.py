@@ -1,0 +1,66 @@
+"""Fused cells-last step == Scene-based step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imd_tpu import integrate
+from imd_tpu.models.potential import analytic_eam, eam_to_fastpoly
+from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step, scene_to_cl
+from imd_tpu.ops.geometry import Box, choose_grid, measured_capacity, \
+    with_capacity
+from imd_tpu.scene import make_scene, needs_rebin, rebin
+from imd_tpu.utils.generate import fcc
+
+EAM = eam_to_fastpoly(analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39,
+                                   dtype=jnp.float32), deg=12)
+
+
+def _scene():
+    pos, typ, diag = fcc((5, 4, 4), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float32)
+    return integrate.maxwell(sc, 0.05, jax.random.PRNGKey(3))
+
+
+def test_fused_matches_scene_step():
+    scene = _scene()
+    dt = 0.1
+    params = integrate.IntegratorParams(timestep=jnp.float32(dt))
+    step_cl, cl = make_fused_step(scene, EAM, dt)
+    step_cl = jax.jit(step_cl)
+
+    @jax.jit
+    def step_scene(s):
+        res = compute_eam_forces_pallas(s, EAM, need_energy=False)
+        s = s.replace(force=res.force)
+        s, _ = integrate.nve(s, params)
+        return s
+
+    s = scene
+    for i in range(25):
+        cl, _ = step_cl(cl)
+        s = step_scene(s)
+        if bool(needs_rebin(s, s.grid.skin)):
+            s = rebin(s)
+
+    out = cl_to_scene(cl, scene)
+    ids_a = np.asarray(s.id).reshape(-1)
+    ids_b = np.asarray(out.id).reshape(-1)
+
+    def by_id(ids, arr):
+        a = np.asarray(arr).reshape(len(ids), -1)
+        keep = ids >= 0
+        return a[keep][np.argsort(ids[keep])]
+
+    pa = by_id(ids_a, s.pos)
+    pb = by_id(ids_b, out.pos)
+    np.testing.assert_allclose(pa, pb, atol=3e-3)
+    ma = by_id(ids_a, s.mom)
+    mb = by_id(ids_b, out.mom)
+    np.testing.assert_allclose(ma, mb, atol=3e-3)
