@@ -126,34 +126,58 @@ def main():
             force_fn = lambda s: compute_eam_forces_fast(  # noqa
                 s, eam_run, 1, count_neighbors=True)
 
-        def one_step(carry):
-            scene, tgrid, fdi, step = carry
-            do_it = needs_rebin(scene, grid.skin)
-            scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
-            fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
-            res = force_fn(scene)
-            scene = scene.replace(force=res.force, epot=res.epot)
-            t = step.astype(dtype) * params.timestep
-            tgrid, fdi = ttm_mod.calc_ttm(
-                tgrid, scene, tp, eos, res.num_neighs, fdi,
-                params.timestep, t, laser_cfg=lcfg,
-                first_step=(step == 0))
-            xi_a, vcom = ttm_mod.gather_atom_coupling(tgrid, scene, tp)
-            scene, stats = integrate.ttm(scene, params, xi_a, vcom)
-            return (scene, tgrid, fdi, step + 1)
+        if args.engine in ("pallas", "pallas2"):
+            # fused cells-last TTM step (ops/fused_step.py)
+            from imd_tpu.ops.fused_step import (cl_to_scene,
+                                                make_fused_ttm_step)
+            step_cl, cl = make_fused_ttm_step(scene, eam_run, 0.1, tp,
+                                              eos, lcfg, block=args.block)
 
-        @jax.jit
-        def run_block(carry, k):
-            return jax.lax.fori_loop(0, k, lambda i, c: one_step(c), carry)
+            @jax.jit
+            def run_block(carry, k):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, c: step_cl(*c), carry)
 
-        carry = (scene, tgrid0, fdi0, jnp.zeros((), jnp.int32))
-        carry = run_block(carry, args.warmup)
-        jax.block_until_ready(carry[0].pos)
-        t0 = time.perf_counter()
-        carry = run_block(carry, args.steps)
-        jax.block_until_ready(carry[0].pos)
-        dt = time.perf_counter() - t0
-        scene = carry[0]
+            fdi_f = -jnp.ones(cl.mass.size, jnp.int32)
+            carry = (cl, tgrid0, fdi_f, jnp.zeros((), jnp.int32))
+            carry = run_block(carry, args.warmup)
+            jax.block_until_ready(carry[0].xi)
+            t0 = time.perf_counter()
+            carry = run_block(carry, args.steps)
+            jax.block_until_ready(carry[0].xi)
+            dt = time.perf_counter() - t0
+            scene = cl_to_scene(carry[0], scene)
+        else:
+            def one_step(carry):
+                scene, tgrid, fdi, step = carry
+                do_it = needs_rebin(scene, grid.skin)
+                scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
+                fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
+                res = force_fn(scene)
+                scene = scene.replace(force=res.force, epot=res.epot)
+                t = step.astype(dtype) * params.timestep
+                tgrid, fdi = ttm_mod.calc_ttm(
+                    tgrid, scene, tp, eos, res.num_neighs, fdi,
+                    params.timestep, t, laser_cfg=lcfg,
+                    first_step=(step == 0))
+                xi_a, vcom = ttm_mod.gather_atom_coupling(tgrid, scene,
+                                                          tp)
+                scene, stats = integrate.ttm(scene, params, xi_a, vcom)
+                return (scene, tgrid, fdi, step + 1)
+
+            @jax.jit
+            def run_block(carry, k):
+                return jax.lax.fori_loop(0, k,
+                                         lambda i, c: one_step(c), carry)
+
+            carry = (scene, tgrid0, fdi0, jnp.zeros((), jnp.int32))
+            carry = run_block(carry, args.warmup)
+            jax.block_until_ready(carry[0].pos)
+            t0 = time.perf_counter()
+            carry = run_block(carry, args.steps)
+            jax.block_until_ready(carry[0].pos)
+            dt = time.perf_counter() - t0
+            scene = carry[0]
     elif args.engine == "pallas" and not args.energy_every_step:
         # production hot loop: fused cells-last step (ops/fused_step.py)
         from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step

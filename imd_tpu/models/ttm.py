@@ -143,56 +143,78 @@ def make_grid(params: TTMParams, dtype=jnp.float32) -> TTMGrid:
 
 def fd_index(scene: Scene, params: TTMParams) -> jnp.ndarray:
     """Per-atom-slot FD column index [gx,gy,gz,cap] (clamped)."""
-    i = jnp.floor(scene.pos[..., 0] / params.fd_h_x).astype(jnp.int32)
+    return fd_index_from_x(scene.pos[..., 0], params)
+
+
+def fd_index_from_x(x, params: TTMParams) -> jnp.ndarray:
+    """FD column index from x coordinates (any layout)."""
+    i = jnp.floor(x / params.fd_h_x).astype(jnp.int32)
     return jnp.clip(i, 0, params.nx - 1)
 
 
 def update_fd(grid: TTMGrid, scene: Scene, params: TTMParams,
               num_neighs: jnp.ndarray, fdi_prev: jnp.ndarray,
               first_step: jnp.ndarray) -> Tuple[TTMGrid, jnp.ndarray]:
-    """Per-column reductions + advection fluxes.
+    """Per-column reductions + advection fluxes (Scene entry point).
 
     ``num_neighs`` is the per-atom neighbor count within the pair cutoff
     (forces pass, NUMNEIGHS); ``fdi_prev`` the previous per-slot FD index
     (-1 for atoms without history).  Returns (grid, fdi_new).
     """
-    dtype = scene.pos.dtype
-    nx = params.nx
     mask = scene.mask & (scene.type == 0)    # reference counts sorte==0 only
+    mom3 = tuple(scene.mom[..., k].reshape(-1) for k in range(3))
+    grid, fdi = update_fd_flat(
+        grid, params, scene.pos[..., 0].reshape(-1), mom3,
+        scene.mass.reshape(-1), mask.reshape(-1),
+        num_neighs.reshape(-1), fdi_prev.reshape(-1), first_step)
+    return grid, fdi.reshape(scene.type.shape)
+
+
+def update_fd_flat(grid: TTMGrid, params: TTMParams, x, mom3, mass, mask,
+                   num_neighs, fdi_prev, first_step):
+    """Core of update_fd on flat component arrays (layout-agnostic: the
+    fused cells-last hot loop feeds [cap*NC]-ordered components and the
+    Scene wrapper [NC*cap]-ordered ones; only internal consistency
+    matters)."""
+    dtype = x.dtype
+    nx = params.nx
     fm = mask.astype(dtype)
-    fdi = fd_index(scene, params)
+    fdi = fd_index_from_x(x, params)
     seg = jnp.where(mask, fdi, nx)           # dead atoms -> overflow bucket
 
     # one-hot matmul reductions: scatter-add segment sums over ~10^6
     # atom slots onto ~10^1 columns measured 62 ms/step on v5e; the same
     # contraction as a [M, nx] one-hot matmul rides the MXU in ~1 ms.
     # HIGHEST precision: counts and momenta must not round through bf16.
-    seg_flat = seg.reshape(-1)
-    onehot = (seg_flat[:, None]
+    onehot = (seg[:, None]
               == jnp.arange(nx + 1, dtype=jnp.int32)[None]).astype(dtype)
 
-    def ssum(x, dt=None):
-        flat = x.reshape((seg_flat.shape[0], -1)).astype(dtype)
-        out = jnp.einsum("mk,mf->kf", onehot, flat,
-                         precision=jax.lax.Precision.HIGHEST)[:nx]
-        out = out.reshape((nx,) + x.shape[4:])
-        return out.astype(dt or dtype)
+    # advection fluxes: atoms whose column changed since last step
+    moved = mask & (fdi_prev >= 0) & (fdi_prev != fdi) & ~first_step
+    from_right = (moved & (fdi_prev > fdi)).astype(dtype)
+    from_left = (moved & (fdi_prev < fdi)).astype(dtype)
 
-    natoms = ssum(fm, jnp.int32)
-    totneighs = ssum(num_neighs.astype(dtype) * fm)
-    mom_sum = ssum(scene.mom * fm[..., None])
+    mx, my, mz = (m * fm for m in mom3)
+    fields = jnp.stack([fm, num_neighs.astype(dtype) * fm, mx, my, mz,
+                        from_right, from_left], axis=1)
+    sums = jnp.einsum("mk,mf->kf", onehot, fields,
+                      precision=jax.lax.Precision.HIGHEST)[:nx]
+    natoms = sums[:, 0].astype(jnp.int32)
+    totneighs = sums[:, 1]
+    mom_sum = sums[:, 2:5]
+    flux_right = sums[:, 5].astype(jnp.int32)
+    flux_left = sums[:, 6].astype(jnp.int32)
     totmass = natoms.astype(dtype) * params.atomic_mass
     vcom = jnp.where(totmass[:, None] > 0, mom_sum / totmass[:, None], 0.0)
 
     # md_temp: sum m (v - vcom)^2 / (3 N); vcom broadcast back to atoms
-    # through the same one-hot (a [M, nx] x [nx, 3] MXU matmul, not a
-    # gather)
+    # through the same one-hot (an MXU matmul, not a gather)
     vcom_atom = jnp.matmul(onehot[:, :nx], vcom,
-                           precision=jax.lax.Precision.HIGHEST
-                           ).reshape(scene.pos.shape)
-    v = scene.mom / jnp.maximum(scene.mass, 1e-30)[..., None]
-    dv = (v - vcom_atom) * fm[..., None]
-    mdt = ssum(jnp.sum(dv * dv, -1) * scene.mass)
+                           precision=jax.lax.Precision.HIGHEST)
+    inv_mass = 1.0 / jnp.maximum(mass, 1e-30)
+    dv2 = sum((mom3[k] * inv_mass - vcom_atom[:, k]) ** 2 for k in range(3))
+    mdt = jnp.einsum("mk,m->k", onehot, dv2 * fm * fm * mass,
+                     precision=jax.lax.Precision.HIGHEST)[:nx]
     md_temp = jnp.where(natoms > 0, mdt / (3.0 * jnp.maximum(natoms, 1)), 0.0)
 
     # ambient density from neighbor counts (imd_ttm.c:418)
@@ -204,13 +226,6 @@ def update_fd(grid: TTMGrid, scene: Scene, params: TTMParams,
     dens = jnp.where((natoms > 0) & (dens == 0.0),
                      natoms.astype(dtype) * params.atomic_mass
                      / params.fd_vol * 1660.53907, dens)
-
-    # advection fluxes: atoms whose column changed since last step
-    moved = mask & (fdi_prev >= 0) & (fdi_prev != fdi) & ~first_step
-    from_right = moved & (fdi_prev > fdi)
-    from_left = moved & (fdi_prev < fdi)
-    flux_right = ssum(from_right.astype(dtype), jnp.int32)
-    flux_left = ssum(from_left.astype(dtype), jnp.int32)
 
     # first touch: initialize T_e = T_i on active cells (imd_ttm.c:500)
     act = (natoms >= params.fd_min_atoms) & (dens > params.rho_min)
@@ -566,7 +581,15 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     to SI seconds for the pulse envelope (tmm_time, imd_ttm.c:117).
     """
     first = jnp.asarray(first_step)
-    grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
+    if isinstance(scene, Scene):
+        grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev,
+                              first)
+    else:
+        # flat-component atoms (x, mom3, mass, mask) from the fused
+        # cells-last hot loop (ops/fused_step.py)
+        x, mom3, mass, mask = scene
+        grid, fdi = update_fd_flat(grid, params, x, mom3, mass, mask,
+                                   num_neighs, fdi_prev, first)
     grid = do_adv(grid, params, eos, first)
     grid = cell_activation(grid, params, eos)
     # COLRAD kinetics own Z/ne/Te when enabled (do_colrad hook,
@@ -638,7 +661,15 @@ def calc_ttm_fdtd(grid: TTMGrid, fdtd_state, scene: Scene,
     from imd_tpu.models import fdtd as fdtd_mod
 
     first = jnp.asarray(first_step)
-    grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev, first)
+    if isinstance(scene, Scene):
+        grid, fdi = update_fd(grid, scene, params, num_neighs, fdi_prev,
+                              first)
+    else:
+        # flat-component atoms (x, mom3, mass, mask) from the fused
+        # cells-last hot loop (ops/fused_step.py)
+        x, mom3, mass, mask = scene
+        grid, fdi = update_fd_flat(grid, params, x, mom3, mass, mask,
+                                   num_neighs, fdi_prev, first)
     grid = do_adv(grid, params, eos, first)
     grid = cell_activation(grid, params, eos)
     grid = fill_mesh(grid, params, eos, True)
@@ -704,22 +735,24 @@ def electron_pressure_force(grid: TTMGrid, params: TTMParams,
 
 
 def gather_atom_coupling(grid: TTMGrid, scene: Scene, params: TTMParams):
-    """Per-atom xi and v_com for move_atoms_ttm (integrate.c:738-748).
-
-    One-hot matmul instead of a per-slot gather (14.8 ms -> ~1 ms at 1M
-    atoms on v5e; the column table is tiny, so the contraction is an MXU
-    matvec)."""
-    nx = params.nx
+    """Per-atom xi and v_com for move_atoms_ttm (integrate.c:738-748)."""
     fdi = fd_index(scene, params)
-    onehot = (fdi.reshape(-1)[:, None]
+    xi_a, vcom_a = gather_atom_coupling_flat(grid, fdi.reshape(-1))
+    return xi_a.reshape(fdi.shape), vcom_a.reshape(fdi.shape + (3,))
+
+
+def gather_atom_coupling_flat(grid: TTMGrid, fdi_flat):
+    """One-hot matmul instead of a per-slot gather (14.8 ms -> ~1 ms at
+    1M atoms on v5e; the column table is tiny, so the contraction is an
+    MXU matvec).  Returns flat (xi [M], vcom [M, 3])."""
+    nx = grid.xi.shape[0]
+    onehot = (fdi_flat[:, None]
               == jnp.arange(nx, dtype=jnp.int32)[None]
               ).astype(grid.xi.dtype)
     xi_a = jnp.matmul(onehot, grid.xi[:, None],
-                      precision=jax.lax.Precision.HIGHEST
-                      ).reshape(fdi.shape)
+                      precision=jax.lax.Precision.HIGHEST)[:, 0]
     vcom_a = jnp.matmul(onehot, grid.vcom,
-                        precision=jax.lax.Precision.HIGHEST
-                        ).reshape(fdi.shape + (3,))
+                        precision=jax.lax.Precision.HIGHEST)
     return xi_a, vcom_a
 
 

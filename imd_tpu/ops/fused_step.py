@@ -134,3 +134,79 @@ def make_fused_step(template: Scene, eam_run, timestep,
         return cl, nn
 
     return step, scene_to_cl(template)
+
+
+def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
+                        laser_cfg, block: int = 128):
+    """TTM-coupled fused cells-last step (the north-star configuration).
+
+    step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
+    neighbor counts (Pallas), calc_ttm on flat component views of the
+    cells-last state, xi-coupled leapfrog (move_atoms_ttm,
+    imd_integrate.c:581) — all without leaving the kernel layout.
+    """
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.ops import forces_pallas as fp
+
+    grid = template.grid
+    dims = grid.dims
+    dtype = template.pos.dtype
+    dt = jnp.asarray(timestep, dtype)
+    skin2 = jnp.asarray((0.5 * grid.skin) ** 2, dtype)
+
+    shifts, oks = [], []
+    for off in HALF_OFFSETS:
+        sh, ok = _wrap_shift_mask_cl(grid, off, dtype)
+        shifts.append(sh)
+        oks.append(ok)
+
+    def step(cl: CLState, tgrid, fdi, k):
+        nbrs = []
+        for i, off in enumerate(HALF_OFFSETS):
+            xj = _roll_cells(cl.xi, dims, off)
+            xj = xj + shifts[i][None]
+            xj = jnp.where(oks[i][None, None, :], xj,
+                           jnp.asarray(3.0e6, dtype))
+            nbrs.append(xj)
+        F, _, _, nn = fp.eam_kernels_cl(
+            cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
+            count_neighbors=True, block=block, need_energy=False)
+
+        x = cl.xi[:, 0, :].reshape(-1)
+        mom3 = tuple(cl.mom[:, c, :].reshape(-1) for c in range(3))
+        massf = cl.mass.reshape(-1)
+        maskf = cl.alive.reshape(-1)
+        t = k.astype(dtype) * dt
+        tgrid, fdi = ttm_mod.calc_ttm(
+            tgrid, (x, mom3, massf, maskf), tp, eos,
+            nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
+            first_step=(k == 0))
+        xi_a, vcom_a = ttm_mod.gather_atom_coupling_flat(
+            tgrid, ttm_mod.fd_index_from_x(x, tp))
+        # p += dt (F + xi m (v - vcom))  (move_atoms_ttm)
+        af = cl.alive.astype(dtype)
+        shape2 = cl.mass.shape
+        mom_new = []
+        for c in range(3):
+            momc = cl.mom[:, c, :]
+            extra = (xi_a * (mom3[c] - massf * vcom_a[:, c])
+                     ).reshape(shape2)
+            mom_new.append((momc + dt * (F[:, c, :] + extra)) * af)
+        mom2 = jnp.stack(mom_new, 1)
+        xi2 = cl.xi + dt * mom2 / cl.mass[:, None, :]
+        xi2 = jnp.where(cl.alive[:, None, :], xi2, cl.xi)
+        cl = cl.replace(xi=xi2, mom=mom2)
+        d = xi2 - cl.ref_xi
+        d2 = jnp.sum(d * d, axis=1)
+        need = jnp.max(jnp.where(cl.alive, d2, 0.0)) > skin2
+
+        def do_rebin(args):
+            cl, fdi = args
+            sc = cl_to_scene(cl, template)
+            sc = rebin(sc)
+            return scene_to_cl(sc), -jnp.ones_like(fdi)
+
+        cl, fdi = jax.lax.cond(need, do_rebin, lambda a: a, (cl, fdi))
+        return cl, tgrid, fdi, k + 1
+
+    return step, scene_to_cl(template)
