@@ -29,9 +29,11 @@ def main():
                     help="fast-poly degree for the Pallas engine")
     ap.add_argument("--block", type=int, default=128,
                     help="Pallas VMEM block budget knob")
-    ap.add_argument("--ttm", action="store_true",
+    ap.add_argument("--ttm", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="couple the electron-temperature grid + laser "
-                         "source (the BASELINE north-star configuration)")
+                         "source (the BASELINE north-star configuration; "
+                         "--no-ttm benches the pure-MD step)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--energy-every-step", action="store_true",
                     help="accumulate per-atom epot every step (production "
