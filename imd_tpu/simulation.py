@@ -582,6 +582,9 @@ class Simulation:
         def run_block(state):
             return jax.lax.fori_loop(0, block, lambda i, s: step_fn(s), state)
 
+        from imd_tpu.utils.timers import Timers
+        timers = Timers()
+        timers.start("total")
         state = self.init_state()
         nactive = float(integrate.count_active_dof(self.scene,
                                                    self._restrictions()))
@@ -592,7 +595,9 @@ class Simulation:
                                  append=cfg.simulation_phase > 1)
         done = 0
         while done < steps:
-            state = run_block(state)
+            with timers.section("main"):
+                state = run_block(state)
+                jax.block_until_ready(state.scene.pos)
             done += block
             gstep = int(state.step)
             if cfg.eng_int > 0 and done % cfg.eng_int == 0:
@@ -628,6 +633,11 @@ class Simulation:
                 break
         self.scene = state.scene
         self.step_count = int(state.step)
+        timers.stop("total")
+        self.timers = timers
+        # end-of-run summary like the reference (imd.c:387-401)
+        n = max(int(state.scene.n_atoms()), 1)
+        print(timers.report(n_atoms=n, n_steps=max(steps, 1)), flush=True)
         return state
 
     def _write_eng(self, state: SimState, nactive: float):

@@ -235,3 +235,18 @@ def test_host_device_binning_equivalence_and_drop_sentinel():
         a = np.sort(np.asarray(oj[k]).reshape(n_cells, 8, -1), axis=1)
         b = np.sort(np.asarray(oh[k]).reshape(n_cells, 8, -1), axis=1)
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_timers_report():
+    from imd_tpu.utils.timers import Timers
+    t = Timers()
+    t.start("total")
+    with t.section("forces"):
+        time.sleep(0.01)
+    with t.section("io"):
+        time.sleep(0.005)
+    t.stop("total")
+    rep = t.report(n_atoms=100, n_steps=10)
+    assert "forces" in rep and "%" in rep
+    assert "seconds per step and atom" in rep
+    assert t.get("forces") >= 0.01
