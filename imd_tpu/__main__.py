@@ -20,7 +20,6 @@ behavior).
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 
 
@@ -50,7 +49,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
-    import numpy as np
     from imd_tpu.config import SimConfig, parse_param_text
     from imd_tpu.simulation import Simulation
 

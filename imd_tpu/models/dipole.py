@@ -31,7 +31,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 COUL_EV_A = 14.39964547842567   # e^2/(4 pi eps0) in eV*Angstrom
 

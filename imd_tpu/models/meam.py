@@ -33,7 +33,6 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _EPS = 1e-10
 

@@ -18,7 +18,7 @@ per-molecule fields the cell Scene does not carry).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,21 +22,15 @@ Single-species fast path, like the Pallas engines themselves.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 from imd_tpu.ops.forces import HALF_OFFSETS
 from imd_tpu.ops.forces_fast import _from_cl, _to_cl
-from imd_tpu.ops.forces_pallas import (NOF, SENTINEL_DEAD, _make_sweep,
-                                       _poly_consts, _assemble, _roll_cells,
+from imd_tpu.ops.forces_pallas import (SENTINEL_DEAD, _roll_cells,
                                        _wrap_shift_mask_cl)
 from imd_tpu.scene import Scene, rebin
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 class CLState(struct.PyTreeNode):

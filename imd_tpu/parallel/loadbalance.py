@@ -18,8 +18,6 @@ cells re-sorted by the new map) reuses the ordinary rebin.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ windows; for kernel-level attribution use the jax profiler
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class Timers:
