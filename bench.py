@@ -44,6 +44,27 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the remote-TPU tunnel can wedge (control channel up, data ops
+        # hang forever); fail fast with a clear message instead of
+        # hanging the whole bench run
+        import threading
+        ok = threading.Event()
+
+        def _probe():
+            import jax.numpy as _jnp
+            _jnp.ones(3).block_until_ready()
+            ok.set()
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(120.0)
+        if not ok.is_set():
+            import sys
+            print("bench: TPU data plane unresponsive after 120 s "
+                  "(tunnel wedge); last recorded numbers are in "
+                  "STATUS.md. Use --cpu for a CPU run.", file=sys.stderr)
+            raise SystemExit(3)
     import jax.numpy as jnp
     import numpy as np
     from imd_tpu import integrate
