@@ -153,7 +153,8 @@ def main():
             # fused cells-last TTM step (ops/fused_step.py)
             from imd_tpu.ops.fused_step import (cl_to_scene,
                                                 make_fused_ttm_step)
-            step_cl, cl = make_fused_ttm_step(scene, eam_run, 0.1, tp,
+            step_cl, cl = make_fused_ttm_step(scene, eam_run,
+                                              params.timestep, tp,
                                               eos, lcfg, block=args.block)
 
             @jax.jit
@@ -204,7 +205,7 @@ def main():
     elif args.engine == "pallas" and not args.energy_every_step:
         # production hot loop: fused cells-last step (ops/fused_step.py)
         from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step
-        step_cl, cl = make_fused_step(scene, eam_run, 0.1,
+        step_cl, cl = make_fused_step(scene, eam_run, params.timestep,
                                       block=args.block)
 
         @jax.jit

@@ -66,14 +66,29 @@ def main(argv=None):
         cfg = SimConfig.from_params(parse_param_text(text, phase=phase))
         cfg.simulation_phase = phase
         if args.restart is not None and phase == 1:
-            cfg.coordname = f"{cfg.outfiles}.{args.restart}.chkpt"
-            cfg.itrname = f"{cfg.outfiles}.{args.restart}.itr"
+            # the reference tries the plain `%d` name first and falls
+            # back to the zero-padded `%05d` form (imd_param.c:4178/4184)
+            for fz in (str(args.restart), f"{args.restart:05d}"):
+                cand = os.path.join(workdir, f"{cfg.outfiles}.{fz}.chkpt")
+                if os.path.exists(cand):
+                    cfg.coordname = f"{cfg.outfiles}.{fz}.chkpt"
+                    cfg.itrname = f"{cfg.outfiles}.{fz}.itr"
+                    break
+            else:
+                raise SystemExit(
+                    f"restart {args.restart}: neither "
+                    f"{cfg.outfiles}.{args.restart}.chkpt nor "
+                    f"{cfg.outfiles}.{args.restart:05d}.chkpt exists "
+                    f"in {workdir}")
         sim = Simulation(cfg, workdir=workdir, dtype=dtype,
                          engine=args.engine)
         if prev_scene is not None:
             # phase handover: keep the evolved atoms (imd.c re-reads
-            # params per phase but keeps the cell contents)
-            sim.scene = prev_scene
+            # params per phase but keeps the cell contents).  The new
+            # phase may have a different cutoff/box/grid, so the atoms
+            # are re-binned into the grid THIS phase computed instead of
+            # transplanting the previous phase's Scene object.
+            sim.adopt_scene(prev_scene)
             sim.step_count = prev_step
         steps = args.steps_override if args.steps_override else None
         print(f"# phase {phase}/{n_phases}: ensemble={cfg.ensemble} "

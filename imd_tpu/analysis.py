@@ -489,12 +489,16 @@ class HeatCurrent:
         if res.presstens_atom is None:
             raise ValueError("need compute_*_forces(per_atom_stress=True)")
         ids, pp, mass, ekin, e, pt = self._per_atom(scene, res)
-        n = int(ids.max()) + 1
+        # avg_eng is indexed by atom id (may be sparse/non-contiguous);
+        # the temperature normalization uses the ALIVE atom count, like
+        # the reference's `natoms` (imd_transport.c:84).
+        n_ids = int(ids.max()) + 1
+        n_alive = len(ids)
         if self.avg_eng is None:
-            self.avg_eng = np.zeros(n)
+            self.avg_eng = np.zeros(n_ids)
         if step < self.start:
             if step >= self.av_start:
-                ae = np.zeros(n)
+                ae = np.zeros(n_ids)
                 ae[ids] = e
                 self.avg_eng += ae
                 self.fac_sum += float(ekin.sum())
@@ -502,7 +506,7 @@ class HeatCurrent:
         if self.fac is None:
             window = self.start - self.av_start
             self.avg_eng /= window
-            temp = 2.0 * self.fac_sum / (3.0 * n * window)
+            temp = 2.0 * self.fac_sum / (3.0 * n_alive * window)
             self.fac = 1.0 / (math.sqrt(self.volume) * temp)
         de = e - self.avg_eng[ids]
         # sigma . p with Voigt order xx yy zz yz zx xy

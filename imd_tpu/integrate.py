@@ -694,6 +694,13 @@ def shock_mirrors(scene: Scene, mode: int, step, timestep,
 
     mode 3: fixed wall at box_x (atoms crossing bounce back); mode 4:
     two pistons moving inward at shock_speed_l/r.
+
+    Deliberate deviation from the reference: imd_integrate.c:449 places
+    the RIGHT piston at box_x - shock_speed_l*t (it reuses the `rand`
+    variable computed from the left speed), which is only correct for
+    symmetric pistons.  We place it at box_x - shock_speed_r*t so that
+    asymmetric speeds behave as documented; results differ from the
+    reference only when shock_speed_l != shock_speed_r.
     """
     x = scene.pos[..., 0]
     px = scene.mom[..., 0]

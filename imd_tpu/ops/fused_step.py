@@ -36,8 +36,15 @@ from imd_tpu.scene import Scene, rebin
 class CLState(struct.PyTreeNode):
     xi: jnp.ndarray       # [cap, 3, NC] positions, dead slots = sentinel
     mom: jnp.ndarray      # [cap, 3, NC]
-    mass: jnp.ndarray     # [cap, NC] (1 where dead)
+    mass: jnp.ndarray     # [cap, NC] (1e-30 where dead)
     alive: jnp.ndarray    # [cap, NC] bool
+    # per-slot identity: the slot layout changes at every rebin, so these
+    # MUST travel with the state — rebuilding the Scene from a template
+    # captured at make_fused_step time silently drops real atoms and bins
+    # phantom zeros once the layout diverges (first in-loop rebin).
+    typ: jnp.ndarray      # [cap, NC] int32, -1 = dead slot
+    vtyp: jnp.ndarray     # [cap, NC] int32
+    ids: jnp.ndarray      # [cap, NC] int32
     ref_xi: jnp.ndarray   # positions at last rebin (skin check)
     overflow: jnp.ndarray
 
@@ -51,15 +58,30 @@ def scene_to_cl(scene: Scene) -> CLState:
     return CLState(
         xi=xi, mom=_to_cl(scene.mom, dims),
         mass=jnp.maximum(_to_cl(scene.mass, dims), 1e-30),
-        alive=alive, ref_xi=xi, overflow=scene.overflow)
+        alive=alive,
+        typ=typ, vtyp=_to_cl(scene.vtype, dims),
+        ids=_to_cl(scene.id, dims),
+        ref_xi=xi, overflow=scene.overflow)
 
 
 def cl_to_scene(cl: CLState, template: Scene) -> Scene:
+    """Rebuild a Scene from the CURRENT cells-last state.
+
+    ``template`` supplies only the grid/static metadata; every per-slot
+    array (pos/mom/mass/type/vtype/id) comes from ``cl`` so the result is
+    correct regardless of how many rebins reshuffled the slot layout.
+    """
     dims = template.grid.dims
     alive = cl.alive
     pos = jnp.where(alive[:, None, :], cl.xi, 0.0)
+    af = alive.astype(cl.mass.dtype)
     return template.replace(
         pos=_from_cl(pos, dims), mom=_from_cl(cl.mom, dims),
+        mass=_from_cl(cl.mass * af, dims),
+        type=_from_cl(cl.typ, dims), vtype=_from_cl(cl.vtyp, dims),
+        id=_from_cl(cl.ids, dims),
+        nbl_ref_pos=_from_cl(jnp.where(alive[:, None, :], cl.ref_xi, 0.0),
+                             dims),
         overflow=cl.overflow)
 
 

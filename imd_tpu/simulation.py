@@ -137,10 +137,15 @@ class Simulation:
                 self.pair_run = to_fastpoly(self.pair, vcap=50.0)
                 self.eam_run = None
         elif self.fast:
-            from imd_tpu.models.potential import eam_to_chebyshev, to_chebyshev
-            if self.eam is not None:
+            # idempotent: _select_engine may be re-run (adopt_scene)
+            from imd_tpu.models.potential import (ChebPotential,
+                                                  eam_to_chebyshev,
+                                                  to_chebyshev)
+            if self.eam is not None and not isinstance(self.eam.pair,
+                                                       ChebPotential):
                 self.eam = eam_to_chebyshev(self.eam)
-            if self.pair is not None:
+            if self.pair is not None and not isinstance(self.pair,
+                                                        ChebPotential):
                 self.pair = to_chebyshev(self.pair)
 
     def _load_atoms(self, grid_dims_multiple):
@@ -204,6 +209,45 @@ class Simulation:
             self.scene = integrate.shock_init(
                 self.scene, cfg.shock_mode,
                 jnp.asarray(cfg.shock_speed, self.dtype), cfg.shock_strip)
+
+    def adopt_scene(self, prev: Scene):
+        """Phase handover: re-bin another phase's atoms into THIS phase's
+        grid (cutoff/box/capacity may differ between `simulation K`
+        sections; transplanting the old Scene would run forces on cells
+        smaller than the new cutoff and silently miss pairs)."""
+        flat = prev.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        n = int(mask.sum())
+        if self.cfg.cell_capacity <= 0:
+            from imd_tpu.ops.geometry import measured_capacity, with_capacity
+            self.grid = with_capacity(
+                self.grid,
+                measured_capacity(self.grid, np.asarray(flat["pos"])[mask],
+                                  safety=1.2 * self.cfg.nbl_size,
+                                  dtype=self.dtype))
+        self.scene = make_scene(
+            self.grid, np.asarray(flat["pos"])[mask],
+            mom=np.asarray(flat["mom"])[mask],
+            mass=np.asarray(flat["mass"])[mask],
+            type=np.asarray(flat["type"])[mask],
+            vtype=np.asarray(flat["vtype"])[mask],
+            id=np.asarray(flat["id"])[mask],
+            dtype=self.dtype)
+        if int(self.scene.overflow):
+            raise RuntimeError(
+                f"phase handover: {int(self.scene.overflow)} atoms "
+                f"overflowed cell capacity {self.grid.capacity}")
+        if int(self.scene.n_atoms()) != n:
+            raise RuntimeError("phase handover lost atoms")
+        self._select_engine()   # capacity may have crossed the Pallas cap
+        # NRB neighbor ids were captured against the OLD slot layout
+        if self.nrb_state is not None:
+            from imd_tpu.models import nrb as nrb_mod
+            mass = (float(self.cfg.masses[0]) if self.cfg.masses
+                    else 26.9815)
+            self.nrb_state = nrb_mod.init_nrb(
+                self.scene, self.cfg.nrb.alat, self.cfg.nrb.k,
+                self.cfg.nrb.eps, mass, self.cfg.pbc_dirs)
 
     def _restrictions(self):
         cfg = self.cfg

@@ -28,6 +28,52 @@ def _scene():
     return integrate.maxwell(sc, 0.05, jax.random.PRNGKey(3))
 
 
+def test_fused_rebin_preserves_atoms():
+    """Two+ in-loop rebins must not lose atoms or bin phantoms.
+
+    Regression: cl_to_scene used to rebuild the Scene from the static
+    template captured at make_fused_step time; after the 2nd rebin the
+    slot layout diverged and real atoms were dropped while zeros were
+    binned at the origin.
+    """
+    pos, typ, diag = fcc((5, 4, 4), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos) + 4)
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float32)
+    # hot: large displacements per step force frequent skin-check rebins
+    scene = integrate.maxwell(sc, 0.6, jax.random.PRNGKey(7))
+    n0 = int(scene.n_atoms())
+    ids0 = np.sort(np.asarray(scene.id).reshape(-1))
+    ids0 = ids0[ids0 >= 0]
+
+    step_cl, cl = make_fused_step(scene, EAM, 0.1)
+    step_cl = jax.jit(step_cl)
+    rebins = 0
+    prev_ref = np.asarray(cl.ref_xi)
+    for i in range(60):
+        cl, _ = step_cl(cl)
+        new_ref = np.asarray(cl.ref_xi)
+        if new_ref.shape == prev_ref.shape and not np.array_equal(
+                new_ref, prev_ref):
+            rebins += 1
+        prev_ref = new_ref
+    assert rebins >= 2, f"test did not exercise >=2 rebins (got {rebins})"
+
+    out = cl_to_scene(cl, scene)
+    assert int(out.overflow) == 0
+    assert int(out.n_atoms()) == n0
+    ids1 = np.sort(np.asarray(out.id).reshape(-1))
+    ids1 = ids1[ids1 >= 0]
+    np.testing.assert_array_equal(ids0, ids1)
+    # no phantom atoms parked at the origin with zero mass
+    flat = out.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    assert np.all(np.asarray(flat["mass"])[m] > 1.0)
+
+
 def test_fused_matches_scene_step():
     scene = _scene()
     dt = 0.1
