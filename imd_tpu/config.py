@@ -367,6 +367,21 @@ class SimConfig:
     ramp_fraction: float = 0.0
     xipdecay: float = 0.0
     pdecay_surfx: float = 0.0
+    # --- parallel decomposition (imd_param.c:1817 cpu_dim; here the
+    # device-mesh shape: cells sharded over a jax Mesh instead of MPI ranks)
+    cpu_dim: Tuple[int, int, int] = (1, 1, 1)
+    # load balancing (imd_param.c:2541-2565; TPU analog: x-slab
+    # repartitioning of the sharded cell grid every lb_frequency steps)
+    lb_frequency: int = 0
+    lb_write_status: int = 0
+    # socket steering (socket_io.c; imd_param.c:2766)
+    socket_int: int = 0
+    socket_port: int = 31050
+    # COLRAD plasma kinetics: the reference enables this with -DCOLRAD at
+    # compile time (no param tag, imd_colrad.c); here a runtime flag
+    colrad: bool = False
+    colrad_maxz: int = 3
+    colrad_nlev: int = 4
     # --- neighbor / cells -------------------------------------------------------
     nbl_margin: float = 0.4          # Verlet skin (A); reference default 0.4
     nbl_size: float = 1.1            # capacity growth factor
@@ -549,6 +564,18 @@ class SimConfig:
         c.ramp_fraction = float(g("ramp_fraction", 0.0))
         c.xipdecay = float(g("xipdecay", 0.0))
         c.pdecay_surfx = float(g("pdecay_surfx", 0.0))
+        # parallel / LB / socket / colrad
+        cd = g("cpu_dim")
+        if cd is not None:
+            c.cpu_dim = tuple(int(x) for x in
+                              (cd if isinstance(cd, list) else [cd, 1, 1]))
+        c.lb_frequency = int(g("lb_frequency", 0))
+        c.lb_write_status = int(g("lb_writeStatus", g("lb_write_status", 0)))
+        c.socket_int = int(g("socket_int", 0))
+        c.socket_port = int(g("socket_port", c.socket_port))
+        c.colrad = bool(g("colrad", False))
+        c.colrad_maxz = int(g("colrad_maxz", c.colrad_maxz))
+        c.colrad_nlev = int(g("colrad_nlev", c.colrad_nlev))
         # neighbor / cells
         c.nbl_margin = float(g("nbl_margin", c.nbl_margin))
         c.nbl_size = float(g("nbl_size", c.nbl_size))

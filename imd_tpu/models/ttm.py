@@ -111,8 +111,11 @@ def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32) -> TTMParams:
     """Build TTMParams from a config (init_ttm, imd_ttm.c:955-1200)."""
     bx = float(np.asarray(box.h)[0, 0])
     heights = box.heights()
-    fd_h_x = bx / cfg_ttm.fd_nx
-    fd_vol = fd_h_x * heights[1] * heights[2]
+    # python floats, NOT np.float64: a stray np scalar in an expression
+    # like `inv_dx2 * f32_array` silently promotes the whole TTM state to
+    # f64 when jax_enable_x64 is on (and breaks fori_loop carry types)
+    fd_h_x = float(bx / cfg_ttm.fd_nx)
+    fd_vol = float(fd_h_x * heights[1] * heights[2])
     neigh_vol = 4.0 / 3.0 * math.pi * cutoff ** 3
     return TTMParams(
         nx=cfg_ttm.fd_nx, fd_h_x=fd_h_x, fd_vol=fd_vol, neigh_vol=neigh_vol,

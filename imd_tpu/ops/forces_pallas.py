@@ -133,7 +133,7 @@ def _assemble(dims, acc_i, accj):
 
 
 def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
-                want_nn=True):
+                want_nn=True, want_stress=False):
     """Per-offset sweep closure shared by both kernels.
 
     ``want_energy``/``want_nn`` gate the phi-value and neighbor-count
@@ -141,6 +141,13 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
     hot loop skips the epot accumulation (the reference gets it nearly
     free in scalar code, forces_nbl:540; on the VPU it is real work) and
     evaluates the full kernel only at .eng/observable intervals.
+
+    ``want_stress`` adds the virial and the 6 pressure-tensor partial
+    sums (imd_forces_nbl.c:997-1016).  These are i-side-only
+    accumulators: every pair appears exactly ONCE in the half-stencil
+    sweep (tri mask for the self pair), so the whole pair term
+    f_pair . r_pair = -grad r^2 is booked on the i side and no partner
+    roll-back is needed.
     """
 
     def sweep(xi_x, xi_y, xi_z, xj, tri, dF_i, dFj):
@@ -179,14 +186,25 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
         out["fx_j"] = jnp.sum(grad * dx, 0)
         out["fy_j"] = jnp.sum(grad * dy, 0)
         out["fz_j"] = jnp.sum(grad * dz, 0)
+        if want_stress:
+            # Voigt xx yy zz yz zx xy; f_c = -grad*d_c so p_cc' = f_c d_c'
+            out["vxx_i"] = -jnp.sum(grad * dx * dx, 1)
+            out["vyy_i"] = -jnp.sum(grad * dy * dy, 1)
+            out["vzz_i"] = -jnp.sum(grad * dz * dz, 1)
+            out["vyz_i"] = -jnp.sum(grad * dy * dz, 1)
+            out["vzx_i"] = -jnp.sum(grad * dz * dx, 1)
+            out["vxy_i"] = -jnp.sum(grad * dx * dy, 1)
         return out
 
     return sweep
 
 
+STRESS_KEYS = ["vxx", "vyy", "vzz", "vyz", "vzx", "vxy"]
+
+
 def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
                    neigh_r2: float = 0.0, block: int = 256,
-                   need_energy: bool = True):
+                   need_energy: bool = True, need_stress: bool = False):
     """Kernel core on prebuilt cells-last views.
 
     ``xi`` [cap,3,NC] sentinel-filled positions, ``nbr`` [13,cap,3,NC]
@@ -231,16 +249,21 @@ def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
     # ---------------- kernel A: pair forces + host density ----------------
     sweep_a = _make_sweep(rcut2, nr2, "A", pair_c, rho_c,
                           want_energy=need_energy,
-                          want_nn=count_neighbors)
+                          want_nn=count_neighbors,
+                          want_stress=need_stress)
     keys_a = ["fx", "fy", "fz", "rho"]
     if need_energy:
         keys_a.append("e")
     if count_neighbors:
         keys_a.append("nn")
     nk = len(keys_a)
+    # i-side-only accumulators (whole pair term booked on i; no rollback)
+    ikeys = [*STRESS_KEYS] if need_stress else []
+    nik = len(ikeys)
 
     def kern_a(xi_ref, nbr_ref, *refs):
-        iref, jref = refs[:nk], refs[nk:]
+        iref, sref, jref = (refs[:nk], refs[nk:nk + nik],
+                            refs[nk + nik:])
         xi_x = xi_ref[:, 0, :]
         xi_y = xi_ref[:, 1, :]
         xi_z = xi_ref[:, 2, :]
@@ -248,12 +271,16 @@ def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
                     None, None)
         for k, name in enumerate(keys_a):
             iref[k][...] = o[name + "_i"] + o[name + "_j"]
+        for k, name in enumerate(ikeys):
+            sref[k][...] = o[name + "_i"]
 
         def body(m, _):
             o = sweep_a(xi_x, xi_y, xi_z, nbr_ref[m], None, None, None)
             for k, name in enumerate(keys_a):
                 iref[k][...] += o[name + "_i"]
                 jref[k][m] = o[name + "_j"]
+            for k, name in enumerate(ikeys):
+                sref[k][...] += o[name + "_i"]
             return 0
 
         jax.lax.fori_loop(0, NOF, body, 0)
@@ -272,13 +299,14 @@ def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
     outs = pl.pallas_call(
         kern_a, grid=(nblk,),
         in_specs=[spec_i, spec_n],
-        out_specs=[spec_o] * nk + [spec_oj] * nk,
-        out_shape=[shp] * nk + [shpj] * nk,
+        out_specs=[spec_o] * (nk + nik) + [spec_oj] * nk,
+        out_shape=[shp] * (nk + nik) + [shpj] * nk,
         interpret=interp,
     )(xi, nbr)
     outs = [o[..., :nc] for o in outs]
-    acc = {name: _assemble(dims, outs[k], outs[nk + k])
+    acc = {name: _assemble(dims, outs[k], outs[nk + nik + k])
            for k, name in enumerate(keys_a)}
+    stress_a = {name: outs[nk + k] for k, name in enumerate(ikeys)}
     fx, fy, fz, rho_t = acc["fx"], acc["fy"], acc["fz"], acc["rho"]
     maskf = mask.astype(dtype)
     epot = acc["e"] if need_energy else jnp.zeros_like(rho_t)
@@ -298,29 +326,33 @@ def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
         dF_np = jnp.pad(dF_n, ((0, 0), (0, 0), (0, pad)))
 
     # ---------------- kernel B: embedding forces ---------------------------
-    sweep_b = _make_sweep(rcut2, nr2, "B", None, rho_c)
+    sweep_b = _make_sweep(rcut2, nr2, "B", None, rho_c,
+                          want_stress=need_stress)
+    keys_b = ["fx", "fy", "fz"]
+    nkb = len(keys_b)
 
-    def kern_b(xi_ref, nbr_ref, dfi_ref, dfn_ref, fx, fy, fz,
-               fjx, fjy, fjz):
+    def kern_b(xi_ref, nbr_ref, dfi_ref, dfn_ref, *refs):
+        iref, sref, jref = (refs[:nkb], refs[nkb:nkb + nik],
+                            refs[nkb + nik:])
         xi_x = xi_ref[:, 0, :]
         xi_y = xi_ref[:, 1, :]
         xi_z = xi_ref[:, 2, :]
         dfi = dfi_ref[...]
         o = sweep_b(xi_x, xi_y, xi_z, xi_ref[...], tri_mask(cap),
                     dfi, dfi)
-        fx[...] = o["fx_i"] + o["fx_j"]
-        fy[...] = o["fy_i"] + o["fy_j"]
-        fz[...] = o["fz_i"] + o["fz_j"]
+        for k, name in enumerate(keys_b):
+            iref[k][...] = o[name + "_i"] + o[name + "_j"]
+        for k, name in enumerate(ikeys):
+            sref[k][...] = o[name + "_i"]
 
         def body(m, _):
             o = sweep_b(xi_x, xi_y, xi_z, nbr_ref[m], None, dfi,
                         dfn_ref[m])
-            fx[...] += o["fx_i"]
-            fy[...] += o["fy_i"]
-            fz[...] += o["fz_i"]
-            fjx[m] = o["fx_j"]
-            fjy[m] = o["fy_j"]
-            fjz[m] = o["fz_j"]
+            for k, name in enumerate(keys_b):
+                iref[k][...] += o[name + "_i"]
+                jref[k][m] = o[name + "_j"]
+            for k, name in enumerate(ikeys):
+                sref[k][...] += o[name + "_i"]
             return 0
 
         jax.lax.fori_loop(0, NOF, body, 0)
@@ -328,25 +360,34 @@ def eam_kernels_cl(xi, nbr, mask, eam, grid, count_neighbors: bool = False,
     outs2 = pl.pallas_call(
         kern_b, grid=(nblk,),
         in_specs=[spec_i, spec_n, spec_o, spec_oj],
-        out_specs=[spec_o] * 3 + [spec_oj] * 3,
-        out_shape=[shp] * 3 + [shpj] * 3,
+        out_specs=[spec_o] * (nkb + nik) + [spec_oj] * nkb,
+        out_shape=[shp] * (nkb + nik) + [shpj] * nkb,
         interpret=interp,
     )(xi, nbr, dF_p, dF_np)
     outs2 = [o[..., :nc] for o in outs2]
-    fx2, fy2, fz2, fjx2, fjy2, fjz2 = outs2
-    fx = fx + _assemble(dims, fx2, fjx2)
-    fy = fy + _assemble(dims, fy2, fjy2)
-    fz = fz + _assemble(dims, fz2, fjz2)
+    fx = fx + _assemble(dims, outs2[0], outs2[nkb + nik + 0])
+    fy = fy + _assemble(dims, outs2[1], outs2[nkb + nik + 1])
+    fz = fz + _assemble(dims, outs2[2], outs2[nkb + nik + 2])
 
     F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
-    return F, epot * maskf, rho_t * maskf, nneigh * maskf
+    if need_stress:
+        presstens = jnp.stack(
+            [jnp.sum(stress_a[n]) + jnp.sum(outs2[nkb + k])
+             for k, n in enumerate(ikeys)])
+        virial = presstens[0] + presstens[1] + presstens[2]
+    else:
+        presstens = jnp.zeros((6,), dtype)
+        virial = jnp.zeros((), dtype)
+    return F, epot * maskf, rho_t * maskf, nneigh * maskf, virial, presstens
 
 
 def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
                               count_neighbors: bool = False,
                               neigh_r2: float = 0.0,
                               block: int = 256,
-                              need_energy: bool = True) -> ForceResult:
+                              need_energy: bool = True,
+                              need_stress: Optional[bool] = None
+                              ) -> ForceResult:
     """3-phase EAM with Pallas blocked sweeps (ntypes == 1 fast path).
 
     ``eam`` must hold PolyPotential tables (models.potential.
@@ -354,19 +395,24 @@ def compute_eam_forces_pallas(scene: Scene, eam, ntypes: int = 1,
     the polynomial coefficients are baked into the kernel as immediates.
     Callers jit the surrounding step function; do not pass ``eam`` as a
     jit argument.  Multi-type systems use the XLA engine.
+
+    ``need_stress`` (default: follows need_energy) adds the global
+    virial + pressure tensor from in-kernel pair partial sums
+    (imd_forces_nbl.c:997-1016) — observable mode; the forces-only hot
+    loop skips it.
     """
+    if need_stress is None:
+        need_stress = need_energy
     grid = scene.grid
     dims = grid.dims
-    dtype = scene.pos.dtype
     xi, nbr, mask = prep_neighbors(scene)
-    F, epot, rho_t, nneigh = eam_kernels_cl(
+    F, epot, rho_t, nneigh, virial, presstens = eam_kernels_cl(
         xi, nbr, mask, eam, grid, count_neighbors=count_neighbors,
-        neigh_r2=neigh_r2, block=block, need_energy=need_energy)
-    # stress/virial requests route through the XLA engine (validation and
-    # .eng intervals); the hot path returns zeros there
+        neigh_r2=neigh_r2, block=block, need_energy=need_energy,
+        need_stress=need_stress)
     return ForceResult(
         force=_from_cl(F, dims), epot=_from_cl(epot, dims),
-        virial=jnp.zeros((), dtype), presstens=jnp.zeros((6,), dtype),
+        virial=virial, presstens=presstens,
         num_neighs=_from_cl(nneigh.astype(jnp.int32), dims),
         rho=_from_cl(rho_t, dims))
 
@@ -375,12 +421,16 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
                                count_neighbors: bool = False,
                                neigh_r2: float = 0.0,
                                block: int = 256,
-                               need_energy: bool = True) -> ForceResult:
+                               need_energy: bool = True,
+                               need_stress: Optional[bool] = None
+                               ) -> ForceResult:
     """Pair-potential Pallas engine (single species fast path).
 
     ``pot`` must be a PolyPotential (models.potential.to_fastpoly),
     closed over at trace time like the EAM variant.
     """
+    if need_stress is None:
+        need_stress = need_energy
     grid = scene.grid
     dims = grid.dims
     dtype = scene.pos.dtype
@@ -407,13 +457,16 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
     interp = jax.default_backend() == "cpu"
     sweep_p = _make_sweep(rcut2, nr2, "P", pair_c, None,
                           want_energy=need_energy,
-                          want_nn=count_neighbors)
+                          want_nn=count_neighbors,
+                          want_stress=need_stress)
     keys_p = ["fx", "fy", "fz"]
     if need_energy:
         keys_p.append("e")
     if count_neighbors:
         keys_p.append("nn")
     nk = len(keys_p)
+    ikeys = [*STRESS_KEYS] if need_stress else []
+    nik = len(ikeys)
 
     def tri_mask(cap):
         ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
@@ -421,7 +474,8 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
         return ti < tj
 
     def kern(xi_ref, nbr_ref, *refs):
-        iref, jref = refs[:nk], refs[nk:]
+        iref, sref, jref = (refs[:nk], refs[nk:nk + nik],
+                            refs[nk + nik:])
         xi_x = xi_ref[:, 0, :]
         xi_y = xi_ref[:, 1, :]
         xi_z = xi_ref[:, 2, :]
@@ -429,12 +483,16 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
                     None, None)
         for k, name in enumerate(keys_p):
             iref[k][...] = o[name + "_i"] + o[name + "_j"]
+        for k, name in enumerate(ikeys):
+            sref[k][...] = o[name + "_i"]
 
         def body(m, _):
             o = sweep_p(xi_x, xi_y, xi_z, nbr_ref[m], None, None, None)
             for k, name in enumerate(keys_p):
                 iref[k][...] += o[name + "_i"]
                 jref[k][m] = o[name + "_j"]
+            for k, name in enumerate(ikeys):
+                sref[k][...] += o[name + "_i"]
             return 0
 
         jax.lax.fori_loop(0, NOF, body, 0)
@@ -453,21 +511,28 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
     outs = pl.pallas_call(
         kern, grid=(nblk,),
         in_specs=[spec_i, spec_n],
-        out_specs=[spec_o] * nk + [spec_oj] * nk,
-        out_shape=[shp] * nk + [shpj] * nk,
+        out_specs=[spec_o] * (nk + nik) + [spec_oj] * nk,
+        out_shape=[shp] * (nk + nik) + [shpj] * nk,
         interpret=interp,
     )(xi, nbr)
     outs = [o[..., :nc] for o in outs]
-    acc = {name: _assemble(dims, outs[k], outs[nk + k])
+    acc = {name: _assemble(dims, outs[k], outs[nk + nik + k])
            for k, name in enumerate(keys_p)}
     fx, fy, fz = acc["fx"], acc["fy"], acc["fz"]
     maskf = mask.astype(dtype)
     epot = acc["e"] if need_energy else jnp.zeros_like(fx)
     nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(fx)
     F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    if need_stress:
+        presstens = jnp.stack([jnp.sum(outs[nk + k])
+                               for k in range(nik)])
+        virial = presstens[0] + presstens[1] + presstens[2]
+    else:
+        presstens = jnp.zeros((6,), dtype)
+        virial = jnp.zeros((), dtype)
     return ForceResult(
         force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
-        virial=jnp.zeros((), dtype), presstens=jnp.zeros((6,), dtype),
+        virial=virial, presstens=presstens,
         num_neighs=_from_cl((nneigh * maskf).astype(jnp.int32), dims))
 
 

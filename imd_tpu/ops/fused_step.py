@@ -121,7 +121,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
                            fp.SENTINEL_CELL)
             nbrs.append(xj)
         nbr = jnp.stack(nbrs)
-        F, _, _, nn = fp.eam_kernels_cl(
+        F, _, _, nn, _, _ = fp.eam_kernels_cl(
             xi, nbr, alive, eam_run, grid,
             count_neighbors=count_neighbors, block=block,
             need_energy=False)
@@ -184,7 +184,7 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
             xj = jnp.where(oks[i][None, None, :], xj,
                            jnp.asarray(3.0e6, dtype))
             nbrs.append(xj)
-        F, _, _, nn = fp.eam_kernels_cl(
+        F, _, _, nn, _, _ = fp.eam_kernels_cl(
             cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
             count_neighbors=True, block=block, need_energy=False)
 

@@ -34,7 +34,11 @@ def make_mesh(shape: Tuple[int, ...] = None, axis_names=("x", "y", "z"),
     devices = np.asarray(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices), 1, 1)
-    return Mesh(devices.reshape(shape), axis_names=axis_names)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh {shape} needs {n} devices, "
+                         f"have {len(devices)}")
+    return Mesh(devices[:n].reshape(shape), axis_names=axis_names)
 
 
 def spec_for(arr_ndim: int, mesh: Mesh) -> P:

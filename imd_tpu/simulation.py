@@ -49,6 +49,10 @@ class SimState(struct.PyTreeNode):
     rng: Optional[jnp.ndarray] = None     # PRNG key (Langevin/Andersen)
     gamma: Optional[jnp.ndarray] = None   # FRAC scalar / FTG [nslices]
     ep: Optional["object"] = None         # ExtPotParams (moving indenters)
+    fire: Optional["object"] = None       # FireState (ensemble glok)
+    fdtd: Optional["object"] = None       # FDTDState (Maxwell laser source)
+    cstate: Optional["object"] = None     # ColradGridState (plasma kinetics)
+    vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
 
 
 def _initial_stats(dtype):
@@ -62,7 +66,8 @@ class Simulation:
 
     def __init__(self, cfg: SimConfig, workdir: str = ".",
                  dtype=jnp.float32, grid_dims_multiple=(1, 1, 1),
-                 fast: bool = True, engine: str = "auto"):
+                 fast: bool = True, engine: str = "auto",
+                 mesh_shape: Optional[Tuple[int, int, int]] = None):
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
@@ -75,6 +80,24 @@ class Simulation:
         # "pallas"/"xla" force a choice.
         self.engine = engine
         self.eng: Optional[EngWriter] = None
+        # device mesh: the production multi-chip path (the reference's
+        # MPI_Cart domain decomposition, imd_geom_mpi_3d.c:32; cpu_dim
+        # tag, imd_param.c:1817).  Cells shard in blocks over the mesh;
+        # the lattice rolls in the force sweep lower to ICI collective
+        # permutes (parallel/mesh.py).
+        shape = tuple(mesh_shape) if mesh_shape else tuple(cfg.cpu_dim)
+        self.mesh = None
+        if shape and int(np.prod(shape)) > 1:
+            from imd_tpu.parallel.mesh import make_mesh
+            n_dev = len(jax.devices())
+            if int(np.prod(shape)) > n_dev:
+                raise ValueError(
+                    f"cpu_dim/mesh {shape} needs {int(np.prod(shape))} "
+                    f"devices, have {n_dev}")
+            self.mesh = make_mesh(shape)
+            grid_dims_multiple = tuple(
+                max(m, s) if m % s == 0 else m * s
+                for m, s in zip(grid_dims_multiple, shape))
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
         self._select_engine()
@@ -209,6 +232,11 @@ class Simulation:
             self.scene = integrate.shock_init(
                 self.scene, cfg.shock_mode,
                 jnp.asarray(cfg.shock_speed, self.dtype), cfg.shock_strip)
+        if self.mesh is not None:
+            from imd_tpu.parallel.mesh import (check_grid_divisible,
+                                               shard_scene)
+            check_grid_divisible(self.grid.dims, self.mesh)
+            self.scene = shard_scene(self.mesh, self.scene)
 
     def adopt_scene(self, prev: Scene):
         """Phase handover: re-bin another phase's atoms into THIS phase's
@@ -267,6 +295,23 @@ class Simulation:
             r[i] = v
         return jnp.asarray(r, self.dtype)
 
+    def _select_eos(self, FEGEos):
+        """Tabulated EOS when EOS_cve/EOS_ee tables exist under eos_dir
+        (the reference loads them unconditionally, imd_ttm.c:1130-1135;
+        here absence falls back to the closed-form FEG model)."""
+        d = self.cfg.ttm.eos_dir
+        cve = self._path(os.path.join(d, "EOS_cve_from_r_te.txt"))
+        ee = self._path(os.path.join(d, "EOS_ee_from_r_tesqrt.txt"))
+        if os.path.exists(cve) and os.path.exists(ee):
+            from imd_tpu.models.eos import TabulatedEOS
+            try:
+                return TabulatedEOS.load(cve, ee,
+                                         self.cfg.ttm.atomic_mass,
+                                         dtype=self.dtype)
+            except Exception as e:    # malformed table: fail loudly
+                raise RuntimeError(f"EOS table load failed: {e}") from e
+        return FEGEos(atomic_mass=self.cfg.ttm.atomic_mass)
+
     def _select_integrator(self):
         ens = self.cfg.ensemble
         known = ("nve", "nvt", "mik", "glok", "ttm", "ber", "and", "lang",
@@ -292,7 +337,10 @@ class Simulation:
             self.cfg.ttm.enabled = True
             self.ttm_params = ttm_mod.make_params(self.cfg.ttm, self.box,
                                                   self.cutoff, self.dtype)
-            self.eos = FEGEos(atomic_mass=self.cfg.ttm.atomic_mass)
+            # EOS: tabulated when the reference's EOS_*.txt tables are on
+            # disk (the reference default, imd_ttm.c:1130-1135), FEG
+            # closed-form otherwise
+            self.eos = self._select_eos(FEGEos)
         else:
             self.ttm_params = None
             self.eos = None
@@ -304,6 +352,70 @@ class Simulation:
                                                       self.dtype)
         else:
             self.tmm_params = None
+        # FDTD Maxwell laser solver (init_fdtd, imd.c:252; do_fdtd
+        # dispatch imd_main_3d.c:526-532).  1-D grid only from the driver.
+        if self.cfg.fdtd.enabled and self.cfg.ttm.enabled:
+            if self.ttm_3d:
+                raise NotImplementedError(
+                    "FDTD driver coupling requires the 1-D TTM grid")
+            if self.tmm_params is not None:
+                raise ValueError("enable either TMM or FDTD, not both")
+            from imd_tpu.models import fdtd as fdtd_mod
+            self.fdtd_mod = fdtd_mod
+            self.fdtd_params = fdtd_mod.make_fdtd_params(
+                self.cfg.fdtd, self.ttm_params, self.dtype)
+        else:
+            self.fdtd_params = None
+            self.fdtd_mod = None
+        # COLRAD per-cell plasma kinetics (colrad_init, imd.c:268;
+        # do_colrad hook of calc_ttm, imd_ttm.c:101-103)
+        if self.cfg.colrad and self.cfg.ttm.enabled:
+            if self.ttm_3d:
+                raise NotImplementedError(
+                    "COLRAD driver coupling requires the 1-D TTM grid")
+            from imd_tpu.models import colrad as colrad_mod
+            self.colrad_mod = colrad_mod
+            st = colrad_mod.aluminium_states(self.cfg.colrad_maxz,
+                                             self.cfg.colrad_nlev)
+            self.colrad_tab = colrad_mod.build_tables(st)
+            # evolve_te=True is REQUIRED through apply_colrad: the step's
+            # third output is written into grid.temp (imd_colrad.c:277)
+            self.colrad_step = colrad_mod.make_colrad_step(
+                self.colrad_tab, evolve_te=True)
+        else:
+            self.colrad_mod = None
+            self.colrad_tab = None
+            self.colrad_step = None
+        # VLATTICE continuum tail (vlatdim tag; imd_ttm.c:41-59)
+        if (self.cfg.ttm.enabled and self.cfg.ttm.vlatdim > 0
+                and not self.ttm_3d):
+            # solid density from the atomic mass at the fcc-Al reference
+            # volume (amu -> kg/m^3: m_amu * 1.66054e-27 / (a0^3/4) 1e-30)
+            dens0 = (self.cfg.ttm.atomic_mass * 1.66054e-27
+                     / (4.05e-10 ** 3 / 4.0))
+            self.vlat_params, self.vlat_state0 = self.ttm_mod.make_vlat(
+                self.cfg.ttm.vlatdim, dens0=dens0,
+                t0=max(self.cfg.starttemp, 1e-3), dtype=self.dtype,
+                atomic_z=self.cfg.ttm.atomic_z,
+                atomic_mass=self.cfg.ttm.atomic_mass)
+        else:
+            self.vlat_params = None
+            self.vlat_state0 = None
+        # GLOK = adaptive-timestep FIRE relaxation (update_glok,
+        # imd_main_3d.c:1018-1111), NOT plain NVE
+        if ens == "glok":
+            from imd_tpu import relax as relax_mod
+            R = self.cfg.relax
+            self.fire_cfg = relax_mod.FireConfig(
+                incfac=R.fire_incfac, decfac=R.fire_decfac,
+                mix0=R.fire_mix, mixdec=R.fire_mixdec,
+                minsteps=R.fire_minsteps,
+                max_timestep=(R.fire_maxtimestep * self.cfg.timestep
+                              if R.fire_maxtimestep > 0 else 0.0),
+                ekin_threshold=(R.glok_ekin_threshold
+                                if R.glok_ekin_threshold > 0 else 1e30))
+        else:
+            self.fire_cfg = None
         if self.cfg.ep_n > 0:
             from imd_tpu.models import extpot as extpot_mod
             self.extpot0 = extpot_mod.make_extpot(self.cfg)
@@ -416,15 +528,40 @@ class Simulation:
             temp = self._ramp_temperature(state.step)
             params = self.integrator_params(temp)
             eta = state.eta
+            new_fdtd, new_cstate, new_vstate = (state.fdtd, state.cstate,
+                                                state.vstate)
             if cfg.ttm.enabled:
                 fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
                 t = state.step.astype(self.dtype) * cfg.timestep
-                kw = {} if self.ttm_3d else {"tmm_params": self.tmm_params}
-                ttm_grid, fdi = ttm_mod.calc_ttm(
-                    ttm_grid, scene, self.ttm_params, self.eos,
-                    res.num_neighs, fdi, jnp.asarray(cfg.timestep, self.dtype),
-                    t, laser_cfg=cfg.laser if cfg.laser.sigma_e > 0 else None,
-                    first_step=(state.step == 0), **kw)
+                dt_j = jnp.asarray(cfg.timestep, self.dtype)
+                if self.fdtd_params is not None:
+                    # FDTD Maxwell laser source (do_fdtd dispatch,
+                    # imd_main_3d.c:526-532 / imd_ttm_3D.c:110-180)
+                    ttm_grid, fdi, new_fdtd = ttm_mod.calc_ttm_fdtd(
+                        ttm_grid, state.fdtd, scene, self.ttm_params,
+                        self.eos, self.fdtd_params, res.num_neighs, fdi,
+                        cfg.timestep, t, first_step=(state.step == 0))
+                else:
+                    kw = {} if self.ttm_3d else {
+                        "tmm_params": self.tmm_params}
+                    if self.colrad_tab is not None:
+                        kw["colrad"] = (self.colrad_tab, self.colrad_step,
+                                        state.cstate)
+                    if self.vlat_params is not None:
+                        kw["vlat"] = (self.vlat_params, state.vstate)
+                    out = ttm_mod.calc_ttm(
+                        ttm_grid, scene, self.ttm_params, self.eos,
+                        res.num_neighs, fdi, dt_j, t,
+                        laser_cfg=(cfg.laser if cfg.laser.sigma_e > 0
+                                   else None),
+                        first_step=(state.step == 0), **kw)
+                    ttm_grid, fdi = out[0], out[1]
+                    k = 2
+                    if self.colrad_tab is not None:
+                        new_cstate = out[k]
+                        k += 1
+                    if self.vlat_params is not None:
+                        new_vstate = out[k]
                 xi_atom, vcom = ttm_mod.gather_atom_coupling(
                     ttm_grid, scene, self.ttm_params)
                 epress_atom = None
@@ -440,7 +577,17 @@ class Simulation:
                                              pdecay=pdecay,
                                              nrb_mask=nrb_mask,
                                              epress_atom=epress_atom)
-            elif self.ensemble in ("nve", "glok"):
+            elif self.ensemble == "glok":
+                # GLOK = NVE at the FIRE-adaptive timestep + post-step
+                # half-step-back/momentum-mix correction (update_glok,
+                # imd_main_3d.c:1018-1111) — NOT plain NVE
+                from imd_tpu import relax as relax_mod
+                scene, stats = integrate.nve(
+                    scene, params.replace(timestep=state.fire.timestep),
+                    pdecay=pdecay, nrb_mask=nrb_mask)
+                scene, fire = relax_mod.fire_update(
+                    scene, stats, state.fire, self.fire_cfg, nactive)
+            elif self.ensemble == "nve":
                 scene, stats = integrate.nve(scene, params, pdecay=pdecay,
                                              nrb_mask=nrb_mask)
             elif self.ensemble == "mik":
@@ -553,12 +700,15 @@ class Simulation:
             new_rng = state.rng
             if self.ensemble in ("lang", "and") and state.rng is not None:
                 new_rng = key
+            new_fire = fire if self.ensemble == "glok" else state.fire
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
                             nbl_count=nbl_count, ttm_grid=ttm_grid, fdi=fdi,
                             xi=new_xi, ekin_old=new_ekin, rng=new_rng,
-                            gamma=gamma, ep=ep)
+                            gamma=gamma, ep=ep, fire=new_fire,
+                            fdtd=new_fdtd, cstate=new_cstate,
+                            vstate=new_vstate)
 
         return step_fn
 
@@ -572,13 +722,29 @@ class Simulation:
     def init_state(self) -> SimState:
         z = jnp.zeros((), self.dtype)
         ttm_grid = fdi = None
+        fdtd_state = cstate = vstate = fire = None
         if self.cfg.ttm.enabled:
             ttm_grid = self.ttm_mod.make_grid(self.ttm_params, self.dtype)
             if self.cfg.ttm.init_t_el > 0:
                 ttm_grid = ttm_grid.replace(
                     temp=jnp.full_like(ttm_grid.temp, self.cfg.ttm.init_t_el),
                     init_done=jnp.ones((), bool))
+            if self.mesh is not None and not self.ttm_3d:
+                from imd_tpu.parallel.mesh import shard_ttm
+                ttm_grid = shard_ttm(self.mesh, ttm_grid)
             fdi = -jnp.ones(self.scene.type.shape, jnp.int32)
+            if self.fdtd_params is not None:
+                fdtd_state = self.fdtd_mod.make_state(self.fdtd_params,
+                                                      self.dtype)
+            if self.colrad_tab is not None:
+                cstate = self.colrad_mod.init_grid_state(
+                    self.colrad_tab, self.ttm_params.nx, self.dtype)
+            if self.vlat_params is not None:
+                vstate = self.vlat_state0
+        if self.ensemble == "glok":
+            from imd_tpu import relax as relax_mod
+            fire = relax_mod.fire_init(
+                jnp.asarray(self.cfg.timestep, self.dtype), self.fire_cfg)
         xi = ekin_old = rng = None
         if self.cfg.ensemble in ("npt_iso", "npt_axial"):
             xi = (jnp.asarray(self.cfg.xi[0], self.dtype)
@@ -602,22 +768,63 @@ class Simulation:
                         nbl_count=jnp.zeros((), jnp.int32),
                         ttm_grid=ttm_grid, fdi=fdi,
                         xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma,
-                        ep=self.extpot0)
+                        ep=self.extpot0, fire=fire, fdtd=fdtd_state,
+                        cstate=cstate, vstate=vstate)
 
     # ------------------------------------------------------------------
     # host loop with I/O
     # ------------------------------------------------------------------
+    def _fused_eligible(self) -> bool:
+        """The benched fused cells-last hot loop (ops/fused_step.py)
+        covers plain NVE and 1-D-TTM Lambert-Beer runs without extra
+        per-step subsystems; everything else uses the general step."""
+        cfg = self.cfg
+        if not getattr(self, "use_pallas", False) or self.eam_run is None:
+            return False
+        if self.mesh is not None:
+            return False
+        if self.nrb_state is not None or cfg.filter.enabled:
+            return False
+        if self.extpot0 is not None or cfg.shock_mode:
+            return False
+        if cfg.pdecay_mode or cfg.xipdecay:
+            return False
+        if cfg.socket_int > 0 or cfg.lb_frequency > 0:
+            return False
+        if self._restrictions() is not None or self._fbc() is not None:
+            return False
+        if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
+            return False
+        if self.ensemble == "nve":
+            return not cfg.ttm.enabled
+        if self.ensemble == "ttm":
+            return (not self.ttm_3d and self.tmm_params is None
+                    and self.fdtd_params is None
+                    and self.colrad_tab is None
+                    and self.vlat_params is None
+                    and not cfg.ttm.elecpress
+                    and cfg.laser.rescale_mode in (0, 4))
+        return False
+
     def run(self, steps: Optional[int] = None, block: int = 0,
-            on_interval: Optional[Callable] = None) -> SimState:
+            on_interval: Optional[Callable] = None,
+            allow_fused: bool = True) -> SimState:
         """Run ``steps`` (default cfg.maxsteps) steps with periodic I/O.
 
         ``block`` > 1 scans that many steps per device dispatch (I/O
-        intervals must divide into blocks).
+        intervals must divide into blocks).  When the configuration fits
+        the fused cells-last hot loop (the benched path), it is used
+        automatically so CLI throughput matches bench.py.
         """
+        if allow_fused and self._fused_eligible():
+            return self.run_fused(steps=steps, block=block,
+                                  on_interval=on_interval)
         cfg = self.cfg
         steps = cfg.maxsteps if steps is None else steps
         step_fn = self.make_step_fn()
-        intervals = [i for i in (cfg.eng_int, cfg.checkpt_int) if i > 0]
+        intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
+                                 cfg.pic_int, cfg.ttm_int, cfg.socket_int,
+                                 cfg.lb_frequency) if i > 0]
         if block <= 0:
             block = min([steps] + intervals) if intervals else min(steps, 100)
             block = max(block, 1)
@@ -637,6 +844,17 @@ class Simulation:
                                  nvt=(self.ensemble == "nvt"),
                                  ttm=cfg.ttm.enabled,
                                  append=cfg.simulation_phase > 1)
+        # socket steering server (init_socket, socket_io.c; polled every
+        # socket_int steps like check_socket in the main loop)
+        sock = None
+        if cfg.socket_int > 0:
+            from imd_tpu.io import socket_io
+            sock = socket_io.SocketServer(port=cfg.socket_port)
+        lb_log = None
+        if cfg.lb_frequency > 0 and cfg.lb_write_status:
+            from imd_tpu.parallel.loadbalance import LbLog
+            lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
+        epot_prev = None
         done = 0
         while done < steps:
             with timers.section("main"):
@@ -654,8 +872,56 @@ class Simulation:
                 write_ttm(self._path(
                     f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
                     state.ttm_grid)
+            if cfg.dist_int > 0 and done % cfg.dist_int == 0:
+                # binned-field snapshot (write_distrib, imd_distrib.c:33)
+                from imd_tpu.io.distrib import compute_distrib, write_distrib
+                fields = compute_distrib(state.scene, cfg.dist_dim)
+                names = [n for n, on in cfg.dist_flags.items()
+                         if on and n in fields] or ["num", "Ekin", "Epot"]
+                bh = np.abs(np.diag(np.asarray(self.box.h, np.float64)))
+                write_distrib(
+                    self._path(
+                        f"{cfg.outfiles}.{gstep // cfg.dist_int}.dist"),
+                    fields, names, cfg.dist_dim,
+                    bh / np.asarray(cfg.dist_dim, np.float64),
+                    mode="binary" if cfg.binary_output else "ascii")
+            if cfg.pic_int > 0 and done % cfg.pic_int == 0:
+                from imd_tpu.io.pictures import write_picture
+                write_picture(
+                    self._path(f"{cfg.outfiles}.{gstep // cfg.pic_int}.ppm"),
+                    state.scene)
+            if cfg.lb_frequency > 0 and done % cfg.lb_frequency == 0:
+                # x-slab repartition (balanceLoad every lb_frequency,
+                # imd_main_3d.c:864-914) — moves grid.xbounds (a traced
+                # leaf: no recompilation) and rebins
+                from imd_tpu.parallel import loadbalance as lb
+                n_slabs = (self.mesh.shape["x"] if self.mesh is not None
+                           else self.grid.dims[0])
+                if lb_log is not None:
+                    lb_log.write(gstep,
+                                 lb.lb_variance(state.scene, n_slabs))
+                state = state.replace(
+                    scene=lb.repartition_x(state.scene))
             if on_interval is not None:
                 on_interval(self, state)
+            if (sock is not None and done % cfg.socket_int == 0):
+                from imd_tpu.io import socket_io
+                if socket_io.poll(sock, self, state):
+                    break
+            # quasistatic convergence (check_relaxed, main_3d.c:1787)
+            R = cfg.relax
+            if (self.ensemble in ("glok", "mik")
+                    and (R.fnorm_threshold > 0 or R.ekin_threshold > 0
+                         or R.delta_epot_threshold > 0)):
+                from imd_tpu.relax import check_relaxed
+                ep_now = float(state.epot_total)
+                if epot_prev is not None and bool(check_relaxed(
+                        state.stats, ep_now, epot_prev, nactive,
+                        R.fnorm_threshold, R.ekin_threshold,
+                        R.delta_epot_threshold)):
+                    print(f"# relaxed at step {gstep}", flush=True)
+                    break
+                epot_prev = ep_now
             # graceful-stop machinery (check_write/check_stop/
             # check_walltime, imd_main_3d.c:1938-1992): an (empty) `write`
             # file triggers an immediate checkpoint, a `stop` file or the
@@ -675,6 +941,10 @@ class Simulation:
             if stop:
                 self.write_checkpoint(state, gstep)
                 break
+        if sock is not None:
+            sock.close()
+        if lb_log is not None:
+            lb_log.close()
         self.scene = state.scene
         self.step_count = int(state.step)
         timers.stop("total")
@@ -682,6 +952,162 @@ class Simulation:
         # end-of-run summary like the reference (imd.c:387-401)
         n = max(int(state.scene.n_atoms()), 1)
         print(timers.report(n_atoms=n, n_steps=max(steps, 1)), flush=True)
+        return state
+
+    def run_fused(self, steps: Optional[int] = None, block: int = 0,
+                  on_interval: Optional[Callable] = None) -> SimState:
+        """Production hot loop: the fused cells-last step from
+        ops/fused_step.py — the SAME path bench.py measures, so the CLI
+        delivers the benched throughput (round-1 gap: the CLI ran the
+        unfused per-step path with _to_cl transposes, ~10 ms/step slower
+        at 1M atoms).
+
+        Observables (epot/virial/pressure) are evaluated with the full
+        kernel only at .eng intervals; the in-loop kernel is forces-only,
+        mirroring the reference where energy accumulation is free in
+        scalar code but costs real VPU work here.
+        """
+        cfg = self.cfg
+        steps = cfg.maxsteps if steps is None else steps
+        intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
+                                 cfg.dist_int, cfg.pic_int) if i > 0]
+        if block <= 0:
+            block = min([steps] + intervals) if intervals else min(steps, 100)
+            block = max(block, 1)
+
+        from imd_tpu.ops.fused_step import (cl_to_scene, make_fused_step,
+                                            make_fused_ttm_step)
+        from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
+
+        template = self.scene
+        dt = cfg.timestep
+        ttm_on = self.ensemble == "ttm"
+        state0 = self.init_state()
+        if ttm_on:
+            laser = cfg.laser if cfg.laser.sigma_e > 0 else None
+            step_cl, cl = make_fused_ttm_step(template, self.eam_run, dt,
+                                              self.ttm_params, self.eos,
+                                              laser)
+            fdi = -jnp.ones(cl.mass.size, jnp.int32)
+            carry = (cl, state0.ttm_grid, fdi,
+                     jnp.asarray(self.step_count, jnp.int32))
+
+            @jax.jit
+            def run_block(carry, k):
+                return jax.lax.fori_loop(0, k,
+                                         lambda i, c: step_cl(*c), carry)
+        else:
+            step_cl, cl = make_fused_step(template, self.eam_run, dt)
+            carry = (cl,)
+
+            @jax.jit
+            def run_block(carry, k):
+                return (jax.lax.fori_loop(
+                    0, k, lambda i, c: step_cl(c)[0], carry[0]),)
+
+        @jax.jit
+        def observe(cl):
+            scene = cl_to_scene(cl, template)
+            res = compute_eam_forces_pallas(scene, self.eam_run,
+                                            need_energy=True,
+                                            need_stress=True)
+            af = cl.alive.astype(cl.mass.dtype)
+            ekin = 0.5 * jnp.sum(
+                jnp.sum(cl.mom * cl.mom, 1) * af / cl.mass)
+            return scene.replace(force=res.force, epot=res.epot), \
+                jnp.sum(res.epot), ekin, res.virial, res.presstens
+
+        from imd_tpu.utils.timers import Timers
+        timers = Timers()
+        timers.start("total")
+        nactive = float(integrate.count_active_dof(self.scene, None))
+        if cfg.eng_int > 0 and self.eng is None:
+            self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
+                                 ttm=cfg.ttm.enabled,
+                                 append=cfg.simulation_phase > 1)
+
+        def mk_state(scene, epot, ekin, virial, presstens, gstep):
+            st = _initial_stats(self.dtype)
+            st = st.replace(tot_kin_energy=ekin)
+            return SimState(
+                scene=scene, step=jnp.asarray(gstep, jnp.int32),
+                eta=jnp.zeros((), self.dtype), epot_total=epot,
+                virial=virial, presstens=presstens, stats=st,
+                nbl_count=jnp.zeros((), jnp.int32),
+                ttm_grid=(carry[1] if ttm_on else None),
+                fdi=state0.fdi)
+
+        done = 0
+        state = None
+        while done < steps:
+            with timers.section("main"):
+                carry = run_block(carry, block)
+                jax.block_until_ready(carry[0].xi)
+            done += block
+            gstep = self.step_count + done
+            io_due = any(i > 0 and done % i == 0 for i in intervals)
+            wfile, sfile = self._path("write"), self._path("stop")
+            stop = os.path.exists(sfile)
+            force_write = os.path.exists(wfile)
+            walltime_up = (cfg.maxwalltime > 0 and
+                           time.time() - self.start_time > cfg.maxwalltime)
+            if io_due or stop or force_write or walltime_up \
+                    or done >= steps:
+                scene, epot, ekin, virial, presstens = observe(carry[0])
+                state = mk_state(scene, epot, ekin, virial, presstens,
+                                 gstep)
+                if cfg.eng_int > 0 and done % cfg.eng_int == 0:
+                    self._write_eng(state, nactive)
+                if cfg.checkpt_int > 0 and done % cfg.checkpt_int == 0:
+                    self.write_checkpoint(state,
+                                          gstep // cfg.checkpt_int)
+                if (ttm_on and cfg.ttm_int > 0
+                        and done % cfg.ttm_int == 0):
+                    from imd_tpu.io.ttm_io import write_ttm
+                    write_ttm(self._path(
+                        f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
+                        state.ttm_grid)
+                if cfg.dist_int > 0 and done % cfg.dist_int == 0:
+                    from imd_tpu.io.distrib import (compute_distrib,
+                                                    write_distrib)
+                    fields = compute_distrib(scene, cfg.dist_dim)
+                    names = [n for n, on in cfg.dist_flags.items()
+                             if on and n in fields] \
+                        or ["num", "Ekin", "Epot"]
+                    bh = np.abs(np.diag(np.asarray(self.box.h,
+                                                   np.float64)))
+                    write_distrib(
+                        self._path(f"{cfg.outfiles}."
+                                   f"{gstep // cfg.dist_int}.dist"),
+                        fields, names, cfg.dist_dim,
+                        bh / np.asarray(cfg.dist_dim, np.float64),
+                        mode="binary" if cfg.binary_output else "ascii")
+                if cfg.pic_int > 0 and done % cfg.pic_int == 0:
+                    from imd_tpu.io.pictures import write_picture
+                    write_picture(
+                        self._path(f"{cfg.outfiles}."
+                                   f"{gstep // cfg.pic_int}.ppm"),
+                        scene)
+                if on_interval is not None:
+                    on_interval(self, state)
+                if force_write:
+                    os.remove(wfile)
+                    self.write_checkpoint(state, gstep)
+                if stop:
+                    os.remove(sfile)
+                if stop or walltime_up:
+                    self.write_checkpoint(state, gstep)
+                    break
+        if state is None:
+            scene, epot, ekin, virial, presstens = observe(carry[0])
+            state = mk_state(scene, epot, ekin, virial, presstens,
+                             self.step_count + done)
+        self.scene = state.scene
+        self.step_count = int(state.step)
+        timers.stop("total")
+        self.timers = timers
+        n = max(int(state.scene.n_atoms()), 1)
+        print(timers.report(n_atoms=n, n_steps=max(done, 1)), flush=True)
         return state
 
     def _write_eng(self, state: SimState, nactive: float):

@@ -56,6 +56,24 @@ def test_pallas_matches_xla_oracle(pbc):
     assert np.abs(r1 - r2).max() / (np.abs(r1).max() + 1.0) < 1e-4
 
 
+def test_pallas_virial_matches_xla_oracle():
+    """In-kernel virial/presstens partial sums == the XLA engine's
+    (imd_forces_nbl.c:997-1016).  Round-1 gap: the Pallas path returned
+    virial=0, so .eng pressure and NPT were wrong under the production
+    engine."""
+    sc = _scene()
+    sc = sc.replace(pos=sc.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(4), sc.pos.shape))
+    r_ref = jax.jit(lambda s: compute_eam_forces_fast(s, EAM, 1))(sc)
+    r_pal = jax.jit(lambda s: compute_eam_forces_pallas(
+        s, EAM, need_stress=True))(sc)
+    v1, v2 = float(r_ref.virial), float(r_pal.virial)
+    assert abs(v1 - v2) < 1e-3 * (abs(v1) + 1.0), (v1, v2)
+    p1 = np.asarray(r_ref.presstens)
+    p2 = np.asarray(r_pal.presstens)
+    assert np.abs(p1 - p2).max() < 1e-3 * (np.abs(p1).max() + 1.0), (p1, p2)
+
+
 def test_pallas_dead_slots_are_silent():
     """Dead slots (capacity padding) must produce zero force/epot."""
     sc = _scene(temp=0.0)
