@@ -29,12 +29,67 @@ def have_kim() -> bool:
     return importlib.util.find_spec("kimpy") is not None
 
 
-def kim_forces(pos, types, box, model_name: str):
+def _host_neighbor_list(pos, cutoff, box_diag):  # pragma: no cover
+    """Padded [N, K] neighbor ids on host (cell-list O(N)); -1 pads.
+
+    KIM models consume per-particle neighbor lists (the reference packs
+    its NBL into the KIM API the same way, imd_forces_kim.c:600-700).
+    Periodic images are handled by ghost replication of atoms within
+    `cutoff` of a face, as the KIM neighbor-list helper does.
+    """
+    n = len(pos)
+    ghosts = [pos]
+    gmap = [np.arange(n)]
+    for d in range(3):
+        allp = np.concatenate(ghosts)
+        allm = np.concatenate(gmap)
+        lo = allp[:, d] < cutoff
+        hi = allp[:, d] > box_diag[d] - cutoff
+        shift = np.zeros(3)
+        shift[d] = box_diag[d]
+        ghosts = [allp, allp[lo] + shift, allp[hi] - shift]
+        gmap = [allm, allm[lo], allm[hi]]
+    allp = np.concatenate(ghosts)
+    allm = np.concatenate(gmap)
+    # brute cell binning
+    cell = np.floor(allp / cutoff).astype(np.int64)
+    key = (cell[:, 0] << 42) + (cell[:, 1] << 21) + cell[:, 2]
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for i, k in enumerate(key):
+        buckets[int(k)].append(i)
+    neigh = [[] for _ in range(len(allp))]
+    offs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+            for k in (-1, 0, 1)]
+    c2 = cutoff * cutoff
+    for i in range(n):            # neighbors needed for real atoms only
+        ci = cell[i]
+        for o in offs:
+            kk = (int(ci[0] + o[0]) << 42) + (int(ci[1] + o[1]) << 21) \
+                + int(ci[2] + o[2])
+            for j in buckets.get(kk, ()):
+                if j == i:
+                    continue
+                d = allp[j] - allp[i]
+                if d @ d < c2:
+                    neigh[i].append(j)
+    kmax = max((len(x) for x in neigh[:n]), default=1)
+    out = np.full((len(allp), kmax), -1, np.int32)
+    for i in range(n):
+        out[i, :len(neigh[i])] = neigh[i]
+    return allp, allm, out
+
+
+def kim_forces(pos, types, box, model_name: str, cutoff=None):
     """OpenKIM bridge (imd_forces_kim.c analog).
 
     Requires the optional `kimpy` package + a KIM model install; the
     computation runs on host inside a jax.pure_callback (KIM models are
     native CPU code — there is no TPU path for arbitrary KIM models).
+    Marshalling follows the reference: build a neighbor list, hand the
+    model coordinates/species/contributing flags, collect forces + epot
+    (imd_forces_kim.c:215-470 init, 600-720 neighbor callback).
+    Returns (forces [N,3], epot [N]).
     """
     if not have_kim():
         raise ImportError(
@@ -45,12 +100,59 @@ def kim_forces(pos, types, box, model_name: str):
     kimpy = importlib.import_module("kimpy")  # pragma: no cover
 
     def _host_call(pos_np, types_np):        # pragma: no cover
-        model = kimpy.model.create(model_name)
-        raise NotImplementedError(
-            "kimpy marshalling requires a KIM model; wire your model's "
-            "compute arguments here")
+        import kimpy.neighlist  # noqa: F401
+        units_accepted, model = kimpy.model.create(
+            kimpy.numbering.zeroBased,
+            kimpy.length_unit.A, kimpy.energy_unit.eV,
+            kimpy.charge_unit.e, kimpy.temperature_unit.K,
+            kimpy.time_unit.ps, model_name)
+        if not units_accepted:
+            raise RuntimeError(f"KIM model {model_name} rejected "
+                               "A/eV/e/K/ps units")
+        rc = cutoff or float(model.get_influence_distance())
+        box_diag = np.abs(np.diag(np.asarray(box)))
+        allp, allm, nl = _host_neighbor_list(
+            np.asarray(pos_np, np.float64), rc, box_diag)
+        ntot = len(allp)
+        compute_args = model.compute_arguments_create()
+        coords = np.asarray(allp, np.float64)
+        species = np.asarray(types_np, np.int32)[allm]
+        contributing = np.zeros(ntot, np.int32)
+        contributing[:len(pos_np)] = 1
+        forces = np.zeros((ntot, 3), np.float64)
+        energy_per = np.zeros(ntot, np.float64)
+        can = kimpy.compute_argument_name
+        compute_args.set_argument_pointer(
+            can.numberOfParticles, np.array([ntot], np.int32))
+        compute_args.set_argument_pointer(
+            can.particleSpeciesCodes, species)
+        compute_args.set_argument_pointer(
+            can.particleContributing, contributing)
+        compute_args.set_argument_pointer(can.coordinates, coords)
+        compute_args.set_argument_pointer(can.partialForces, forces)
+        compute_args.set_argument_pointer(
+            can.partialParticleEnergy, energy_per)
 
-    out_shape = jax.ShapeDtypeStruct(pos.shape, pos.dtype)
+        def get_neigh(data, cutoffs, neighbor_list_index, particle):
+            row = nl[particle]
+            row = row[row >= 0]
+            return (row.astype(np.int32), kimpy.error_codes_ok
+                    if hasattr(kimpy, "error_codes_ok") else 0)
+
+        compute_args.set_callback_pointer(
+            kimpy.compute_callback_name.GetNeighborList, get_neigh, nl)
+        model.compute(compute_args)
+        model.compute_arguments_destroy(compute_args)
+        kimpy.model.destroy(model)
+        # fold ghost forces back onto their home atoms
+        n = len(pos_np)
+        f = forces[:n].copy()
+        np.add.at(f, allm[n:], forces[n:])
+        e = energy_per[:n].copy()
+        return (f.astype(pos_np.dtype), e.astype(pos_np.dtype))
+
+    out_shape = (jax.ShapeDtypeStruct(pos.shape, pos.dtype),
+                 jax.ShapeDtypeStruct(pos.shape[:-1], pos.dtype))
     return jax.pure_callback(_host_call, out_shape, pos,
                              types)  # pragma: no cover
 
