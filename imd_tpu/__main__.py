@@ -73,6 +73,7 @@ def main(argv=None):
                 if os.path.exists(cand):
                     cfg.coordname = f"{cfg.outfiles}.{fz}.chkpt"
                     cfg.itrname = f"{cfg.outfiles}.{fz}.itr"
+                    cfg.restart_base = f"{cfg.outfiles}.{fz}"
                     break
             else:
                 raise SystemExit(

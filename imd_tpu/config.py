@@ -330,6 +330,10 @@ class SimConfig:
     outfiles: str = "out"            # output basename
     potfile: str = ""                # pair potential table
     itrname: str = ""
+    # restart file basename (<outfiles>.<N>), set by the CLI -r flag;
+    # subsystem restart files <base>.{ttm,ttmaux.npz,nrb} are read from
+    # here (ttm_read/colrad_read/nrb_readrestart, imd_ttm.c:1983)
+    restart_base: str = ""
     use_header: int = 0
     # EAM tables (imd_forces_eam2.c)
     core_potential_file: str = ""

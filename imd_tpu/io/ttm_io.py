@@ -21,8 +21,14 @@ def _dims(grid):
     return shape if len(shape) == 3 else (shape[0], 1, 1)
 
 
-def write_ttm(path: str, grid) -> None:
-    """Write a TTM grid (host transfer) in the reference's layout."""
+def write_ttm(path: str, grid, colrad_c=None) -> None:
+    """Write a TTM grid (host transfer) in the reference's layout.
+
+    ``colrad_c`` [n, nlev]: COLRAD level populations appended as extra
+    self-describing columns c0..c{nlev-1} (the reference appends its
+    COLRAD power columns to the same file, imd_ttm.c:1885-1897; the
+    populations themselves go to colrad_write's own file,
+    imd_colrad.c:2991 — here one file carries both)."""
     nx, ny, nz = _dims(grid)
     n = nx * ny * nz
     vcom = np.asarray(grid.vcom).reshape(n, 3)
@@ -40,13 +46,19 @@ def write_ttm(path: str, grid) -> None:
         "Z": np.asarray(grid.Z).reshape(n),
         "Ce": np.asarray(grid.Ce).reshape(n),
     }
+    names = list(COLUMNS)
+    if colrad_c is not None:
+        cc = np.asarray(colrad_c).reshape(n, -1)
+        for lev in range(cc.shape[1]):
+            names.append(f"c{lev}")
+            cols[f"c{lev}"] = cc[:, lev]
     with open(path, "w") as f:
-        f.write("#" + " ".join(COLUMNS) + "\n")
+        f.write("#" + " ".join(names) + "\n")
         for i in range(n):
             ix, rem = divmod(i, ny * nz)
             iy, iz = divmod(rem, nz)
             vals = [str(ix), str(iy), str(iz), str(int(cols["natoms"][i]))]
-            for name in COLUMNS[4:]:
+            for name in names[4:]:
                 if name == "proc":
                     vals.append("0")
                 else:
@@ -61,6 +73,58 @@ def read_ttm(path: str) -> dict:
         data = np.loadtxt(f)
     data = np.atleast_2d(data)
     return {name: data[:, i] for i, name in enumerate(header)}
+
+
+def colrad_from_ttm(path: str, nlev: int, dtype=None):
+    """Restore COLRAD populations [n, nlev] from the c* columns, or None
+    if the file carries none (imd_colrad.c:3028 colrad_read analog)."""
+    import jax.numpy as jnp
+    d = read_ttm(path)
+    if "c0" not in d:
+        return None
+    cols = [d[f"c{k}"] for k in range(nlev) if f"c{k}" in d]
+    return jnp.asarray(np.stack(cols, axis=-1),
+                       dtype or jnp.float32)
+
+
+def write_ttm_aux(path: str, fdtd=None, vlat=None) -> None:
+    """Sidecar with FDTD field state and VLATTICE temperatures.
+
+    The reference packs FDTD fields as 10 extra .ttm columns and vlat
+    cells as extra rows (imd_ttm.c:1683-2100); here they live in one
+    .npz next to the .ttm — same restart capability, self-describing
+    (the FDTD arrays include PML cells, so their length differs from
+    the grid's)."""
+    arrs = {}
+    if fdtd is not None:
+        for name in fdtd.__dataclass_fields__:
+            arrs[f"fdtd_{name}"] = np.asarray(getattr(fdtd, name))
+    if vlat is not None:
+        arrs["vlat_te"] = np.asarray(vlat.te)
+        arrs["vlat_ti"] = np.asarray(vlat.ti)
+    np.savez(path, **arrs)
+
+
+def read_ttm_aux(path: str, fdtd_template=None, vlat_template=None):
+    """Returns (fdtd_state, vlat_state) restored onto the templates
+    (None where the file has no entry)."""
+    import jax.numpy as jnp
+    d = np.load(path)
+    fdtd = vlat = None
+    if fdtd_template is not None and any(k.startswith("fdtd_")
+                                         for k in d.files):
+        kw = {}
+        for name in fdtd_template.__dataclass_fields__:
+            key = f"fdtd_{name}"
+            ref = getattr(fdtd_template, name)
+            kw[name] = (jnp.asarray(d[key], ref.dtype)
+                        if key in d.files else ref)
+        fdtd = type(fdtd_template)(**kw)
+    if vlat_template is not None and "vlat_te" in d.files:
+        vlat = vlat_template.replace(
+            te=jnp.asarray(d["vlat_te"], vlat_template.te.dtype),
+            ti=jnp.asarray(d["vlat_ti"], vlat_template.ti.dtype))
+    return fdtd, vlat
 
 
 def grid_from_ttm(path: str, grid, dtype=None):

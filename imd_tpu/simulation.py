@@ -423,10 +423,18 @@ class Simulation:
             self.extpot0 = None
         if self.cfg.nrb.enabled:
             from imd_tpu.models import nrb as nrb_mod
-            mass = float(self.cfg.masses[0]) if self.cfg.masses else 26.9815
-            self.nrb_state = nrb_mod.init_nrb(
-                self.scene, self.cfg.nrb.alat, self.cfg.nrb.k,
-                self.cfg.nrb.eps, mass, self.cfg.pbc_dirs)
+            nrb_file = (self._path(self.cfg.restart_base + ".nrb")
+                        if self.cfg.restart_base else "")
+            if nrb_file and os.path.exists(nrb_file):
+                # nrb_readrestart (imd_nrb.c:2217): the boundary-layer
+                # detection must NOT rerun on a deformed restart config
+                self.nrb_state = nrb_mod.read_nrb(nrb_file, self.dtype)
+            else:
+                mass = (float(self.cfg.masses[0]) if self.cfg.masses
+                        else 26.9815)
+                self.nrb_state = nrb_mod.init_nrb(
+                    self.scene, self.cfg.nrb.alat, self.cfg.nrb.k,
+                    self.cfg.nrb.eps, mass, self.cfg.pbc_dirs)
         else:
             self.nrb_state = None
 
@@ -741,6 +749,32 @@ class Simulation:
                     self.colrad_tab, self.ttm_params.nx, self.dtype)
             if self.vlat_params is not None:
                 vstate = self.vlat_state0
+            # restart: restore the grid + subsystem state written by
+            # write_checkpoint (ttm_read, imd_ttm.c:1983; colrad_read,
+            # imd_colrad.c:3028; FDTD field columns)
+            rb = self.cfg.restart_base
+            if rb:
+                from imd_tpu.io.ttm_io import (colrad_from_ttm,
+                                               grid_from_ttm,
+                                               read_ttm_aux)
+                ttm_file = self._path(rb + ".ttm")
+                if os.path.exists(ttm_file):
+                    ttm_grid = grid_from_ttm(ttm_file, ttm_grid,
+                                             self.dtype)
+                    if cstate is not None:
+                        c = colrad_from_ttm(ttm_file,
+                                            self.colrad_tab.n_lev,
+                                            self.dtype)
+                        if c is not None:
+                            cstate = cstate.replace(
+                                c=c.reshape(cstate.c.shape))
+                aux_file = self._path(rb + ".ttmaux.npz")
+                if os.path.exists(aux_file):
+                    f2, v2 = read_ttm_aux(aux_file,
+                                          fdtd_template=fdtd_state,
+                                          vlat_template=vstate)
+                    fdtd_state = f2 if f2 is not None else fdtd_state
+                    vstate = v2 if v2 is not None else vstate
         if self.ensemble == "glok":
             from imd_tpu import relax as relax_mod
             fire = relax_mod.fire_init(
@@ -1149,6 +1183,20 @@ class Simulation:
         write_itr(base + ".itr", checkpoint=fzhlr,
                   startstep=int(state.step) + 1,
                   box_x=d.box_x, box_y=d.box_y, box_z=d.box_z)
+        # subsystem restart state rides the same numbering so `-r N` is
+        # self-contained (the reference cross-links imdrestart to
+        # ttm_int/checkpt_int instead, imd_ttm.c:1170-1195)
+        if self.cfg.ttm.enabled and state.ttm_grid is not None:
+            from imd_tpu.io.ttm_io import write_ttm, write_ttm_aux
+            write_ttm(base + ".ttm", state.ttm_grid,
+                      colrad_c=(state.cstate.c if state.cstate is not None
+                                else None))
+            if state.fdtd is not None or state.vstate is not None:
+                write_ttm_aux(base + ".ttmaux.npz", fdtd=state.fdtd,
+                              vlat=state.vstate)
+        if self.nrb_state is not None:
+            from imd_tpu.models.nrb import write_nrb
+            write_nrb(base + ".nrb", self.nrb_state)
 
     # convenience constructors ------------------------------------------------
     @classmethod
