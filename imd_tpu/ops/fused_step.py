@@ -87,12 +87,13 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
-                    block: int = 128):
+                    block: int = 128, split: bool = False):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
     + leapfrog + in-loop skin check with a lax.cond rebin round-trip.
-    `eam_run` must be fastpoly (closed over).
+    `eam_run` must be fastpoly (closed over).  ``split`` selects the R/F
+    sweep split (rho pass + combined-force pass) over the A/B split.
     """
     from imd_tpu.ops import forces_pallas as fp
 
@@ -121,10 +122,15 @@ def make_fused_step(template: Scene, eam_run, timestep,
                            fp.SENTINEL_CELL)
             nbrs.append(xj)
         nbr = jnp.stack(nbrs)
-        F, _, _, nn, _, _ = fp.eam_kernels_cl(
-            xi, nbr, alive, eam_run, grid,
-            count_neighbors=count_neighbors, block=block,
-            need_energy=False)
+        if split:
+            F, _, nn = fp.eam_kernels_cl_split(
+                xi, nbr, alive, eam_run, grid,
+                count_neighbors=count_neighbors, block=block)
+        else:
+            F, _, _, nn, _, _ = fp.eam_kernels_cl(
+                xi, nbr, alive, eam_run, grid,
+                count_neighbors=count_neighbors, block=block,
+                need_energy=False)
         return F, nn
 
     def step(cl: CLState):
@@ -153,7 +159,8 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
 
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
-                        laser_cfg, block: int = 128):
+                        laser_cfg, block: int = 128,
+                        split: bool = False):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -184,9 +191,14 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
             xj = jnp.where(oks[i][None, None, :], xj,
                            jnp.asarray(3.0e6, dtype))
             nbrs.append(xj)
-        F, _, _, nn, _, _ = fp.eam_kernels_cl(
-            cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
-            count_neighbors=True, block=block, need_energy=False)
+        if split:
+            F, _, nn = fp.eam_kernels_cl_split(
+                cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
+                count_neighbors=True, block=block)
+        else:
+            F, _, _, nn, _, _ = fp.eam_kernels_cl(
+                cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
+                count_neighbors=True, block=block, need_energy=False)
 
         x = cl.xi[:, 0, :].reshape(-1)
         mom3 = tuple(cl.mom[:, c, :].reshape(-1) for c in range(3))

@@ -148,7 +148,7 @@ class Simulation:
         use_pallas = (self.engine == "pallas"
                       or (self.engine == "auto"
                           and _jax.default_backend() not in ("cpu",)
-                          and self.cfg.ntypes == 1
+                          and self.cfg.ntypes <= 4
                           and self.grid.capacity <= 32))
         self.use_pallas = use_pallas
         if use_pallas:
@@ -444,8 +444,13 @@ class Simulation:
     def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
         if getattr(self, "use_pallas", False):
             from imd_tpu.ops.forces_pallas import (
-                compute_eam_forces_pallas, compute_pair_forces_pallas)
+                compute_eam_forces_pallas, compute_eam_forces_pallas_mt,
+                compute_pair_forces_pallas)
             if self.eam_run is not None:
+                if self.cfg.ntypes > 1:
+                    return compute_eam_forces_pallas_mt(
+                        scene, self.eam_run, self.cfg.ntypes,
+                        count_neighbors=count_neighbors)
                 return compute_eam_forces_pallas(
                     scene, self.eam_run, count_neighbors=count_neighbors)
             return compute_pair_forces_pallas(
@@ -814,6 +819,8 @@ class Simulation:
         per-step subsystems; everything else uses the general step."""
         cfg = self.cfg
         if not getattr(self, "use_pallas", False) or self.eam_run is None:
+            return False
+        if cfg.ntypes != 1:      # fused_step is single-species
             return False
         if self.mesh is not None:
             return False
