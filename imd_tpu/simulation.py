@@ -1159,8 +1159,12 @@ class Simulation:
         if self.cfg.ttm.enabled:
             ttm_eng = float(self.ttm_mod.electron_energy_total(
                 state.ttm_grid, self.ttm_params))
+        # the epot in `state` was computed by the force call at the START
+        # of the last step (positions after step-1 moves); the reference
+        # labels that line (steps)*dt with steps = that iteration index
+        # (write_eng_file(steps) after move_atoms, imd_main_3d.c:716)
         self.eng.write(
-            time=float(state.step) * self.cfg.timestep,
+            time=float(state.step - 1) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,
             temperature=2.0 * ekin / max(nactive, 1.0),
             pressure=(2.0 * ekin + float(state.virial)) / (3.0 * vol),
