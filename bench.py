@@ -35,6 +35,11 @@ def main():
                          "source (the BASELINE north-star configuration; "
                          "--no-ttm benches the pure-MD step)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--split", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="R/F sweep split (rho pass + combined force "
+                         "pass) instead of the A/B split in the fused "
+                         "hot loop (measured +20%% at 1M atoms)")
     ap.add_argument("--energy-every-step", action="store_true",
                     help="accumulate per-atom epot every step (production "
                          "schedule evaluates energies only at .eng "
@@ -155,7 +160,8 @@ def main():
                                                 make_fused_ttm_step)
             step_cl, cl = make_fused_ttm_step(scene, eam_run,
                                               params.timestep, tp,
-                                              eos, lcfg, block=args.block)
+                                              eos, lcfg, block=args.block,
+                                              split=args.split)
 
             @jax.jit
             def run_block(carry, k):
@@ -206,7 +212,7 @@ def main():
         # production hot loop: fused cells-last step (ops/fused_step.py)
         from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step
         step_cl, cl = make_fused_step(scene, eam_run, params.timestep,
-                                      block=args.block)
+                                      block=args.block, split=args.split)
 
         @jax.jit
         def run_block(cl, k):

@@ -87,7 +87,7 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
-                    block: int = 128, split: bool = False):
+                    block: int = 128, split: bool = True):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
@@ -160,7 +160,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
-                        split: bool = False):
+                        split: bool = True):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
