@@ -35,11 +35,11 @@ def main():
                          "source (the BASELINE north-star configuration; "
                          "--no-ttm benches the pure-MD step)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--split", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="R/F sweep split (rho pass + combined force "
-                         "pass) instead of the A/B split in the fused "
-                         "hot loop (measured +20%% at 1M atoms)")
+    ap.add_argument("--fused", default="win",
+                    choices=["split", "ab", "win"],
+                    help="fused hot-loop sweep variant: R/F split over "
+                         "rolled views (default, +20%% over ab), A/B "
+                         "split, or in-kernel windowed views (win)")
     ap.add_argument("--energy-every-step", action="store_true",
                     help="accumulate per-atom epot every step (production "
                          "schedule evaluates energies only at .eng "
@@ -82,23 +82,18 @@ def main():
     ncell = max(2, round((args.atoms / 4) ** (1 / 3)))
     dtype = getattr(jnp, args.dtype)
     scene, eam, grid = _build((ncell, ncell, ncell), dtype=dtype)
+    flat = scene.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    # dense-sweep grid: dims+capacity minimizing cap^2 * n_cells over the
+    # measured occupancy (fewer, fuller cells; see optimize_grid_dims)
+    from imd_tpu.ops.geometry import CellGrid, optimize_grid_dims
+    dims, cap = optimize_grid_dims(grid.box, grid.cutoff, grid.skin,
+                                   np.asarray(flat["pos"])[m] + 1.0,
+                                   dtype=dtype)
     if args.capacity:
         cap = args.capacity
-    else:
-        # tight capacity: padded-pair waste scales with (raw/cap)^2, so
-        # prefer the sublane multiple of 8 when it leaves >=1 slot of
-        # thermal headroom (atoms are shifted off cell boundaries below,
-        # so binning is rounding-robust); overflow is reported in the
-        # output detail
-        flat = scene.flatten_atoms()
-        m = np.asarray(flat["mask"])
-        raw = measured_capacity(grid, np.asarray(flat["pos"])[m] + 1.0,
-                                safety=1.0, extra=0, multiple=1,
-                                dtype=dtype)
-        cap4 = int(math.ceil((raw + 1) / 4.0)) * 4
-        cap8 = int(math.ceil(raw / 8.0)) * 8
-        cap = max(8, cap8 if cap8 >= raw + 1 else cap4)
-    grid = with_capacity(grid, cap)
+    grid = CellGrid(box=grid.box, dims=dims, capacity=cap,
+                    cutoff=grid.cutoff, skin=grid.skin)
     flat = scene.flatten_atoms()
     m = np.asarray(flat["mask"])
     pos0 = np.asarray(flat["pos"])[m]
@@ -161,7 +156,7 @@ def main():
             step_cl, cl = make_fused_ttm_step(scene, eam_run,
                                               params.timestep, tp,
                                               eos, lcfg, block=args.block,
-                                              split=args.split)
+                                              engine=args.fused)
 
             @jax.jit
             def run_block(carry, k):
@@ -212,7 +207,7 @@ def main():
         # production hot loop: fused cells-last step (ops/fused_step.py)
         from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step
         step_cl, cl = make_fused_step(scene, eam_run, params.timestep,
-                                      block=args.block, split=args.split)
+                                      block=args.block, engine=args.fused)
 
         @jax.jit
         def run_block(cl, k):

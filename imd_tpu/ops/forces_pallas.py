@@ -565,7 +565,8 @@ def _horner_g2(x, c1, c2):
 
 def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
                          count_neighbors: bool = False,
-                         neigh_r2: float = 0.0, block: int = 128):
+                         neigh_r2: float = 0.0, block: int = 128,
+                         unroll: int = 1):
     """Forces-only EAM via an R/F split instead of the A/B split.
 
     Kernel R sweeps the stencil for host density rho (+ neighbor
@@ -645,7 +646,7 @@ def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
                 jref[k][m] = o[name + "_j"]
             return 0
 
-        jax.lax.fori_loop(0, NOF, body, 0)
+        jax.lax.fori_loop(0, NOF, body, 0, unroll=unroll)
 
     spec_i = pl.BlockSpec((cap, 3, b), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
@@ -722,7 +723,7 @@ def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
             fjz[m] = o["fz_j"]
             return 0
 
-        jax.lax.fori_loop(0, NOF, body, 0)
+        jax.lax.fori_loop(0, NOF, body, 0, unroll=unroll)
 
     outs2 = pl.pallas_call(
         kern_f, grid=(nblk,),

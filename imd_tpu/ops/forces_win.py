@@ -1,0 +1,363 @@
+"""Windowed split EAM engine: neighbor views built INSIDE the kernel.
+
+Why: the roll-based engines (forces_pallas.eam_kernels_cl_split)
+materialize 13 rolled neighbor copies of the positions (and of dF)
+with XLA before every kernel call — measured 4.3 ms at 1M atoms on
+v5e, ~20% of the whole step, plus 240 MB of HBM writes the kernels
+immediately re-read.  Here the kernels receive 13 *shifted 128-lane
+window blocks* of one flat-padded position array via BlockSpec index
+maps and assemble each neighbor view in VMEM with static unaligned
+lane slices + PBC wrap selects + a streamed per-cell box-shift table.
+The sweep math is identical to the split R/F engine; only the view
+construction moves on-chip (~2% of the sweep's vector ops).
+
+Layout of the padded lane axis (P = 17 blocks, Pr = 35 blocks):
+
+    [ wrapped tail: cells NC-P..NC | cells 0..NC | wrapped head: 0..Pr ]
+
+so a slice of the padded array at lane offset ``s`` relative to cell c
+yields cell (c+s) mod NC whenever the flat index c+s runs off either
+end (the x-axis PBC wrap).  Wraps *interior* to the flat index — the
+z axis (period gz) and the combined y axis (period gy*gz) — are fixed
+per lane by selecting a corrected slice at s∓gz / s∓gy*gz, the same
+correction the combined-axis roll applies (forces_fast._roll_cells),
+derived from the flat index identity
+    flat(x+ox, (y+oy) mod gy, (z+oz) mod gz)
+        = c + doff - wrap_z*oz*gz - wrap_y*oy*gy*gz   (|o*| <= 1).
+
+Box shifts for wrapped neighbors (and the +3e6 sentinel push for
+non-periodic invalid neighbors) ride a static [13,3,NC] table streamed
+per block — identical semantics to prep_neighbors' shift/cell_ok.
+
+The engine is forces-only (the production hot loop; observables use
+the general engine at .eng intervals) and single-species, like the
+roll-based split engine it replaces.  Reference: the NBL force loop
+imd_forces_nbl.c:452-671; the halo views play the role of send_cells'
+buffer cells (imd_comm_force_3d.c:42).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imd_tpu.ops.forces import HALF_OFFSETS
+from imd_tpu.ops.forces_fast import _wrap_shift_mask_cl
+from imd_tpu.ops.forces_pallas import (NOF, SENTINEL_DEAD, _assemble,
+                                       _horner_g2, _horner_v, _poly_consts)
+
+B = 128  # lane-block size (one vreg row)
+
+
+class WinLayout:
+    """Static window/slice plan for a given cell grid (host-side)."""
+
+    def __init__(self, grid):
+        gx, gy, gz = (int(d) for d in grid.dims)
+        self.dims = (gx, gy, gz)
+        gyz = gy * gz
+        nc = gx * gyz
+        self.nc = nc
+        self.nblk = (nc + B - 1) // B
+        self.ncp = self.nblk * B
+
+        # per-offset slice plan: (doff, zcorr|None, ycorr|None, yzcorr|None)
+        plans = []
+        offs = set()
+        for (ox, oy, oz) in HALF_OFFSETS:
+            doff = ox * gyz + oy * gz + oz
+            zc = doff - oz * gz if oz else None
+            yc = doff - oy * gyz if oy else None
+            yzc = doff - oz * gz - oy * gyz if (oy and oz) else None
+            plans.append((doff, zc, yc, yzc, ox, oy, oz))
+            for s in (doff, zc, yc, yzc):
+                if s is not None:
+                    offs.add(s)
+        self.plans = plans
+
+        # window blocks: every slice [s, s+B) touches blocks floor(s/B)
+        # and floor((s+B-1)/B) relative to the current block
+        wset = set()
+        for s in offs:
+            wset.add(s // B)
+            wset.add((s + B - 1) // B)
+        self.wblocks = sorted(wset)
+        self.widx = {w: k for k, w in enumerate(self.wblocks)}
+
+        # flat pad in whole blocks so index maps never go negative and
+        # the largest slice never reads past the buffer
+        self.pad_lo = -min(self.wblocks) * B
+        self.pad_hi = (max(self.wblocks) + 2) * B
+
+    def pad_flat(self, arr):
+        """[..., NC] -> [..., pad_lo + NC + pad_hi] with wrapped copies.
+
+        The pads tile the array as many times as needed, so grids
+        smaller than the window reach (tiny tests) stay correct: a
+        slice at offset s always reads cell (c+s) mod NC.
+        """
+        nl = -(-self.pad_lo // self.nc)
+        nr = -(-self.pad_hi // self.nc)
+        left = jnp.concatenate([arr] * nl, axis=-1)[..., -self.pad_lo:]
+        right = jnp.concatenate([arr] * nr, axis=-1)[..., :self.pad_hi]
+        return jnp.concatenate([left, arr, right], axis=-1)
+
+    def shift_table(self, grid, dtype):
+        """[13, 3, ncp] per-cell box shift (+3e6 for invalid neighbors)."""
+        rows = []
+        for k, off in enumerate(HALF_OFFSETS):
+            shift, ok = _wrap_shift_mask_cl(grid, off, dtype)
+            row = shift + jnp.where(ok, 0.0, 3.0e6).astype(dtype)[None]
+            rows.append(row)
+        tab = jnp.stack(rows)                       # [13, 3, nc]
+        padn = self.ncp - self.nc
+        if padn:
+            tab = jnp.pad(tab, ((0, 0), (0, 0), (0, padn)))
+        return tab
+
+
+def _phase_masks(layout, i):
+    """Lane-phase wrap masks for block i: (z==0, z==gz-1, y==0, y==gy-1)."""
+    gx, gy, gz = layout.dims
+    c = i * B + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    # c may exceed nc (junk tail of the last block); phases of junk lanes
+    # are irrelevant (their i-side slots are deadened)
+    gzi = jnp.asarray(gz, jnp.int32)
+    z = jax.lax.rem(c, gzi)
+    y = jax.lax.rem(jax.lax.div(c, gzi), jnp.asarray(gy, jnp.int32))
+    return (z == 0, z == gz - 1, y == 0, y == gy - 1,
+            c >= layout.nc)
+
+
+def _view(layout, wins, comp, plan, masks):
+    """Build one neighbor-view component [cap, B] from window refs."""
+    doff, zc, yc, yzc, ox, oy, oz = plan
+    z0, zg, y0, yg, _ = masks
+
+    def sl(s):
+        w = s // B
+        sub = s - w * B
+        a = wins[layout.widx[w]][:, comp, :]
+        if sub == 0:
+            return a
+        bref = wins[layout.widx[w + 1]][:, comp, :]
+        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + B]
+
+    v = sl(doff)
+    zmask = zg if oz > 0 else z0
+    ymask = yg if oy > 0 else y0
+    if zc is not None:
+        v = jnp.where(zmask, sl(zc), v)
+    if yc is not None:
+        vy = sl(yc) if yzc is None else jnp.where(zmask, sl(yzc), sl(yc))
+        v = jnp.where(ymask, vy, v)
+    return v
+
+
+def _view1(layout, wins, plan, masks):
+    """Same as _view for [cap, B] (component-free) window refs."""
+    doff, zc, yc, yzc, ox, oy, oz = plan
+    z0, zg, y0, yg, _ = masks
+
+    def sl(s):
+        w = s // B
+        sub = s - w * B
+        a = wins[layout.widx[w]][...]
+        if sub == 0:
+            return a
+        bref = wins[layout.widx[w + 1]][...]
+        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + B]
+
+    v = sl(doff)
+    zmask = zg if oz > 0 else z0
+    ymask = yg if oy > 0 else y0
+    if zc is not None:
+        v = jnp.where(zmask, sl(zc), v)
+    if yc is not None:
+        vy = sl(yc) if yzc is None else jnp.where(zmask, sl(yzc), sl(yc))
+        v = jnp.where(ymask, vy, v)
+    return v
+
+
+def eam_kernels_win_split(xi, mask, eam, grid,
+                          count_neighbors: bool = False,
+                          neigh_r2: float = 0.0):
+    """Forces-only split EAM on in-kernel windowed neighbor views.
+
+    ``xi`` [cap, 3, NC] sentinel-filled cells-last positions (dead slots
+    pushed to SENTINEL_DEAD, as prep_neighbors does), ``mask`` [cap, NC].
+    Returns cells-last (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]) —
+    the same contract as eam_kernels_cl_split.
+    """
+    layout = WinLayout(grid)
+    dims = grid.dims
+    dtype = xi.dtype
+    cap = xi.shape[0]
+    nc = layout.nc
+    nblk, ncp = layout.nblk, layout.ncp
+
+    rcut2 = float(grid.cutoff) ** 2
+    nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
+    pair_c = _poly_consts(eam.pair)
+    rho_c = _poly_consts(eam.rho)
+    interp = jax.default_backend() == "cpu"
+
+    xp = layout.pad_flat(xi)                       # [cap, 3, L]
+    stab = layout.shift_table(grid, dtype)         # [13, 3, ncp]
+    nw = len(layout.wblocks)
+    blk0 = layout.pad_lo // B
+
+    def tri_mask(cap):
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        return ti < tj
+
+    def build_xj(wins, sref, m, masks):
+        plan = layout.plans[m]
+        xj = [_view(layout, wins, c, plan, masks) + sref[m, c, :][None]
+              for c in range(3)]
+        return xj
+
+    def xi_self(wins, masks):
+        dead = masks[4]
+        w0 = layout.widx[0]
+        return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+                for c in range(3)]
+
+    # ---------------- kernel R: host density (+ neighbor count) ----------
+    def sweep_r(xi3, xj3, tri):
+        dx = xi3[0][:, None, :] - xj3[0][None, :, :]
+        dy = xi3[1][:, None, :] - xj3[1][None, :, :]
+        dz = xi3[2][:, None, :] - xj3[2][None, :, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = r2 < rcut2
+        if tri is not None:
+            inside = inside & tri
+        insf = inside.astype(dtype)
+        rv = _horner_v(r2, rho_c) * insf
+        out = {"rho_i": jnp.sum(rv, 1), "rho_j": jnp.sum(rv, 0)}
+        if count_neighbors:
+            near = insf * (r2 < nr2).astype(dtype)
+            out["nn_i"] = jnp.sum(near, 1)
+            out["nn_j"] = jnp.sum(near, 0)
+        return out
+
+    keys_r = ["rho"] + (["nn"] if count_neighbors else [])
+    nkr = len(keys_r)
+
+    def kern_r(*refs):
+        wins, rest = refs[:nw], refs[nw:]
+        sref = rest[0]
+        iref, jref = rest[1:1 + nkr], rest[1 + nkr:]
+        i = pl.program_id(0)
+        masks = _phase_masks(layout, i)
+        xi3 = xi_self(wins, masks)
+        o = sweep_r(xi3, xi3, tri_mask(cap))
+        for k, name in enumerate(keys_r):
+            iref[k][...] = o[name + "_i"] + o[name + "_j"]
+        for m in range(NOF):
+            o = sweep_r(xi3, build_xj(wins, sref, m, masks), None)
+            for k, name in enumerate(keys_r):
+                iref[k][...] += o[name + "_i"]
+                jref[k][m] = o[name + "_j"]
+
+    spec_w = [pl.BlockSpec((cap, 3, B),
+                           functools.partial(
+                               lambda i, w: (0, 0, i + blk0 + w), w=w),
+                           memory_space=pltpu.VMEM)
+              for w in layout.wblocks]
+    spec_s = pl.BlockSpec((NOF, 3, B), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((cap, B), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_oj = pl.BlockSpec((NOF, cap, B), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
+    shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
+
+    outs = pl.pallas_call(
+        kern_r, grid=(nblk,),
+        in_specs=spec_w + [spec_s],
+        out_specs=[spec_o] * nkr + [spec_oj] * nkr,
+        out_shape=[shp] * nkr + [shpj] * nkr,
+        interpret=interp,
+    )(*([xp] * nw), stab)
+    outs = [o[..., :nc] for o in outs]
+    acc = {name: _assemble(dims, outs[k], outs[nkr + k])
+           for k, name in enumerate(keys_r)}
+    rho_t = acc["rho"]
+    maskf = mask.astype(dtype)
+    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+
+    # embedding derivative (XLA elementwise), then windowed dF views
+    _, emb_g = eam.embed.interp(0, rho_t)
+    dF = 0.5 * emb_g * maskf
+    dFp = layout.pad_flat(dF)                      # [cap, L]
+
+    # ---------------- kernel F: combined pair+embedding forces -----------
+    def sweep_f(xi3, xj3, tri, dfi, dfj):
+        dx = xi3[0][:, None, :] - xj3[0][None, :, :]
+        dy = xi3[1][:, None, :] - xj3[1][None, :, :]
+        dz = xi3[2][:, None, :] - xj3[2][None, :, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = r2 < rcut2
+        if tri is not None:
+            inside = inside & tri
+        insf = inside.astype(dtype)
+        pg, rg = _horner_g2(r2, pair_c, rho_c)
+        grad = (pg + (dfi[:, None, :] + dfj[None, :, :]) * rg) * insf
+        return {"fx_i": -jnp.sum(grad * dx, 1),
+                "fy_i": -jnp.sum(grad * dy, 1),
+                "fz_i": -jnp.sum(grad * dz, 1),
+                "fx_j": jnp.sum(grad * dx, 0),
+                "fy_j": jnp.sum(grad * dy, 0),
+                "fz_j": jnp.sum(grad * dz, 0)}
+
+    def kern_f(*refs):
+        wins, rest = refs[:nw], refs[nw:]
+        dwins = rest[:nw]
+        sref = rest[nw]
+        fx, fy, fz, fjx, fjy, fjz = rest[nw + 1:]
+        i = pl.program_id(0)
+        masks = _phase_masks(layout, i)
+        xi3 = xi_self(wins, masks)
+        dfi = dwins[layout.widx[0]][...]
+        o = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
+        fx[...] = o["fx_i"] + o["fx_j"]
+        fy[...] = o["fy_i"] + o["fy_j"]
+        fz[...] = o["fz_i"] + o["fz_j"]
+        for m in range(NOF):
+            dfj = _view1(layout, dwins, layout.plans[m], masks)
+            o = sweep_f(xi3, build_xj(wins, sref, m, masks), None,
+                        dfi, dfj)
+            fx[...] += o["fx_i"]
+            fy[...] += o["fy_i"]
+            fz[...] += o["fz_i"]
+            fjx[m] = o["fx_j"]
+            fjy[m] = o["fy_j"]
+            fjz[m] = o["fz_j"]
+
+    spec_dw = [pl.BlockSpec((cap, B),
+                            functools.partial(
+                                lambda i, w: (0, i + blk0 + w), w=w),
+                            memory_space=pltpu.VMEM)
+               for w in layout.wblocks]
+
+    outs2 = pl.pallas_call(
+        kern_f, grid=(nblk,),
+        in_specs=spec_w + spec_dw + [spec_s],
+        out_specs=[spec_o] * 3 + [spec_oj] * 3,
+        out_shape=[shp] * 3 + [shpj] * 3,
+        interpret=interp,
+    )(*([xp] * nw), *([dFp] * nw), stab)
+    outs2 = [o[..., :nc] for o in outs2]
+    fx = _assemble(dims, outs2[0], outs2[3])
+    fy = _assemble(dims, outs2[1], outs2[4])
+    fz = _assemble(dims, outs2[2], outs2[5])
+    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    return F, rho_t * maskf, nneigh * maskf

@@ -87,13 +87,15 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
-                    block: int = 128, split: bool = True):
+                    block: int = 128, engine: str = "win"):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
     + leapfrog + in-loop skin check with a lax.cond rebin round-trip.
-    `eam_run` must be fastpoly (closed over).  ``split`` selects the R/F
-    sweep split (rho pass + combined-force pass) over the A/B split.
+    `eam_run` must be fastpoly (closed over).  ``engine`` selects the
+    sweep variant: "win" (production default) = R/F split with
+    in-kernel windowed views (forces_win; no roll materialization),
+    "split" = R/F split over rolled neighbor views, "ab" = A/B split.
     """
     from imd_tpu.ops import forces_pallas as fp
 
@@ -114,6 +116,12 @@ def make_fused_step(template: Scene, eam_run, timestep,
         oks.append(ok)
 
     def forces_cl(xi, alive):
+        if engine == "win":
+            from imd_tpu.ops.forces_win import eam_kernels_win_split
+            F, _, nn = eam_kernels_win_split(
+                xi, alive, eam_run, grid,
+                count_neighbors=count_neighbors)
+            return F, nn
         nbrs = []
         for k, off in enumerate(HALF_OFFSETS):
             xj = _roll_cells(xi, dims, off)
@@ -122,7 +130,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
                            fp.SENTINEL_CELL)
             nbrs.append(xj)
         nbr = jnp.stack(nbrs)
-        if split:
+        if engine == "split":
             F, _, nn = fp.eam_kernels_cl_split(
                 xi, nbr, alive, eam_run, grid,
                 count_neighbors=count_neighbors, block=block)
@@ -160,7 +168,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
-                        split: bool = True):
+                        engine: str = "win"):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -184,21 +192,26 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         oks.append(ok)
 
     def step(cl: CLState, tgrid, fdi, k):
-        nbrs = []
-        for i, off in enumerate(HALF_OFFSETS):
-            xj = _roll_cells(cl.xi, dims, off)
-            xj = xj + shifts[i][None]
-            xj = jnp.where(oks[i][None, None, :], xj,
-                           jnp.asarray(3.0e6, dtype))
-            nbrs.append(xj)
-        if split:
-            F, _, nn = fp.eam_kernels_cl_split(
-                cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
-                count_neighbors=True, block=block)
+        if engine == "win":
+            from imd_tpu.ops.forces_win import eam_kernels_win_split
+            F, _, nn = eam_kernels_win_split(
+                cl.xi, cl.alive, eam_run, grid, count_neighbors=True)
         else:
-            F, _, _, nn, _, _ = fp.eam_kernels_cl(
-                cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
-                count_neighbors=True, block=block, need_energy=False)
+            nbrs = []
+            for i, off in enumerate(HALF_OFFSETS):
+                xj = _roll_cells(cl.xi, dims, off)
+                xj = xj + shifts[i][None]
+                xj = jnp.where(oks[i][None, None, :], xj,
+                               jnp.asarray(3.0e6, dtype))
+                nbrs.append(xj)
+            if engine == "split":
+                F, _, nn = fp.eam_kernels_cl_split(
+                    cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
+                    count_neighbors=True, block=block)
+            else:
+                F, _, _, nn, _, _ = fp.eam_kernels_cl(
+                    cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
+                    count_neighbors=True, block=block, need_energy=False)
 
         x = cl.xi[:, 0, :].reshape(-1)
         mom3 = tuple(cl.mom[:, c, :].reshape(-1) for c in range(3))

@@ -215,6 +215,69 @@ def measured_capacity(grid: CellGrid, pos, safety: float = 1.25,
     return max(multiple, ((cap + multiple - 1) // multiple) * multiple)
 
 
+def optimize_grid_dims(box: Box, cutoff: float, skin: float, pos,
+                       dtype=np.float32,
+                       dims_multiple: Tuple[int, int, int] = (1, 1, 1),
+                       shrink: float = 0.80,
+                       headroom_slots: int = 1):
+    """Pick cell dims minimizing the dense-sweep cost cap^2 * n_cells.
+
+    The Pallas engines evaluate every (slot_i, slot_j) pair of every
+    stencil cell pair, so their work is n_offsets * capacity^2 * n_cells
+    regardless of occupancy.  The classical choice (max cells with edge
+    >= cutoff+skin, init_cells imd_geom_3d.c:118) minimizes *candidate
+    volume*, which is the right objective for a list-driven kernel
+    (imd_forces_nbl.c:452) but not for a padded sweep: fewer, fuller
+    cells amortize the sublane-rounded capacity over more real atoms
+    (e.g. fcc-Al at 1.5*alat commensurate cells: same cap 16, 24% fewer
+    cells).  Search every dims in [shrink*n_max, n_max], score with the
+    MEASURED max occupancy (+``headroom_slots`` migration slack, rounded
+    to the sublane multiple of 8 / half-sublane 4), return
+    (dims, capacity) of the cheapest grid.
+    """
+    reach = cutoff + skin
+    heights = box.heights()
+    n_max = [max(1, int(math.floor(heights[d] / reach))) for d in range(3)]
+
+    def snap(n, d):
+        m = dims_multiple[d]
+        return (n // m) * m if n % m else n
+
+    best = None
+    # scale all axes together by a common candidate edge (cells stay
+    # near-cubic, which the stencil reach argument requires per-axis)
+    cand = set()
+    for d in range(3):
+        for n in range(max(1, int(n_max[d] * shrink)), n_max[d] + 1):
+            cand.add(heights[d] / n)
+    for edge in sorted(cand):
+        dims = []
+        ok = True
+        for d in range(3):
+            n = snap(min(n_max[d], int(math.floor(heights[d] / edge + 1e-9))), d)
+            if n < 1 or heights[d] / n < reach - 1e-9:
+                ok = False
+                break
+            dims.append(n)
+        if not ok:
+            continue
+        dims = tuple(dims)
+        g = CellGrid(box=box, dims=dims, capacity=8,
+                     cutoff=float(cutoff), skin=float(skin))
+        raw = measured_capacity(g, pos, safety=1.0, extra=0, multiple=1,
+                                dtype=dtype)
+        need = raw + headroom_slots
+        cap8 = ((need + 7) // 8) * 8
+        cap4 = ((need + 3) // 4) * 4
+        cap = max(8, cap8 if cap8 >= need else cap4)
+        score = cap * cap * dims[0] * dims[1] * dims[2]
+        if best is None or score < best[0]:
+            best = (score, dims, cap)
+    if best is None:
+        raise ValueError("no feasible cell grid for the given box/cutoff")
+    return best[1], best[2]
+
+
 def with_capacity(grid: CellGrid, capacity: int) -> CellGrid:
     return CellGrid(box=grid.box, dims=grid.dims, capacity=int(capacity),
                     cutoff=grid.cutoff, skin=grid.skin,

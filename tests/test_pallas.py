@@ -251,3 +251,51 @@ def test_pallas2_grid_engine_matches_v1():
                                   np.asarray(r2.epot))
     np.testing.assert_array_equal(np.asarray(r1.num_neighs),
                                   np.asarray(r2.num_neighs))
+
+
+@pytest.mark.parametrize("pbc", [(1, 1, 1), (0, 1, 1)])
+def test_win_engine_matches_split(pbc):
+    """forces_win (in-kernel windowed neighbor views) must reproduce the
+    roll-based split engine bit-for-bit: identical sweep math, only the
+    view construction differs."""
+    from imd_tpu.ops.forces_pallas import eam_kernels_cl_split, prep_neighbors
+    from imd_tpu.ops.forces_win import eam_kernels_win_split
+    sc = _scene(pbc=pbc)
+    sc = sc.replace(pos=sc.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(4), sc.pos.shape))
+    xi, nbr, mask = prep_neighbors(sc)
+    F1, rho1, nn1 = jax.jit(
+        lambda xi, nbr, mask: eam_kernels_cl_split(
+            xi, nbr, mask, EAM, sc.grid,
+            count_neighbors=True))(xi, nbr, mask)
+    F2, rho2, nn2 = jax.jit(
+        lambda xi, mask: eam_kernels_win_split(
+            xi, mask, EAM, sc.grid, count_neighbors=True))(xi, mask)
+    assert float(jnp.abs(F1 - F2).max()) == 0.0
+    assert float(jnp.abs(rho1 - rho2).max()) == 0.0
+    assert float(jnp.abs(nn1 - nn2).max()) == 0.0
+
+
+def test_optimize_grid_dims_beats_max_cells():
+    """The dense-sweep grid chooser must return a feasible grid (edge >=
+    cutoff+skin, no overflow at its capacity) whose cap^2*NC cost is <=
+    the classical max-cells choice."""
+    from imd_tpu.ops.geometry import CellGrid, optimize_grid_dims
+    pos, typ, diag = fcc((12, 12, 12), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid0 = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid0 = with_capacity(grid0, measured_capacity(
+        grid0, pos, safety=1.0, extra=1))
+    dims, cap = optimize_grid_dims(box, 5.0, 0.5, pos,
+                                   dtype=jnp.float32)
+    reach = 5.5
+    for d in range(3):
+        assert diag[d] / dims[d] >= reach - 1e-6
+    cost0 = grid0.capacity ** 2 * np.prod(grid0.dims)
+    cost1 = cap ** 2 * np.prod(dims)
+    assert cost1 <= cost0
+    g = CellGrid(box=box, dims=dims, capacity=cap, cutoff=5.0, skin=0.5)
+    sc = make_scene(g, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float32)
+    assert int(sc.overflow) == 0
