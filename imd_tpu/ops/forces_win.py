@@ -51,20 +51,21 @@ from imd_tpu.ops.forces_fast import _wrap_shift_mask_cl
 from imd_tpu.ops.forces_pallas import (NOF, SENTINEL_DEAD, _assemble,
                                        _horner_g2, _horner_v, _poly_consts)
 
-B = 128  # lane-block size (one vreg row)
+B = 128  # default lane-block size (one vreg row)
 
 
 class WinLayout:
     """Static window/slice plan for a given cell grid (host-side)."""
 
-    def __init__(self, grid):
+    def __init__(self, grid, block: int = B):
         gx, gy, gz = (int(d) for d in grid.dims)
         self.dims = (gx, gy, gz)
         gyz = gy * gz
         nc = gx * gyz
         self.nc = nc
-        self.nblk = (nc + B - 1) // B
-        self.ncp = self.nblk * B
+        self.block = int(block)
+        self.nblk = (nc + self.block - 1) // self.block
+        self.ncp = self.nblk * self.block
 
         # per-offset slice plan: (doff, zcorr|None, ycorr|None, yzcorr|None)
         plans = []
@@ -80,19 +81,21 @@ class WinLayout:
                     offs.add(s)
         self.plans = plans
 
-        # window blocks: every slice [s, s+B) touches blocks floor(s/B)
-        # and floor((s+B-1)/B) relative to the current block
+        # window blocks: every slice [s, s+block) touches blocks
+        # floor(s/block) and floor((s+block-1)/block) relative to the
+        # current block
+        bb = self.block
         wset = set()
         for s in offs:
-            wset.add(s // B)
-            wset.add((s + B - 1) // B)
+            wset.add(s // bb)
+            wset.add((s + bb - 1) // bb)
         self.wblocks = sorted(wset)
         self.widx = {w: k for k, w in enumerate(self.wblocks)}
 
         # flat pad in whole blocks so index maps never go negative and
         # the largest slice never reads past the buffer
-        self.pad_lo = -min(self.wblocks) * B
-        self.pad_hi = (max(self.wblocks) + 2) * B
+        self.pad_lo = -min(self.wblocks) * bb
+        self.pad_hi = (max(self.wblocks) + 2) * bb
 
     def pad_flat(self, arr):
         """[..., NC] -> [..., pad_lo + NC + pad_hi] with wrapped copies.
@@ -124,7 +127,8 @@ class WinLayout:
 def _phase_masks(layout, i):
     """Lane-phase wrap masks for block i: (z==0, z==gz-1, y==0, y==gy-1)."""
     gx, gy, gz = layout.dims
-    c = i * B + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    bb = layout.block
+    c = i * bb + jax.lax.broadcasted_iota(jnp.int32, (1, bb), 1)
     # c may exceed nc (junk tail of the last block); phases of junk lanes
     # are irrelevant (their i-side slots are deadened)
     gzi = jnp.asarray(gz, jnp.int32)
@@ -139,14 +143,16 @@ def _view(layout, wins, comp, plan, masks):
     doff, zc, yc, yzc, ox, oy, oz = plan
     z0, zg, y0, yg, _ = masks
 
+    bb = layout.block
+
     def sl(s):
-        w = s // B
-        sub = s - w * B
+        w = s // bb
+        sub = s - w * bb
         a = wins[layout.widx[w]][:, comp, :]
         if sub == 0:
             return a
         bref = wins[layout.widx[w + 1]][:, comp, :]
-        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + B]
+        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + bb]
 
     v = sl(doff)
     zmask = zg if oz > 0 else z0
@@ -164,14 +170,16 @@ def _view1(layout, wins, plan, masks):
     doff, zc, yc, yzc, ox, oy, oz = plan
     z0, zg, y0, yg, _ = masks
 
+    bb = layout.block
+
     def sl(s):
-        w = s // B
-        sub = s - w * B
+        w = s // bb
+        sub = s - w * bb
         a = wins[layout.widx[w]][...]
         if sub == 0:
             return a
         bref = wins[layout.widx[w + 1]][...]
-        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + B]
+        return jnp.concatenate([a, bref], axis=-1)[:, sub:sub + bb]
 
     v = sl(doff)
     zmask = zg if oz > 0 else z0
@@ -186,7 +194,7 @@ def _view1(layout, wins, plan, masks):
 
 def eam_kernels_win_split(xi, mask, eam, grid,
                           count_neighbors: bool = False,
-                          neigh_r2: float = 0.0):
+                          neigh_r2: float = 0.0, block: int = B):
     """Forces-only split EAM on in-kernel windowed neighbor views.
 
     ``xi`` [cap, 3, NC] sentinel-filled cells-last positions (dead slots
@@ -194,7 +202,7 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     Returns cells-last (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]) —
     the same contract as eam_kernels_cl_split.
     """
-    layout = WinLayout(grid)
+    layout = WinLayout(grid, block=block)
     dims = grid.dims
     dtype = xi.dtype
     cap = xi.shape[0]
@@ -266,16 +274,17 @@ def eam_kernels_win_split(xi, mask, eam, grid,
                 iref[k][...] += o[name + "_i"]
                 jref[k][m] = o[name + "_j"]
 
-    spec_w = [pl.BlockSpec((cap, 3, B),
+    bb = layout.block
+    spec_w = [pl.BlockSpec((cap, 3, bb),
                            functools.partial(
                                lambda i, w: (0, 0, i + blk0 + w), w=w),
                            memory_space=pltpu.VMEM)
               for w in layout.wblocks]
-    spec_s = pl.BlockSpec((NOF, 3, B), lambda i: (0, 0, i),
+    spec_s = pl.BlockSpec((NOF, 3, bb), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
-    spec_o = pl.BlockSpec((cap, B), lambda i: (0, i),
+    spec_o = pl.BlockSpec((cap, bb), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    spec_oj = pl.BlockSpec((NOF, cap, B), lambda i: (0, 0, i),
+    spec_oj = pl.BlockSpec((NOF, cap, bb), lambda i: (0, 0, i),
                            memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
     shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
@@ -342,7 +351,7 @@ def eam_kernels_win_split(xi, mask, eam, grid,
             fjy[m] = o["fy_j"]
             fjz[m] = o["fz_j"]
 
-    spec_dw = [pl.BlockSpec((cap, B),
+    spec_dw = [pl.BlockSpec((cap, bb),
                             functools.partial(
                                 lambda i, w: (0, i + blk0 + w), w=w),
                             memory_space=pltpu.VMEM)
