@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import math
 from typing import Sequence
 
 import jax
@@ -326,6 +327,40 @@ def morse_table(epsilon, alpha, sigma, r_cut, ntypes: int = 1,
                 return eps * al * ex * (1.0 - ex) / r
 
             cols.append(_smoothed_samples(V, dV, r2, r2c))
+            begin.append(r2b)
+            end.append(r2c)
+            step.append((r2c - r2b) / (res - 1))
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def brenner_table(A, lam, r0, r_cut, ntypes: int = 1, res: int = 1000,
+                  dtype=jnp.float32) -> PotTable:
+    """Tabulated Brenner repulsive pair term (pair_int_brenner,
+    imd_potential.c:1662-1675): V = fc(r) * A * exp(-lam * r) with the
+    half-cosine switch fc = 0.5 (1 + cos(pi (r-r0)/(r_cut-r0))) between
+    r0 and r_cut.  In the reference BRENNER contributes only this pair
+    part, folded into the generated pair table (imd_potential.c:634-638);
+    the bond-order attractive part is not implemented there either.
+    No POT_TAIL smoothing: fc already reaches 0 with zero slope at r_cut.
+    """
+    def tri(v, i, j):
+        if np.isscalar(v):
+            return float(v)
+        a, b = min(i, j), max(i, j)
+        return float(v[a * ntypes - a * (a + 1) // 2 + b])
+
+    cols, begin, end, step = [], [], [], []
+    for i in range(ntypes):
+        for j in range(ntypes):
+            a_, la_, r0_, rc_ = (tri(A, i, j), tri(lam, i, j),
+                                 tri(r0, i, j), tri(r_cut, i, j))
+            r2b, r2c = (0.2 * r0_) ** 2, rc_ * rc_
+            r2 = np.linspace(r2b, r2c, res)
+            r = np.sqrt(r2)
+            t = math.pi * (r - r0_) / (rc_ - r0_)
+            fc = np.where(r < r0_, 1.0,
+                          np.where(r > rc_, 0.0, 0.5 * (1.0 + np.cos(t))))
+            cols.append(fc * a_ * np.exp(-la_ * r))
             begin.append(r2b)
             end.append(r2c)
             step.append((r2c - r2b) / (res - 1))

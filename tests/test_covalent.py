@@ -90,3 +90,44 @@ def test_ttbp_angular_minimum_and_fd_forces():
     fd = (float(ttbp_energy(pos + dlt, P=P))
           - float(ttbp_energy(pos - dlt, P=P))) / (2 * h)
     assert abs(fd - float(g[2, 0])) < 1e-7 * max(1.0, abs(fd))
+
+
+def test_tersoffmod_silicon_cohesive_energy_and_fd_forces():
+    """MOD-Si (Kumagai 2007): diamond at a=5.429 A, E_coh = -4.630
+    eV/atom; autodiff forces match finite differences and vanish on the
+    perfect lattice (do_forces2 under TERSOFFMOD,
+    imd_forces_covalent.c:909-1237)."""
+    pos, box = _si(a=5.429)
+    n = pos.shape[0]
+    e = float(cv.tersoffmod_energy(pos, box)) / n
+    assert e == pytest.approx(-4.630, rel=2e-3)
+    F0, _ = cv.covalent_forces(cv.tersoffmod_energy, pos, box)
+    assert float(jnp.max(jnp.abs(F0))) < 1e-8
+    # displaced config: FD check
+    key = jax.random.PRNGKey(7)
+    pos = pos + 0.08 * jax.random.normal(key, pos.shape, pos.dtype)
+    F, _ = cv.covalent_forces(cv.tersoffmod_energy, pos, box)
+    h = 1e-6
+    for (i, c) in [(0, 0), (3, 1), (10, 2)]:
+        dp = jnp.zeros_like(pos).at[i, c].set(h)
+        fd = -(float(cv.tersoffmod_energy(pos + dp, box))
+               - float(cv.tersoffmod_energy(pos - dp, box))) / (2 * h)
+        assert fd == pytest.approx(float(F[i, c]), rel=1e-5, abs=1e-8)
+
+
+def test_brenner_pair_table():
+    """Brenner repulsive pair table: value A e^(-lam r) below r0, 0 above
+    r_cut, continuous in between (pair_int_brenner)."""
+    import numpy as np
+
+    from imd_tpu.models.potential import brenner_table
+    pt = brenner_table(1000.0, 3.0, 1.7, 2.0)
+    for r, want in [(1.0, 1000.0 * np.exp(-3.0)),
+                    (1.5, 1000.0 * np.exp(-4.5))]:
+        v, _ = pt.interp(0, jnp.asarray([r * r]))
+        assert float(v[0]) == pytest.approx(want, rel=1e-3)
+    r = 1.99
+    t = np.pi * (r - 1.7) / 0.3
+    want = 0.5 * (1 + np.cos(t)) * 1000.0 * np.exp(-3.0 * r)
+    v, _ = pt.interp(0, jnp.asarray([r * r]))
+    assert float(v[0]) == pytest.approx(want, rel=5e-2, abs=1e-4)
