@@ -1,0 +1,213 @@
+"""Device-side structure analysis: neighbor lists + CNA at scale.
+
+Why: the host analysis plugins (analysis.py) mirror the reference's
+per-atom loops (imd_cna.c:32-460) faithfully but in Python-with-sets —
+fine for dump-sized systems, hours at 1M atoms.  This module keeps the
+whole pipeline on the TPU:
+
+1. ``neighbor_lists``: padded [N, K] neighbor index lists built from the
+   Scene's cell structure with the same 27-offset rolled-view sweep the
+   force kernels use (no KD-tree, no host round-trip), chunked over
+   cells so the candidate tensor stays VMEM/HBM-friendly.
+2. ``cna_classes``: per-atom common-neighbor-analysis classification
+   (fcc/hcp/bcc/other).  The reference's recursive "domino"
+   longest-chain search (imd_cna.c:300-420) is replaced by closed-form
+   graph tests that distinguish the signature triplets the classifier
+   actually uses:
+
+      (4,2,1) vs (4,2,2): two bonds share a vertex  <=> max degree 2
+      (4,4,4): four bonds on four common neighbors, all degrees 2
+               (a single 4-ring has longest chain 4)
+      (6,6,6): six bonds on six common neighbors, all degrees 2 AND
+               connected (one 6-ring, chain 6) — two disjoint
+               triangles (chain 3) are rejected by a 3-step boolean
+               reachability closure.
+
+   Everything is batched boolean algebra on [chunk, K, K] tensors —
+   no data-dependent control flow, so XLA maps it onto the VPU.
+
+Atom order in all outputs is the flat cells-last slot order
+``n = slot * n_cells + cell`` with an ``alive`` mask; use ``scene_ids``
+to map back to atom numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imd_tpu.ops.forces_fast import _roll_cells, _to_cl
+from imd_tpu.ops.forces_pallas import _wrap_shift_mask_cl
+
+# all 26 neighbor-cell offsets + the home cell
+OFFSETS27 = [(ox, oy, oz)
+             for ox in (-1, 0, 1) for oy in (-1, 0, 1) for oz in (-1, 0, 1)]
+
+CNA_OTHER, CNA_FCC, CNA_HCP, CNA_BCC = 0, 1, 2, 3
+
+
+def _cl_arrays(scene):
+    dims = scene.grid.dims
+    typ = _to_cl(scene.type, dims)
+    alive = typ >= 0
+    pos = _to_cl(scene.pos, dims)
+    xi = jnp.where(alive[:, None, :], pos, 3.0e6)
+    return xi, alive, dims
+
+
+def scene_ids(scene):
+    """[N] atom numbers in the flat slot order of this module (-1 dead)."""
+    dims = scene.grid.dims
+    ids = _to_cl(scene.id, dims)
+    return ids.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "chunk", "r_cut"))
+def _neighbor_lists_impl(xi, alive, grid, r_cut, kmax, chunk):
+    dims = grid.dims
+    nc = dims[0] * dims[1] * dims[2]
+    cap = xi.shape[0]
+    rc2 = jnp.asarray(float(r_cut) ** 2, xi.dtype)
+
+    views = []
+    ids = []
+    slot_cell = (jnp.arange(cap, dtype=jnp.int32)[:, None] * nc
+                 + jnp.arange(nc, dtype=jnp.int32)[None, :])
+    for off in OFFSETS27:
+        sh, ok = _wrap_shift_mask_cl(grid, off, xi.dtype)
+        xj = _roll_cells(xi, dims, off) + sh[None]
+        xj = jnp.where(ok[None, None, :], xj, 3.0e6)
+        views.append(xj)
+        ids.append(_roll_cells(slot_cell, dims, off))
+    xj = jnp.concatenate(views, axis=0)          # [27*cap, 3, NC]
+    idj = jnp.concatenate(ids, axis=0)           # [27*cap, NC]
+
+    ncp = ((nc + chunk - 1) // chunk) * chunk
+    padn = ncp - nc
+    if padn:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, padn)),
+                     constant_values=3.0e6)
+        xj = jnp.pad(xj, ((0, 0), (0, 0), (0, padn)),
+                     constant_values=-3.0e6)
+        idj = jnp.pad(idj, ((0, 0), (0, padn)))
+        slot_cell = jnp.pad(slot_cell, ((0, 0), (0, padn)))
+    nchunk = ncp // chunk
+    xic = xi.reshape(cap, 3, nchunk, chunk)
+    xjc = xj.reshape(27 * cap, 3, nchunk, chunk)
+    idc = idj.reshape(27 * cap, nchunk, chunk)
+    sic = slot_cell.reshape(cap, nchunk, chunk)
+
+    def one_chunk(args):
+        xi_c, xj_c, id_c, si_c = args                 # [cap,3,C] ...
+        d = xi_c[:, None] - xj_c[None]                # [cap, 27cap, 3, C]
+        r2 = jnp.sum(d * d, axis=2)
+        mask = (r2 < rc2) & (id_c[None] != si_c[:, None])
+        # stable partition: real neighbors first (order irrelevant)
+        order = jnp.argsort(~mask, axis=1, stable=True)[:, :kmax]
+        nidx = jnp.take_along_axis(
+            jnp.broadcast_to(id_c[None], mask.shape), order, axis=1)
+        nvalid = jnp.take_along_axis(mask, order, axis=1)
+        count = jnp.sum(mask, axis=1)
+        return nidx, nvalid, count
+
+    nidx, nvalid, count = jax.lax.map(
+        one_chunk,
+        (jnp.moveaxis(xic, 2, 0), jnp.moveaxis(xjc, 2, 0),
+         jnp.moveaxis(idc, 1, 0), jnp.moveaxis(sic, 1, 0)))
+    # [nchunk, cap, K|/, chunk] -> [cap, K, ncp] -> [N, K]
+    nidx = jnp.moveaxis(nidx, 0, 2).reshape(cap, kmax, ncp)
+    nvalid = jnp.moveaxis(nvalid, 0, 2).reshape(cap, kmax, ncp)
+    count = jnp.moveaxis(count, 0, 1).reshape(cap, ncp)
+    nidx = nidx[:, :, :nc].transpose(0, 2, 1).reshape(-1, kmax)
+    nvalid = nvalid[:, :, :nc].transpose(0, 2, 1).reshape(-1, kmax)
+    count = count[:, :nc].reshape(-1)
+    alive_f = alive.reshape(-1)
+    nvalid = nvalid & alive_f[:, None]
+    overflow = jnp.max(jnp.where(alive_f, count, 0)) > kmax
+    return nidx, nvalid, overflow
+
+
+def neighbor_lists(scene, r_cut: float, kmax: int = 20, chunk: int = 1024):
+    """Padded neighbor lists [N, kmax] in flat slot order + validity mask.
+
+    Returns (nbr_idx, nbr_valid, alive, overflow): ``overflow`` is True
+    when some atom has more than ``kmax`` neighbors (raise kmax).  The
+    sweep is the same 27-offset rolled-view pattern as the force
+    kernels (imd_forces_nbl.c:136's make_nblist, cells-last redesign).
+    """
+    xi, alive, _ = _cl_arrays(scene)
+    nidx, nvalid, overflow = _neighbor_lists_impl(
+        xi, alive, scene.grid, float(r_cut), kmax, chunk)
+    return nidx, nvalid, alive.reshape(-1), overflow
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _cna_impl(nbr, nmask, alive, chunk):
+    n, K = nbr.shape
+    npad = ((n + chunk - 1) // chunk) * chunk - n
+    nbr_p = jnp.pad(nbr, ((0, npad), (0, 0)))
+    nmask_p = jnp.pad(nmask, ((0, npad), (0, 0)))
+
+    def one_chunk(args):
+        ni, mi = args                      # [C,K] int32, bool
+        # gathered neighbor lists of my neighbors: [C,K,K]
+        G = nbr_p[ni]
+        Gm = nmask_p[ni] & mi[:, :, None]
+        # A[a,b]: nbr[i,b] is a neighbor of nbr[i,a]
+        eq = (G[:, :, :, None] == ni[:, None, None, :])   # [C,K,K,K]
+        A = jnp.any(eq & Gm[:, :, :, None], axis=2)
+        A = A & mi[:, :, None] & mi[:, None, :]
+        # per bond k: common-neighbor mask = A[k, :]
+        ncn = jnp.sum(A, axis=2)                          # [C,K]
+        # bonds among common neighbors of (i, k):
+        # B_k[a,b] = A[a,b] & A[k,a] & A[k,b]
+        Bk = (A[:, None, :, :] & A[:, :, :, None]
+              & A[:, :, None, :])                         # [C,K,K,K]
+        nb = jnp.sum(Bk, axis=(2, 3)) // 2                # [C,K]
+        deg = jnp.sum(Bk, axis=3)                         # [C,K,K]
+        maxdeg = jnp.max(deg, axis=2)
+        # all common members have degree exactly 2 (ring condition)
+        common = A                                        # [C,K,K]
+        all2 = jnp.all((deg == 2) | ~common, axis=2)
+        # connectivity for the 666 case: 3-step boolean closure over Bk
+        R = Bk | jnp.eye(K, dtype=bool)[None, None]
+        for _ in range(3):
+            R = jnp.einsum("ckab,ckbd->ckad", R.astype(jnp.int32),
+                           R.astype(jnp.int32)) > 0
+        conn = jnp.all(R | ~(common[:, :, :, None]
+                             & common[:, :, None, :]), axis=(2, 3))
+        s421 = (ncn == 4) & (nb == 2) & (maxdeg <= 1)
+        s422 = (ncn == 4) & (nb == 2) & (maxdeg == 2)
+        s444 = (ncn == 4) & (nb == 4) & all2
+        s666 = (ncn == 6) & (nb == 6) & all2 & conn
+        nn = jnp.sum(mi, axis=1)
+        c421 = jnp.sum(s421 & mi, axis=1)
+        c422 = jnp.sum(s422 & mi, axis=1)
+        c444 = jnp.sum(s444 & mi, axis=1)
+        c666 = jnp.sum(s666 & mi, axis=1)
+        cls = jnp.where((c421 == 12) & (nn == 12), CNA_FCC,
+                        jnp.where((c421 == 6) & (c422 == 6) & (nn == 12),
+                                  CNA_HCP,
+                                  jnp.where((c444 == 6) & (c666 == 8)
+                                            & (nn == 14), CNA_BCC,
+                                            CNA_OTHER)))
+        return cls.astype(jnp.int32)
+
+    nchunk = (n + npad) // chunk
+    cls = jax.lax.map(one_chunk,
+                      (nbr_p.reshape(nchunk, chunk, K),
+                       nmask_p.reshape(nchunk, chunk, K)))
+    return cls.reshape(-1)[:n] * alive.astype(jnp.int32)
+
+
+def cna_classes(scene, r_cut: float, kmax: int = 20,
+                chunk: int = 512) -> jnp.ndarray:
+    """Per-atom CNA class [N] in flat slot order (imd_cna.c signatures:
+    fcc = 12x(421), hcp = 6x(421)+6x(422), bcc = 6x(444)+8x(666)),
+    entirely on device."""
+    nbr, nmask, alive, overflow = neighbor_lists(scene, r_cut, kmax=kmax)
+    cls = _cna_impl(nbr, nmask, alive, chunk)
+    return jnp.where(overflow, -jnp.ones_like(cls), cls)
