@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--steps-override", type=int, default=None)
     args = ap.parse_args(argv)
 
+    # multi-host: join the job BEFORE any other jax use (mpirun analog;
+    # no-op unless JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set)
+    from imd_tpu.parallel.mesh import init_multihost
+    init_multihost()
+
     import jax.numpy as jnp
     from imd_tpu.config import SimConfig, parse_param_text
     from imd_tpu.simulation import Simulation

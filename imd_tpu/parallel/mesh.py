@@ -98,3 +98,56 @@ def shard_ttm(mesh: Mesh, ttm_grid):
     """Place a TTMGrid onto the mesh, FD columns block-sharded along x."""
     sh = ttm_shardings(mesh, ttm_grid)
     return jax.tree.map(jax.device_put, ttm_grid, sh)
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None,
+                   local_device_ids=None) -> int:
+    """Join a multi-host SPMD job (the mpirun/MPI_Init analog,
+    imd_mpi_util.c:48).
+
+    Each host process calls this once before any other jax use; after
+    it, ``jax.devices()`` is the GLOBAL device list spanning all hosts
+    and ``make_mesh`` builds a global mesh whose collectives ride ICI
+    within a slice and DCN across slices — no application-level wire
+    protocol (the msgbuf layer this replaces: imd_mpi_util.c:850-1065).
+
+    Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) or,
+    on Cloud TPU pods, to automatic detection.  Returns this host's
+    process index.  Safe to call in single-process runs (no-op when no
+    coordinator is configured).
+    """
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
+    if coordinator is None and num_processes is None:
+        return 0  # single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_processes,
+        process_id=process_id, local_device_ids=local_device_ids)
+    return jax.process_index()
+
+
+def process_local_slab(grid_dims: Tuple[int, int, int],
+                       mesh: Mesh) -> Tuple[int, int]:
+    """This process's x-slab [lo, hi) of the global cell grid, for
+    host-side I/O that writes only locally-addressable shards (the
+    rank-local read/write split, imd_io_3d.c:100-690)."""
+    nx = grid_dims[0]
+    px = int(mesh.shape[mesh.axis_names[0]])
+    per = nx // px
+    # which mesh x-row contains one of our local devices?
+    local = set(d.id for d in jax.local_devices())
+    arr = np.asarray(mesh.devices)
+    for i in range(px):
+        row = arr[i].reshape(-1)
+        if any(d.id in local for d in row):
+            return i * per, (i + 1) * per
+    return 0, nx
