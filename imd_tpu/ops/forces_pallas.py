@@ -563,36 +563,32 @@ def _horner_g2(x, c1, c2):
     return 2.0 * g1 * inv_half, 2.0 * g2 * inv_half2
 
 
-def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
-                         count_neighbors: bool = False,
-                         neigh_r2: float = 0.0, block: int = 128,
-                         unroll: int = 1):
-    """Forces-only EAM via an R/F split instead of the A/B split.
-
-    Kernel R sweeps the stencil for host density rho (+ neighbor
-    counts) only; after the XLA embedding derivative, kernel F sweeps
-    ONCE with the COMBINED gradient phi'(r^2) + (dF_i + dF_j) rho'(r^2)
-    — the reference's loop-2 force expression with the pair term folded
-    in (imd_forces_nbl.c:905-930 computes exactly this sum when PAIR and
-    EAM2 are both active).  vs the A/B split: the pair-force work moves
-    from the rho pass into the (mandatory) second pass, so the sweeps
-    drop from [forces+rho] + [forces] to [rho] + [forces], cutting
-    ~12% of VPU flops and 38% of the j-accumulator HBM traffic.
-
-    Hot-loop only: no energies/virial here (observable intervals use
-    eam_kernels_cl with need_energy=True).
-    Returns cells-last (F [cap,3,NC], rho, nneigh).
-    """
+def _split_geometry(xi, grid, block):
+    """Shared lane-block padding plan for the R/F split passes."""
     dims = grid.dims
-    dtype = xi.dtype
     cap = xi.shape[0]
     nc = dims[0] * dims[1] * dims[2]
     cap_pad = ((cap + 7) // 8) * 8
     budget = block * 16 * 16
     b = max(128, (budget // (cap * cap_pad)) // 128 * 128)
     ncp = ((nc + b - 1) // b) * b
-    nblk = ncp // b
-    pad = ncp - nc
+    return nc, b, ncp // b, ncp - nc
+
+
+def eam_r_pass(xi, nbr, eam, grid,
+               count_neighbors: bool = False,
+               neigh_r2: float = 0.0, block: int = 128,
+               unroll: int = 1):
+    """Kernel R of the R/F split: UNMASKED assembled host density rho
+    (+ neighbor counts) over the stencil.  Exposed separately so the
+    sharded fused step can halo-fold rho and exchange dF between the
+    passes (the send_forces(add_rho)/send_cells(copy_dF) halo steps,
+    imd_forces_nbl.c:745/786)."""
+    dims = grid.dims
+    dtype = xi.dtype
+    cap = xi.shape[0]
+    nc, b, nblk, pad = _split_geometry(xi, grid, block)
+    ncp = nblk * b
     if pad:
         xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)),
                      constant_values=SENTINEL_CELL)
@@ -601,7 +597,6 @@ def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
 
     rcut2 = float(grid.cutoff) ** 2
     nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
-    pair_c = _poly_consts(eam.pair)
     rho_c = _poly_consts(eam.rho)
     interp = jax.default_backend() == "cpu"
 
@@ -670,12 +665,48 @@ def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
     acc = {name: _assemble(dims, outs[k], outs[nkr + k])
            for k, name in enumerate(keys_r)}
     rho_t = acc["rho"]
-    maskf = mask.astype(dtype)
     nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+    return rho_t, nneigh
 
-    # embedding derivative (XLA elementwise)
-    _, emb_g = eam.embed.interp(0, rho_t)
-    dF = 0.5 * emb_g * maskf
+
+def eam_f_pass(xi, nbr, dF, eam, grid, block: int = 128,
+               unroll: int = 1):
+    """Kernel F of the R/F split: UNMASKED assembled forces from the
+    combined gradient phi' + (dF_i + dF_j) rho'.  ``dF`` is the
+    per-slot half embedding derivative [cap, NC] (already masked by the
+    caller)."""
+    dims = grid.dims
+    dtype = xi.dtype
+    cap = xi.shape[0]
+    nc, b, nblk, pad = _split_geometry(xi, grid, block)
+    ncp = nblk * b
+    if pad:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, pad)),
+                     constant_values=SENTINEL_CELL)
+        nbr = jnp.pad(nbr, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                      constant_values=SENTINEL_CELL)
+
+    rcut2 = float(grid.cutoff) ** 2
+    pair_c = _poly_consts(eam.pair)
+    rho_c = _poly_consts(eam.rho)
+    interp = jax.default_backend() == "cpu"
+
+    def tri_mask(cap):
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        return ti < tj
+
+    spec_i = pl.BlockSpec((cap, 3, b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((NOF, cap, 3, b), lambda i: (0, 0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((cap, b), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_oj = pl.BlockSpec((NOF, cap, b), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
+    shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
+
     dF_n = jnp.stack([_roll_cells(dF, dims, off) for off in HALF_OFFSETS])
     dF_p, dF_np = dF, dF_n
     if pad:
@@ -736,8 +767,38 @@ def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
     fx = _assemble(dims, outs2[0], outs2[3])
     fy = _assemble(dims, outs2[1], outs2[4])
     fz = _assemble(dims, outs2[2], outs2[5])
-    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
-    return F, rho_t * maskf, nneigh * maskf
+    return jnp.stack([fx, fy, fz], axis=1)
+
+
+def eam_kernels_cl_split(xi, nbr, mask, eam, grid,
+                         count_neighbors: bool = False,
+                         neigh_r2: float = 0.0, block: int = 128,
+                         unroll: int = 1):
+    """Forces-only EAM via an R/F split instead of the A/B split.
+
+    Kernel R sweeps the stencil for host density rho (+ neighbor
+    counts) only; after the XLA embedding derivative, kernel F sweeps
+    ONCE with the COMBINED gradient phi'(r^2) + (dF_i + dF_j) rho'(r^2)
+    — the reference's loop-2 force expression with the pair term folded
+    in (imd_forces_nbl.c:905-930 computes exactly this sum when PAIR and
+    EAM2 are both active).  vs the A/B split: the pair-force work moves
+    from the rho pass into the (mandatory) second pass, so the sweeps
+    drop from [forces+rho] + [forces] to [rho] + [forces], cutting
+    ~12% of VPU flops and 38% of the j-accumulator HBM traffic.
+
+    Hot-loop only: no energies/virial here (observable intervals use
+    eam_kernels_cl with need_energy=True).
+    Returns cells-last (F [cap,3,NC], rho, nneigh).
+    """
+    maskf = mask.astype(xi.dtype)
+    rho_t, nneigh = eam_r_pass(xi, nbr, eam, grid,
+                               count_neighbors=count_neighbors,
+                               neigh_r2=neigh_r2, block=block,
+                               unroll=unroll)
+    _, emb_g = eam.embed.interp(0, rho_t)
+    dF = 0.5 * emb_g * maskf
+    F = eam_f_pass(xi, nbr, dF, eam, grid, block=block, unroll=unroll)
+    return (F * maskf[:, None, :], rho_t * maskf, nneigh * maskf)
 
 
 # ---------------------------------------------------------------------------
