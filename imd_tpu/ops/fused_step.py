@@ -87,7 +87,8 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
-                    block: int = 128, engine: str = "win"):
+                    block: int = 128, engine: str = "win",
+                    mesh=None):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
@@ -96,6 +97,9 @@ def make_fused_step(template: Scene, eam_run, timestep,
     sweep variant: "win" (production default) = R/F split with
     in-kernel windowed views (forces_win; no roll materialization),
     "split" = R/F split over rolled neighbor views, "ab" = A/B split.
+    ``mesh`` (x-decomposed) runs the sweep SPMD with explicit halo
+    permutes (parallel/fused_shard.py); the rest of the step stays
+    GSPMD-partitioned.
     """
     from imd_tpu.ops import forces_pallas as fp
 
@@ -107,6 +111,13 @@ def make_fused_step(template: Scene, eam_run, timestep,
     dt = jnp.asarray(timestep, dtype)
     skin2 = jnp.asarray((0.5 * grid.skin) ** 2, dtype)
 
+    sharded_forces = None
+    if mesh is not None:
+        from imd_tpu.parallel.fused_shard import make_sharded_eam_forces
+        sharded_forces = make_sharded_eam_forces(
+            mesh, grid, eam_run, cap, dtype,
+            count_neighbors=count_neighbors, block=block)
+
     # static per-offset PBC shifts/validity (cells don't move)
     shifts = []
     oks = []
@@ -116,6 +127,9 @@ def make_fused_step(template: Scene, eam_run, timestep,
         oks.append(ok)
 
     def forces_cl(xi, alive):
+        if sharded_forces is not None:
+            F, _, nn = sharded_forces(xi, alive)
+            return F, nn
         if engine == "win":
             from imd_tpu.ops.forces_win import eam_kernels_win_split
             F, _, nn = eam_kernels_win_split(
@@ -168,13 +182,16 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
-                        engine: str = "win"):
+                        engine: str = "win", mesh=None):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
     neighbor counts (Pallas), calc_ttm on flat component views of the
     cells-last state, xi-coupled leapfrog (move_atoms_ttm,
     imd_integrate.c:581) — all without leaving the kernel layout.
+    ``mesh`` (x-decomposed) shard_maps the force sweep with explicit
+    halo permutes; calc_ttm and the integrator stay GSPMD (the TTM FD
+    grid rides the same x axis, parallel/mesh.shard_ttm).
     """
     from imd_tpu.models import ttm as ttm_mod
     from imd_tpu.ops import forces_pallas as fp
@@ -185,6 +202,13 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
     dt = jnp.asarray(timestep, dtype)
     skin2 = jnp.asarray((0.5 * grid.skin) ** 2, dtype)
 
+    sharded_forces = None
+    if mesh is not None:
+        from imd_tpu.parallel.fused_shard import make_sharded_eam_forces
+        sharded_forces = make_sharded_eam_forces(
+            mesh, grid, eam_run, template.capacity, dtype,
+            count_neighbors=True, block=block)
+
     shifts, oks = [], []
     for off in HALF_OFFSETS:
         sh, ok = _wrap_shift_mask_cl(grid, off, dtype)
@@ -192,7 +216,9 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         oks.append(ok)
 
     def step(cl: CLState, tgrid, fdi, k):
-        if engine == "win":
+        if sharded_forces is not None:
+            F, _, nn = sharded_forces(cl.xi, cl.alive)
+        elif engine == "win":
             from imd_tpu.ops.forces_win import eam_kernels_win_split
             F, _, nn = eam_kernels_win_split(
                 cl.xi, cl.alive, eam_run, grid, count_neighbors=True)

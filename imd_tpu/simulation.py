@@ -829,7 +829,13 @@ class Simulation:
         if cfg.ntypes != 1:      # fused_step is single-species
             return False
         if self.mesh is not None:
-            return False
+            # x-only decompositions run the sharded fused hot loop
+            # (shard_mapped Pallas sweeps + explicit halo permutes,
+            # parallel/fused_shard.py); other mesh shapes fall back to
+            # the general GSPMD step
+            from imd_tpu.parallel.fused_shard import shardable
+            if not shardable(self.grid, self.mesh):
+                return False
         if self.nrb_state is not None or cfg.filter.enabled:
             return False
         if self.extpot0 is not None or cfg.shock_mode:
@@ -1034,7 +1040,7 @@ class Simulation:
             laser = cfg.laser if cfg.laser.sigma_e > 0 else None
             step_cl, cl = make_fused_ttm_step(template, self.eam_run, dt,
                                               self.ttm_params, self.eos,
-                                              laser)
+                                              laser, mesh=self.mesh)
             fdi = -jnp.ones(cl.mass.size, jnp.int32)
             carry = (cl, state0.ttm_grid, fdi,
                      jnp.asarray(self.step_count, jnp.int32))
@@ -1044,7 +1050,8 @@ class Simulation:
                 return jax.lax.fori_loop(0, k,
                                          lambda i, c: step_cl(*c), carry)
         else:
-            step_cl, cl = make_fused_step(template, self.eam_run, dt)
+            step_cl, cl = make_fused_step(template, self.eam_run, dt,
+                                          mesh=self.mesh)
             carry = (cl,)
 
             @jax.jit

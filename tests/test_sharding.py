@@ -117,3 +117,96 @@ def test_sharded_ttm_step_matches_single_device():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(tg8.xi), np.asarray(tg1.xi),
                                rtol=1e-12, atol=1e-12)
+
+
+def _eam_scene(dims_multiple=(8, 1, 1)):
+    from imd_tpu.models.potential import analytic_eam, eam_to_fastpoly
+    from imd_tpu.ops.geometry import measured_capacity, with_capacity
+    pos, typ, diag = fcc((16, 6, 6), 4.05)
+    rng = np.random.default_rng(11)
+    pos = pos + rng.normal(scale=0.05, size=pos.shape)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos),
+                       dims_multiple=dims_multiple)
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float64)
+    sc = integrate.maxwell(sc, 0.05, jax.random.PRNGKey(3))
+    eam = eam_to_fastpoly(analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39,
+                                       dtype=jnp.float64), deg=12)
+    return sc, eam
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_step_matches_unsharded():
+    """The production fused Pallas hot loop under an x-mesh (explicit
+    ppermute halo protocol, parallel/fused_shard.py) must reproduce the
+    single-device fused step — positions, momenta, and the in-loop
+    skin-check rebin included (the P2/P3 halo + migration equivalence
+    on the benched path, imd_comm_force_3d.c / imd_fix_cells_3d.c)."""
+    from imd_tpu.ops.fused_step import make_fused_step
+
+    scene, eam = _eam_scene()
+    mesh = make_mesh((8, 1, 1))
+    step1, cl1 = make_fused_step(scene, eam, 0.1, engine="split")
+    step8, cl8 = make_fused_step(scene, eam, 0.1, mesh=mesh)
+    step1 = jax.jit(step1)
+    step8 = jax.jit(step8)
+    rebins = 0
+    prev_ref = np.asarray(cl1.ref_xi)
+    for _ in range(40):
+        cl1, _ = step1(cl1)
+        cl8, _ = step8(cl8)
+        new_ref = np.asarray(cl1.ref_xi)
+        if not np.array_equal(new_ref, prev_ref):
+            rebins += 1
+        prev_ref = new_ref
+    assert rebins >= 1, "test did not exercise an in-loop rebin"
+    np.testing.assert_allclose(np.asarray(cl8.xi), np.asarray(cl1.xi),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cl8.mom), np.asarray(cl1.mom),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(cl8.ids), np.asarray(cl1.ids))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_ttm_step_matches_unsharded():
+    """North-star configuration end-to-end under the mesh: the fused
+    TTM-coupled step with shard_mapped forces + GSPMD calc_ttm equals
+    the single-device fused TTM step."""
+    from imd_tpu.config import LaserConfig, TTMConfig
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.ops.fused_step import make_fused_ttm_step
+    from imd_tpu.parallel.mesh import shard_ttm
+
+    scene, eam = _eam_scene()
+    mesh = make_mesh((8, 1, 1))
+    dtype = scene.pos.dtype
+    tcfg = TTMConfig(enabled=True, fd_nx=16, fd_min_atoms=2)
+    tp = ttm_mod.make_params(tcfg, scene.grid.box, 5.0, dtype)
+    eos = FEGEos()
+    lcfg = LaserConfig(rescale_mode=4, sigma_e=0.05, sigma_t=50.0,
+                       t_0=100.0, mu=0.01)
+    step1, cl1 = make_fused_ttm_step(scene, eam, 0.05, tp, eos, lcfg,
+                                     engine="split")
+    step8, cl8 = make_fused_ttm_step(scene, eam, 0.05, tp, eos, lcfg,
+                                     mesh=mesh)
+    step1 = jax.jit(step1)
+    step8 = jax.jit(step8)
+    tg1 = ttm_mod.make_grid(tp, dtype)
+    tg8 = shard_ttm(mesh, tg1)
+    fdi = -jnp.ones(cl1.mass.size, jnp.int32)
+    c1 = (cl1, tg1, fdi, jnp.zeros((), jnp.int32))
+    c8 = (cl8, tg8, fdi, jnp.zeros((), jnp.int32))
+    for _ in range(5):
+        c1 = step1(*c1)
+        c8 = step8(*c8)
+    np.testing.assert_allclose(np.asarray(c8[0].xi), np.asarray(c1[0].xi),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c8[0].mom), np.asarray(c1[0].mom),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c8[1].temp),
+                               np.asarray(c1[1].temp),
+                               rtol=1e-10, atol=1e-10)
