@@ -46,7 +46,15 @@ def main(argv=None):
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--steps-override", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU plugin ignores "
+                         "JAX_PLATFORMS; this applies the config update "
+                         "before any jax computation)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     # multi-host: join the job BEFORE any other jax use (mpirun analog;
     # no-op unless JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES are set)

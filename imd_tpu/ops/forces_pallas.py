@@ -65,8 +65,7 @@ def _horner_vg(x, consts):
     """
     coef, b, e = consts
     inv_half = 2.0 / (e - b)
-    xc = jnp.clip(x, b, e)
-    t = (xc - b) * inv_half - 1.0
+    t = _cheb_t(x, b, e)
     v = jnp.full_like(t, coef[-1])
     g = jnp.zeros_like(t)
     for k in range(len(coef) - 2, -1, -1):
@@ -75,11 +74,17 @@ def _horner_vg(x, consts):
     return v, 2.0 * g * inv_half
 
 
+def _cheb_t(x, b, e):
+    """Window transform as one FMA + clip (saves the x-clip's extra sub;
+    clipping t instead of x is exactly equivalent for an affine map)."""
+    inv_half = 2.0 / (e - b)
+    return jnp.clip(x * inv_half - (b * inv_half + 1.0), -1.0, 1.0)
+
+
 def _horner_v(x, consts):
     """Value-only Horner (2 flops/term instead of the fused 4)."""
     coef, b, e = consts
-    inv_half = 2.0 / (e - b)
-    t = (jnp.clip(x, b, e) - b) * inv_half - 1.0
+    t = _cheb_t(x, b, e)
     v = jnp.full_like(t, coef[-1])
     for k in range(len(coef) - 2, -1, -1):
         v = v * t + coef[k]
@@ -89,17 +94,19 @@ def _horner_v(x, consts):
 def _horner_g(x, consts):
     """Derivative-only Horner over trace-time-differentiated coefficients
     (2 flops/term; halves the polynomial cost of the embedding sweep and
-    of forces-only pair sweeps vs the fused value+grad recurrence)."""
+    of forces-only pair sweeps vs the fused value+grad recurrence).  The
+    chain-rule factor 2/(e-b) and the power weights k are baked into the
+    coefficients at trace time (no epilogue multiply in the kernel)."""
     coef, b, e = consts
     d = len(coef) - 1
     if d == 0:
         return jnp.zeros_like(x)
-    inv_half = 2.0 / (e - b)
-    t = (jnp.clip(x, b, e) - b) * inv_half - 1.0
-    g = jnp.full_like(t, coef[d] * d)
+    s = 2.0 * 2.0 / (e - b)
+    t = _cheb_t(x, b, e)
+    g = jnp.full_like(t, coef[d] * d * s)
     for k in range(d - 1, 0, -1):
-        g = g * t + coef[k] * k
-    return 2.0 * g * inv_half
+        g = g * t + coef[k] * k * s
+    return g
 
 
 def prep_neighbors(scene: Scene):
@@ -174,7 +181,11 @@ def _make_sweep(rcut2, nr2, mode, pair_c, rho_c, want_energy=True,
                 out["rho_i"] = jnp.sum(rv, 1)
                 out["rho_j"] = jnp.sum(rv, 0)
             if want_nn:
-                near = insf * (r2 < nr2).astype(dx.dtype)
+                # the TTM counts neighbors within the pair cutoff
+                # (NUMNEIGHS, imd_ttm.c:418): when the radii coincide the
+                # extra compare is redundant with `inside`
+                near = (insf if nr2 >= rcut2
+                        else insf * (r2 < nr2).astype(dx.dtype))
                 out["nn_i"] = jnp.sum(near, 1)
                 out["nn_j"] = jnp.sum(near, 0)
         else:
@@ -542,25 +553,26 @@ def compute_pair_forces_pallas(scene: Scene, pot, ntypes: int = 1,
 
 def _horner_g2(x, c1, c2):
     """Two derivative-only Horners, sharing the window transform when
-    the tables span the same (begin, end) — saves 4 ops/slot; falls back
-    to independent transforms otherwise (trace-time decision)."""
+    the tables span the same (begin, end) — saves ops/slot; falls back
+    to independent transforms otherwise (trace-time decision).  Like
+    _horner_g, the chain-rule scale is baked into the coefficients."""
     coef1, b, e = c1
     coef2, b2, e2 = c2
-    inv_half = 2.0 / (e - b)
-    t = (jnp.clip(x, b, e) - b) * inv_half - 1.0
+    s1 = 2.0 * 2.0 / (e - b)
+    t = _cheb_t(x, b, e)
     if (b, e) == (b2, e2):
-        t2, inv_half2 = t, inv_half
+        t2 = t
     else:
-        inv_half2 = 2.0 / (e2 - b2)
-        t2 = (jnp.clip(x, b2, e2) - b2) * inv_half2 - 1.0
+        t2 = _cheb_t(x, b2, e2)
+    s2 = 2.0 * 2.0 / (e2 - b2)
     d1, d2 = len(coef1) - 1, len(coef2) - 1
-    g1 = jnp.full_like(t, coef1[d1] * d1)
+    g1 = jnp.full_like(t, coef1[d1] * d1 * s1)
     for k in range(d1 - 1, 0, -1):
-        g1 = g1 * t + coef1[k] * k
-    g2 = jnp.full_like(t2, coef2[d2] * d2)
+        g1 = g1 * t + coef1[k] * k * s1
+    g2 = jnp.full_like(t2, coef2[d2] * d2 * s2)
     for k in range(d2 - 1, 0, -1):
-        g2 = g2 * t2 + coef2[k] * k
-    return 2.0 * g1 * inv_half, 2.0 * g2 * inv_half2
+        g2 = g2 * t2 + coef2[k] * k * s2
+    return g1, g2
 
 
 def _split_geometry(xi, grid, block):
@@ -617,7 +629,8 @@ def eam_r_pass(xi, nbr, eam, grid,
         rv = _horner_v(r2, rho_c) * insf
         out = {"rho_i": jnp.sum(rv, 1), "rho_j": jnp.sum(rv, 0)}
         if count_neighbors:
-            near = insf * (r2 < nr2).astype(dx.dtype)
+            near = (insf if nr2 >= rcut2
+                    else insf * (r2 < nr2).astype(dx.dtype))
             out["nn_i"] = jnp.sum(near, 1)
             out["nn_j"] = jnp.sum(near, 0)
         return out

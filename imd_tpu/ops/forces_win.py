@@ -194,7 +194,8 @@ def _view1(layout, wins, plan, masks):
 
 def eam_kernels_win_split(xi, mask, eam, grid,
                           count_neighbors: bool = False,
-                          neigh_r2: float = 0.0, block: int = B):
+                          neigh_r2: float = 0.0, block: int = B,
+                          passes: str = "rf"):
     """Forces-only split EAM on in-kernel windowed neighbor views.
 
     ``xi`` [cap, 3, NC] sentinel-filled cells-last positions (dead slots
@@ -250,7 +251,8 @@ def eam_kernels_win_split(xi, mask, eam, grid,
         rv = _horner_v(r2, rho_c) * insf
         out = {"rho_i": jnp.sum(rv, 1), "rho_j": jnp.sum(rv, 0)}
         if count_neighbors:
-            near = insf * (r2 < nr2).astype(dtype)
+            near = (insf if nr2 >= rcut2
+                    else insf * (r2 < nr2).astype(dtype))
             out["nn_i"] = jnp.sum(near, 1)
             out["nn_j"] = jnp.sum(near, 0)
         return out
@@ -302,6 +304,8 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     rho_t = acc["rho"]
     maskf = mask.astype(dtype)
     nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+    if passes == "r":          # profiling: R pass only
+        return jnp.zeros_like(xi), rho_t * maskf, nneigh * maskf
 
     # embedding derivative (XLA elementwise), then windowed dF views
     _, emb_g = eam.embed.interp(0, rho_t)
