@@ -146,7 +146,9 @@ def read_chkpt(path: str) -> ChkptData:
 def write_chkpt(path: str, d: ChkptData, binary: bool = False,
                 double: bool = False, comment: str = ""):
     n_data = d.data.shape[1] if d.data.ndim == 2 else 1
-    data = d.data.reshape(len(d.number), -1)
+    # reshape(n, -1) cannot infer the column count when n == 0 (a FILTER
+    # run may legitimately have deleted every atom)
+    data = d.data.reshape(len(d.number), n_data)
     cols = d.columns or (["number", "type", "mass", "x", "y", "z",
                           "vx", "vy", "vz", "Epot"]
                          + [f"d{i}" for i in range(1, n_data)])

@@ -246,6 +246,37 @@ def rebin(scene: Scene, grid: Optional[CellGrid] = None) -> Scene:
     )
 
 
+def grow_capacity(scene: Scene, new_cap: int) -> Scene:
+    """Return the same Scene with the per-cell capacity axis padded to
+    ``new_cap`` (dead slots: -1 for int fields, 0 for float fields).
+
+    The TPU analog of the reference's realloc-style cell growth
+    (alloc_cell, imd_alloc.c:551): when a rebin overflows the static
+    capacity, the host driver grows the slot axis and retries the block
+    from the last known-good state.  Existing slot assignments stay
+    valid, so no re-binning is needed — only downstream kernels must be
+    re-specialized for the new capacity.
+    """
+    cap = scene.capacity
+    if new_cap <= cap:
+        return scene
+    extra = new_cap - cap
+
+    def pad(a):
+        widths = [(0, 0)] * a.ndim
+        widths[3] = (0, extra)
+        fill = -1 if jnp.issubdtype(a.dtype, jnp.integer) else 0
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return scene.replace(
+        pos=pad(scene.pos), mom=pad(scene.mom), force=pad(scene.force),
+        epot=pad(scene.epot), mass=pad(scene.mass), type=pad(scene.type),
+        vtype=pad(scene.vtype), id=pad(scene.id),
+        nbl_ref_pos=pad(scene.nbl_ref_pos),
+        grid=scene.grid.replace(capacity=new_cap),
+    )
+
+
 def max_displacement2(scene: Scene) -> jnp.ndarray:
     """Max squared displacement since last rebin (check_nblist, forces_nbl:1062)."""
     d = scene.pos - scene.nbl_ref_pos

@@ -859,6 +859,32 @@ class Simulation:
                     and cfg.laser.rescale_mode in (0, 4))
         return False
 
+    def _grow_cells(self, state: SimState, extra: int = 8) -> SimState:
+        """Grow the cell capacity after an in-run overflow and return the
+        (pre-overflow) state re-padded for the new capacity.
+
+        The reference never drops atoms on a full cell — it reallocs
+        (alloc_cell, imd_alloc.c:551).  Our static-shape analog: pad the
+        slot axis (multiple of 8 keeps f32 sublane tiling), point the
+        driver's grid/template at the grown scene, and re-specialize the
+        engine (capacity may cross the Pallas VMEM cap).
+        """
+        from imd_tpu.scene import grow_capacity
+        old = self.grid.capacity
+        new_cap = ((old + extra + 7) // 8) * 8
+        print(f"# cell overflow: growing capacity {old} -> {new_cap} "
+              f"and retrying the block", flush=True)
+        scene = grow_capacity(state.scene, new_cap)
+        self.grid = scene.grid
+        self.scene = grow_capacity(self.scene, new_cap)
+        self._select_engine()
+        fdi = state.fdi
+        if fdi is not None and fdi.shape == state.scene.type.shape:
+            pad = [(0, 0)] * fdi.ndim
+            pad[3] = (0, new_cap - old)
+            fdi = jnp.pad(fdi, pad, constant_values=-1)
+        return state.replace(scene=scene, fdi=fdi)
+
     def run(self, steps: Optional[int] = None, block: int = 0,
             on_interval: Optional[Callable] = None,
             allow_fused: bool = True) -> SimState:
@@ -882,9 +908,13 @@ class Simulation:
             block = min([steps] + intervals) if intervals else min(steps, 100)
             block = max(block, 1)
 
-        @jax.jit
-        def run_block(state):
-            return jax.lax.fori_loop(0, block, lambda i, s: step_fn(s), state)
+        def make_run_block(fn):
+            @jax.jit
+            def run_block(state):
+                return jax.lax.fori_loop(0, block, lambda i, s: fn(s), state)
+            return run_block
+
+        run_block = make_run_block(step_fn)
 
         from imd_tpu.utils.timers import Timers
         timers = Timers()
@@ -909,10 +939,27 @@ class Simulation:
             lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
         epot_prev = None
         done = 0
+        grow_tries = 0
         while done < steps:
+            prev_state = state
             with timers.section("main"):
                 state = run_block(state)
                 jax.block_until_ready(state.scene.pos)
+            if int(state.scene.overflow) > 0:
+                # a rebin inside the block overflowed the static cell
+                # capacity (the reference grows cells in place,
+                # alloc_cell imd_alloc.c:551): grow the slot axis and
+                # retry the block from the pre-block state
+                grow_tries += 1
+                if grow_tries > 6:
+                    raise RuntimeError(
+                        f"cell capacity overflow persists after "
+                        f"{grow_tries - 1} growths (capacity "
+                        f"{self.grid.capacity}) — pathological density?")
+                state = self._grow_cells(prev_state)
+                step_fn = self.make_step_fn()
+                run_block = make_run_block(step_fn)
+                continue
             done += block
             gstep = int(state.step)
             if cfg.eng_int > 0 and done % cfg.eng_int == 0:
@@ -1036,40 +1083,49 @@ class Simulation:
         dt = cfg.timestep
         ttm_on = self.ensemble == "ttm"
         state0 = self.init_state()
-        if ttm_on:
-            laser = cfg.laser if cfg.laser.sigma_e > 0 else None
-            step_cl, cl = make_fused_ttm_step(template, self.eam_run, dt,
-                                              self.ttm_params, self.eos,
-                                              laser, mesh=self.mesh)
-            fdi = -jnp.ones(cl.mass.size, jnp.int32)
-            carry = (cl, state0.ttm_grid, fdi,
-                     jnp.asarray(self.step_count, jnp.int32))
+        laser = cfg.laser if cfg.laser.sigma_e > 0 else None
+
+        def build(template, ttm_grid, step0):
+            """(Re)build the fused step/observe closures for the current
+            template — called once up front and again after a capacity
+            growth (overflow recovery re-specializes every kernel)."""
+            if ttm_on:
+                step_cl, cl = make_fused_ttm_step(
+                    template, self.eam_run, dt, self.ttm_params, self.eos,
+                    laser, mesh=self.mesh)
+                fdi = -jnp.ones(cl.mass.size, jnp.int32)
+                carry = (cl, ttm_grid, fdi, jnp.asarray(step0, jnp.int32))
+
+                @jax.jit
+                def run_block(carry, k):
+                    return jax.lax.fori_loop(
+                        0, k, lambda i, c: step_cl(*c), carry)
+            else:
+                step_cl, cl = make_fused_step(template, self.eam_run, dt,
+                                              mesh=self.mesh)
+                carry = (cl,)
+
+                @jax.jit
+                def run_block(carry, k):
+                    return (jax.lax.fori_loop(
+                        0, k, lambda i, c: step_cl(c)[0], carry[0]),)
 
             @jax.jit
-            def run_block(carry, k):
-                return jax.lax.fori_loop(0, k,
-                                         lambda i, c: step_cl(*c), carry)
-        else:
-            step_cl, cl = make_fused_step(template, self.eam_run, dt,
-                                          mesh=self.mesh)
-            carry = (cl,)
+            def observe(cl):
+                scene = cl_to_scene(cl, template)
+                res = compute_eam_forces_pallas(scene, self.eam_run,
+                                                need_energy=True,
+                                                need_stress=True)
+                af = cl.alive.astype(cl.mass.dtype)
+                ekin = 0.5 * jnp.sum(
+                    jnp.sum(cl.mom * cl.mom, 1) * af / cl.mass)
+                return scene.replace(force=res.force, epot=res.epot), \
+                    jnp.sum(res.epot), ekin, res.virial, res.presstens
 
-            @jax.jit
-            def run_block(carry, k):
-                return (jax.lax.fori_loop(
-                    0, k, lambda i, c: step_cl(c)[0], carry[0]),)
+            return carry, run_block, observe
 
-        @jax.jit
-        def observe(cl):
-            scene = cl_to_scene(cl, template)
-            res = compute_eam_forces_pallas(scene, self.eam_run,
-                                            need_energy=True,
-                                            need_stress=True)
-            af = cl.alive.astype(cl.mass.dtype)
-            ekin = 0.5 * jnp.sum(
-                jnp.sum(cl.mom * cl.mom, 1) * af / cl.mass)
-            return scene.replace(force=res.force, epot=res.epot), \
-                jnp.sum(res.epot), ekin, res.virial, res.presstens
+        carry, run_block, observe = build(template, state0.ttm_grid,
+                                          self.step_count)
 
         from imd_tpu.utils.timers import Timers
         timers = Timers()
@@ -1093,10 +1149,45 @@ class Simulation:
 
         done = 0
         state = None
+        grow_tries = 0
         while done < steps:
+            prev_carry = carry
             with timers.section("main"):
                 carry = run_block(carry, block)
                 jax.block_until_ready(carry[0].xi)
+            if int(carry[0].overflow) > 0:
+                # in-loop rebin overflowed the cell capacity: grow the
+                # slot axis (alloc_cell analog, imd_alloc.c:551), rebuild
+                # the fused kernels, retry the block from pre-block state
+                grow_tries += 1
+                if grow_tries > 6:
+                    raise RuntimeError(
+                        f"cell capacity overflow persists after "
+                        f"{grow_tries - 1} growths (capacity "
+                        f"{self.grid.capacity})")
+                from imd_tpu.scene import grow_capacity
+                old = self.grid.capacity
+                new_cap = ((old + 8 + 7) // 8) * 8
+                print(f"# cell overflow: growing capacity {old} -> "
+                      f"{new_cap} and retrying the block", flush=True)
+                if new_cap > 32:
+                    raise RuntimeError(
+                        "cell capacity growth would exceed the Pallas "
+                        "VMEM cap (32) on the fused path — rerun with "
+                        "engine='xla' (or a larger cell_capacity) for "
+                        "this density")
+                scene_prev = cl_to_scene(prev_carry[0], template)
+                scene_prev = scene_prev.replace(
+                    overflow=jnp.zeros((), jnp.int32))
+                template = grow_capacity(scene_prev, new_cap)
+                self.grid = template.grid
+                self.scene = template
+                self._select_engine()
+                carry, run_block, observe = build(
+                    template,
+                    prev_carry[1] if ttm_on else None,
+                    self.step_count + done)
+                continue
             done += block
             gstep = self.step_count + done
             io_due = any(i > 0 and done % i == 0 for i in intervals)

@@ -163,3 +163,43 @@ def test_cli_two_phase_run(tmp_path):
     assert len(eng) >= 4
     d = read_chkpt(str(tmp_path / "cli.00001.chkpt"))
     assert d.n == 4 * 4 * 4 * 4      # all atoms survived (f32 binning)
+
+
+def test_grow_capacity_preserves_atoms():
+    """grow_capacity pads dead slots only; rebin after growth keeps every
+    atom (the alloc_cell realloc analog, imd_alloc.c:551)."""
+    from imd_tpu.models.potential import analytic_eam  # noqa: F401
+    from imd_tpu.ops.geometry import Box, CellGrid
+    from imd_tpu.scene import grow_capacity, make_scene, rebin
+    from imd_tpu.utils.generate import fcc
+
+    pos, typ, box_diag = fcc((4, 4, 4), 4.05)
+    box = Box.create([box_diag[0], 0, 0], [0, box_diag[1], 0],
+                     [0, 0, box_diag[2]])
+    grid = CellGrid(box=box, dims=(3, 3, 3), capacity=16,
+                    cutoff=5.0, skin=0.5)
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    id=np.arange(len(pos)))
+    n0 = int(sc.n_atoms())
+    ids0 = np.sort(np.asarray(sc.flatten_atoms()["id"])[
+        np.asarray(sc.flatten_atoms()["mask"])])
+    g = grow_capacity(sc, 24)
+    assert g.capacity == 24 and g.grid.capacity == 24
+    assert int(g.n_atoms()) == n0
+    assert int(g.overflow) == 0
+    # the padded slots are dead and survive a rebin
+    g2 = rebin(g)
+    assert int(g2.n_atoms()) == n0
+    assert int(g2.overflow) == 0
+    ids2 = np.sort(np.asarray(g2.flatten_atoms()["id"])[
+        np.asarray(g2.flatten_atoms()["mask"])])
+    np.testing.assert_array_equal(ids0, ids2)
+    # momenta/positions of live atoms unchanged by the pad
+    f0, f2 = sc.flatten_atoms(), g.flatten_atoms()
+    m0 = np.asarray(f0["mask"])
+    p0 = np.asarray(f0["pos"])[m0]
+    m2 = np.asarray(f2["mask"])
+    p2 = np.asarray(f2["pos"])[m2]
+    i0 = np.argsort(np.asarray(f0["id"])[m0])
+    i2 = np.argsort(np.asarray(f2["id"])[m2])
+    np.testing.assert_allclose(p0[i0], p2[i2], rtol=0, atol=0)
