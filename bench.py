@@ -35,6 +35,10 @@ def main():
                          "source (the BASELINE north-star configuration; "
                          "--no-ttm benches the pure-MD step)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--vacuum", type=float, default=0.0,
+                    help="fraction of the box left empty ahead of the "
+                         "film along x (the ablation geometry; exercises "
+                         "the windowed engine's empty-block skip)")
     ap.add_argument("--fused", default="win",
                     choices=["split", "ab", "win"],
                     help="fused hot-loop sweep variant: R/F split over "
@@ -84,23 +88,29 @@ def main():
     scene, eam, grid = _build((ncell, ncell, ncell), dtype=dtype)
     flat = scene.flatten_atoms()
     m = np.asarray(flat["mask"])
-    # dense-sweep grid: dims+capacity minimizing cap^2 * n_cells over the
-    # measured occupancy (fewer, fuller cells; see optimize_grid_dims)
-    from imd_tpu.ops.geometry import CellGrid, optimize_grid_dims
-    dims, cap = optimize_grid_dims(grid.box, grid.cutoff, grid.skin,
-                                   np.asarray(flat["pos"])[m] + 1.0,
-                                   dtype=dtype)
-    if args.capacity:
-        cap = args.capacity
-    grid = CellGrid(box=grid.box, dims=dims, capacity=cap,
-                    cutoff=grid.cutoff, skin=grid.skin)
-    flat = scene.flatten_atoms()
-    m = np.asarray(flat["mask"])
     pos0 = np.asarray(flat["pos"])[m]
     # shift atoms off the exact cell boundaries: commensurate lattice
     # planes on boundaries bin differently on TPU vs CPU f32 (fma
     # rounding), transiently doubling plane cells during rebins
     pos0 = pos0 + 1.0
+    if args.vacuum > 0:
+        # ablation geometry: film at the box rear, vacuum ahead along x
+        from imd_tpu.ops.geometry import Box
+        h = np.asarray(jax.device_get(grid.box.h), np.float64)
+        lx0, lx = h[0][0], h[0][0] / (1.0 - args.vacuum)
+        box2 = Box.create([lx, 0, 0], [0, h[1][1], 0], [0, 0, h[2][2]],
+                          dtype=dtype)
+        grid = grid.replace(box=box2)
+        pos0 = pos0 + np.array([lx - lx0, 0.0, 0.0])
+    # dense-sweep grid: dims+capacity minimizing cap^2 * n_cells over the
+    # measured occupancy (fewer, fuller cells; see optimize_grid_dims)
+    from imd_tpu.ops.geometry import CellGrid, optimize_grid_dims
+    dims, cap = optimize_grid_dims(grid.box, grid.cutoff, grid.skin,
+                                   pos0, dtype=dtype)
+    if args.capacity:
+        cap = args.capacity
+    grid = CellGrid(box=grid.box, dims=dims, capacity=cap,
+                    cutoff=grid.cutoff, skin=grid.skin)
     scene = make_scene(grid, pos0,
                        mass=np.full(int(m.sum()), 26.9815), dtype=dtype)
     if int(scene.overflow):

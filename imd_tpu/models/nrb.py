@@ -215,6 +215,55 @@ def nrb_forces(scene: Scene, state: NRBState):
             m.reshape(scene.type.shape))
 
 
+def nrb_forces_cl(xi, mom, alive, ids, box, state: NRBState):
+    """Cells-last twin of nrb_forces for the fused hot loop
+    (ops/fused_step.py): same impedance-matching update on the
+    [cap, 3, NC] component layout, without the Scene round-trip.
+
+    Returns (mom_set [cap, 3, NC], bnd [cap, NC]): ``mom_set`` has the
+    boundary-atom momenta overwritten with the computed p_bnd; the
+    integrator must keep those values (skip p += dt F) via ``bnd``.
+    """
+    dtype = xi.dtype
+    cap, _, nc = xi.shape
+    M = cap * nc
+    ids_f = ids.reshape(M)
+    alive_f = alive.reshape(M)
+    slots = jnp.arange(M, dtype=jnp.int32)
+    idx = jnp.full((state.n_ids,), -1, jnp.int32)
+    idx = idx.at[jnp.where(alive_f, ids_f, state.n_ids)].set(
+        jnp.where(alive_f, slots, -1), mode="drop")
+    pos_f = [xi[:, c, :].reshape(M) for c in range(3)]
+    mom_f = [mom[:, c, :].reshape(M) for c in range(3)]
+
+    b_slot = idx[state.bnd_id]                       # [nb]
+    b_ok = b_slot >= 0
+    bs = jnp.maximum(b_slot, 0)
+    b_pos = jnp.stack([p[bs] for p in pos_f], -1)    # [nb, 3]
+    b_mom = jnp.stack([p[bs] for p in mom_f], -1)
+    u_self = box.min_image(b_pos - state.bnd_ref)
+
+    n_slot = idx[jnp.maximum(state.neigh_id, 0)]     # [nb, 12]
+    n_ok = (state.neigh_id >= 0) & (n_slot >= 0)
+    ns = jnp.maximum(n_slot, 0)
+    n_pos = jnp.stack([p[ns] for p in pos_f], -1)    # [nb, 12, 3]
+    n_mom = jnp.stack([p[ns] for p in mom_f], -1)
+    u_n = box.min_image(n_pos - state.neigh_ref)
+    okf = n_ok.astype(dtype)[..., None]
+
+    d_row, w_row = _weights(state.bnd_type, state.nrbk, dtype)
+    u_dot = (-d_row * u_self
+             + jnp.sum(w_row[:, None, :] * u_n * okf, axis=1)
+             - 0.25 * jnp.sum(n_mom / state.mass * okf, axis=1))
+    p_new = jnp.where(b_ok[:, None], u_dot * state.mass, b_mom)
+
+    tgt = jnp.where(b_ok, b_slot, M)
+    mom_out = [mom_f[c].at[tgt].set(p_new[:, c], mode="drop")
+               .reshape(cap, nc) for c in range(3)]
+    bnd = jnp.zeros((M,), bool).at[tgt].set(True, mode="drop")
+    return jnp.stack(mom_out, 1), bnd.reshape(cap, nc)
+
+
 # ---------------------------------------------------------------------------
 # restart files (nrb_writerestart/readrestart, imd_nrb.c:2143/2217)
 # ---------------------------------------------------------------------------

@@ -219,7 +219,10 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     xp = layout.pad_flat(xi)                       # [cap, 3, L]
     stab = layout.shift_table(grid, dtype)         # [13, 3, ncp]
     nw = len(layout.wblocks)
-    blk0 = layout.pad_lo // B
+    # base window-block offset in units of the CONFIGURED block size
+    # (using the global default B here broke every non-128 block choice:
+    # the window index maps pointed at the wrong cells)
+    blk0 = layout.pad_lo // layout.block
 
     def tri_mask(cap):
         ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
@@ -260,23 +263,41 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     keys_r = ["rho"] + (["nn"] if count_neighbors else [])
     nkr = len(keys_r)
 
-    def kern_r(*refs):
+    def kern_r(occ_ref, *refs):
         wins, rest = refs[:nw], refs[nw:]
         sref = rest[0]
         iref, jref = rest[1:1 + nkr], rest[1 + nkr:]
         i = pl.program_id(0)
-        masks = _phase_masks(layout, i)
-        xi3 = xi_self(wins, masks)
-        o = sweep_r(xi3, xi3, tri_mask(cap))
-        for k, name in enumerate(keys_r):
-            iref[k][...] = o[name + "_i"] + o[name + "_j"]
-        for m in range(NOF):
-            o = sweep_r(xi3, build_xj(wins, sref, m, masks), None)
+
+        # vacuum skip: a block whose cells hold no atoms contributes
+        # nothing on either the i or the j side — ablation boxes are
+        # ~50% vacuum and the flat cell order is x-major, so empty
+        # blocks are contiguous and whole sweeps vanish
+        @pl.when(occ_ref[i] == 0)
+        def _zero():
+            for k in range(nkr):
+                iref[k][...] = jnp.zeros((cap, bb), dtype)
+                jref[k][...] = jnp.zeros((NOF, cap, bb), dtype)
+
+        @pl.when(occ_ref[i] > 0)
+        def _body():
+            masks = _phase_masks(layout, i)
+            xi3 = xi_self(wins, masks)
+            o = sweep_r(xi3, xi3, tri_mask(cap))
             for k, name in enumerate(keys_r):
-                iref[k][...] += o[name + "_i"]
-                jref[k][m] = o[name + "_j"]
+                iref[k][...] = o[name + "_i"] + o[name + "_j"]
+            for m in range(NOF):
+                o = sweep_r(xi3, build_xj(wins, sref, m, masks), None)
+                for k, name in enumerate(keys_r):
+                    iref[k][...] += o[name + "_i"]
+                    jref[k][m] = o[name + "_j"]
 
     bb = layout.block
+    # per-block alive-atom counts for the vacuum skip
+    maskp = jnp.zeros((ncp,), jnp.int32).at[:nc].set(
+        jnp.sum(mask.astype(jnp.int32), axis=0))
+    occ = jnp.sum(maskp.reshape(nblk, bb), axis=1)
+    spec_occ = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_w = [pl.BlockSpec((cap, 3, bb),
                            functools.partial(
                                lambda i, w: (0, 0, i + blk0 + w), w=w),
@@ -293,11 +314,11 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
     outs = pl.pallas_call(
         kern_r, grid=(nblk,),
-        in_specs=spec_w + [spec_s],
+        in_specs=[spec_occ] + spec_w + [spec_s],
         out_specs=[spec_o] * nkr + [spec_oj] * nkr,
         out_shape=[shp] * nkr + [shpj] * nkr,
         interpret=interp,
-    )(*([xp] * nw), stab)
+    )(occ, *([xp] * nw), stab)
     outs = [o[..., :nc] for o in outs]
     acc = {name: _assemble(dims, outs[k], outs[nkr + k])
            for k, name in enumerate(keys_r)}
@@ -331,29 +352,39 @@ def eam_kernels_win_split(xi, mask, eam, grid,
                 "fy_j": jnp.sum(grad * dy, 0),
                 "fz_j": jnp.sum(grad * dz, 0)}
 
-    def kern_f(*refs):
+    def kern_f(occ_ref, *refs):
         wins, rest = refs[:nw], refs[nw:]
         dwins = rest[:nw]
         sref = rest[nw]
         fx, fy, fz, fjx, fjy, fjz = rest[nw + 1:]
         i = pl.program_id(0)
-        masks = _phase_masks(layout, i)
-        xi3 = xi_self(wins, masks)
-        dfi = dwins[layout.widx[0]][...]
-        o = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
-        fx[...] = o["fx_i"] + o["fx_j"]
-        fy[...] = o["fy_i"] + o["fy_j"]
-        fz[...] = o["fz_i"] + o["fz_j"]
-        for m in range(NOF):
-            dfj = _view1(layout, dwins, layout.plans[m], masks)
-            o = sweep_f(xi3, build_xj(wins, sref, m, masks), None,
-                        dfi, dfj)
-            fx[...] += o["fx_i"]
-            fy[...] += o["fy_i"]
-            fz[...] += o["fz_i"]
-            fjx[m] = o["fx_j"]
-            fjy[m] = o["fy_j"]
-            fjz[m] = o["fz_j"]
+
+        @pl.when(occ_ref[i] == 0)
+        def _zero():
+            for r in (fx, fy, fz):
+                r[...] = jnp.zeros((cap, bb), dtype)
+            for r in (fjx, fjy, fjz):
+                r[...] = jnp.zeros((NOF, cap, bb), dtype)
+
+        @pl.when(occ_ref[i] > 0)
+        def _body():
+            masks = _phase_masks(layout, i)
+            xi3 = xi_self(wins, masks)
+            dfi = dwins[layout.widx[0]][...]
+            o = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
+            fx[...] = o["fx_i"] + o["fx_j"]
+            fy[...] = o["fy_i"] + o["fy_j"]
+            fz[...] = o["fz_i"] + o["fz_j"]
+            for m in range(NOF):
+                dfj = _view1(layout, dwins, layout.plans[m], masks)
+                o = sweep_f(xi3, build_xj(wins, sref, m, masks), None,
+                            dfi, dfj)
+                fx[...] += o["fx_i"]
+                fy[...] += o["fy_i"]
+                fz[...] += o["fz_i"]
+                fjx[m] = o["fx_j"]
+                fjy[m] = o["fy_j"]
+                fjz[m] = o["fz_j"]
 
     spec_dw = [pl.BlockSpec((cap, bb),
                             functools.partial(
@@ -363,11 +394,11 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
     outs2 = pl.pallas_call(
         kern_f, grid=(nblk,),
-        in_specs=spec_w + spec_dw + [spec_s],
+        in_specs=[spec_occ] + spec_w + spec_dw + [spec_s],
         out_specs=[spec_o] * 3 + [spec_oj] * 3,
         out_shape=[shp] * 3 + [shpj] * 3,
         interpret=interp,
-    )(*([xp] * nw), *([dFp] * nw), stab)
+    )(occ, *([xp] * nw), *([dFp] * nw), stab)
     outs2 = [o[..., :nc] for o in outs2]
     fx = _assemble(dims, outs2[0], outs2[3])
     fy = _assemble(dims, outs2[1], outs2[4])

@@ -88,7 +88,7 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
                     block: int = 128, engine: str = "win",
-                    mesh=None):
+                    mesh=None, nrb_state=None):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
@@ -99,7 +99,10 @@ def make_fused_step(template: Scene, eam_run, timestep,
     "split" = R/F split over rolled neighbor views, "ab" = A/B split.
     ``mesh`` (x-decomposed) runs the sweep SPMD with explicit halo
     permutes (parallel/fused_shard.py); the rest of the step stays
-    GSPMD-partitioned.
+    GSPMD-partitioned.  ``nrb_state`` weaves the non-reflecting-boundary
+    momentum update into the step (nrb_forces, imd_nrb.c:792): boundary
+    atoms get their momenta SET by the impedance-matching rule and skip
+    the p += dt F update.
     """
     from imd_tpu.ops import forces_pallas as fp
 
@@ -158,7 +161,14 @@ def make_fused_step(template: Scene, eam_run, timestep,
     def step(cl: CLState):
         force, nn = forces_cl(cl.xi, cl.alive)
         af = cl.alive.astype(dtype)
-        mom2 = cl.mom + dt * force
+        if nrb_state is not None:
+            from imd_tpu.models.nrb import nrb_forces_cl
+            mom_set, bnd = nrb_forces_cl(cl.xi, cl.mom, cl.alive,
+                                         cl.ids, grid.box, nrb_state)
+            mom2 = jnp.where(bnd[:, None, :], mom_set,
+                             mom_set + dt * force)
+        else:
+            mom2 = cl.mom + dt * force
         mom2 = mom2 * af[:, None, :]
         xi2 = cl.xi + dt * mom2 / cl.mass[:, None, :]
         # dead slots: keep the sentinel exactly
@@ -182,7 +192,8 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
-                        engine: str = "win", mesh=None):
+                        engine: str = "win", mesh=None, nrb_state=None,
+                        tmm_params=None):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -192,6 +203,12 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
     ``mesh`` (x-decomposed) shard_maps the force sweep with explicit
     halo permutes; calc_ttm and the integrator stay GSPMD (the TTM FD
     grid rides the same x axis, parallel/mesh.shard_ttm).
+    ``tmm_params`` routes the laser through the Helmholtz transfer-
+    matrix solver each diffusion substep (do_tmm, imd_tmm.c:193);
+    ``nrb_state`` weaves the rear-boundary momentum update into the
+    step (nrb_forces, imd_nrb.c:792) — together these make the fused
+    loop cover the reference's full flagship build
+    (eam_nve_nbl_nrb_stress_ttm_tmm_filter, manual.pdf §2).
     """
     from imd_tpu.models import ttm as ttm_mod
     from imd_tpu.ops import forces_pallas as fp
@@ -239,26 +256,39 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                     cl.xi, jnp.stack(nbrs), cl.alive, eam_run, grid,
                     count_neighbors=True, block=block, need_energy=False)
 
+        # NRB boundary momenta are SET before the TTM reductions see the
+        # momenta (reference order: nrb_forces at the end of calc_forces,
+        # imd_forces_nbl.c:1019-1048, then calc_ttm, then move_atoms)
+        if nrb_state is not None:
+            from imd_tpu.models.nrb import nrb_forces_cl
+            mom_set, bnd = nrb_forces_cl(cl.xi, cl.mom, cl.alive,
+                                         cl.ids, grid.box, nrb_state)
+        else:
+            mom_set, bnd = cl.mom, None
         x = cl.xi[:, 0, :].reshape(-1)
-        mom3 = tuple(cl.mom[:, c, :].reshape(-1) for c in range(3))
+        mom3 = tuple(mom_set[:, c, :].reshape(-1) for c in range(3))
         massf = cl.mass.reshape(-1)
         maskf = cl.alive.reshape(-1)
         t = k.astype(dtype) * dt
         tgrid, fdi = ttm_mod.calc_ttm(
             tgrid, (x, mom3, massf, maskf), tp, eos,
             nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
-            first_step=(k == 0))
+            first_step=(k == 0), tmm_params=tmm_params)
         xi_a, vcom_a = ttm_mod.gather_atom_coupling_flat(
             tgrid, ttm_mod.fd_index_from_x(x, tp))
-        # p += dt (F + xi m (v - vcom))  (move_atoms_ttm)
+        # p += dt (F + xi m (v - vcom))  (move_atoms_ttm); NRB boundary
+        # atoms keep their SET momenta (imd_integrate.c:254-259)
         af = cl.alive.astype(dtype)
         shape2 = cl.mass.shape
         mom_new = []
         for c in range(3):
-            momc = cl.mom[:, c, :]
+            momc = mom_set[:, c, :]
             extra = (xi_a * (mom3[c] - massf * vcom_a[:, c])
                      ).reshape(shape2)
-            mom_new.append((momc + dt * (F[:, c, :] + extra)) * af)
+            upd = momc + dt * (F[:, c, :] + extra)
+            if bnd is not None:
+                upd = jnp.where(bnd, momc, upd)
+            mom_new.append(upd * af)
         mom2 = jnp.stack(mom_new, 1)
         xi2 = cl.xi + dt * mom2 / cl.mass[:, None, :]
         xi2 = jnp.where(cl.alive[:, None, :], xi2, cl.xi)
@@ -277,3 +307,22 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         return cl, tgrid, fdi, k + 1
 
     return step, scene_to_cl(template)
+
+
+def make_filter_apply(template: Scene, filter_cfg, cutoff: float):
+    """Jitted cl -> cl FILTER application for the fused hot loop.
+
+    The FILTER cadence (filter_int, imd_filter.c:151) is far coarser
+    than the step, so the driver applies it host-side at block
+    boundaries: round-trip to the Scene layout, delete disconnected
+    atoms outside the keep-region, rebin, return to cells-last.
+    """
+    from imd_tpu.models.filter import filter_atoms
+
+    @jax.jit
+    def apply(cl: CLState) -> CLState:
+        sc = cl_to_scene(cl, template)
+        sc, _ = filter_atoms(sc, filter_cfg, cutoff)
+        return scene_to_cl(rebin(sc))
+
+    return apply

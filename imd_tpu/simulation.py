@@ -821,8 +821,10 @@ class Simulation:
     # ------------------------------------------------------------------
     def _fused_eligible(self) -> bool:
         """The benched fused cells-last hot loop (ops/fused_step.py)
-        covers plain NVE and 1-D-TTM Lambert-Beer runs without extra
-        per-step subsystems; everything else uses the general step."""
+        covers plain NVE and 1-D-TTM runs — including the reference's
+        flagship configuration (TTM + TMM Helmholtz laser + NRB rear
+        boundary + FILTER plume deletion); the remaining per-step
+        subsystems use the general step."""
         cfg = self.cfg
         if not getattr(self, "use_pallas", False) or self.eam_run is None:
             return False
@@ -836,7 +838,7 @@ class Simulation:
             from imd_tpu.parallel.fused_shard import shardable
             if not shardable(self.grid, self.mesh):
                 return False
-        if self.nrb_state is not None or cfg.filter.enabled:
+        if cfg.filter.enabled and cfg.filter.interval <= 0:
             return False
         if self.extpot0 is not None or cfg.shock_mode:
             return False
@@ -851,7 +853,7 @@ class Simulation:
         if self.ensemble == "nve":
             return not cfg.ttm.enabled
         if self.ensemble == "ttm":
-            return (not self.ttm_3d and self.tmm_params is None
+            return (not self.ttm_3d
                     and self.fdtd_params is None
                     and self.colrad_tab is None
                     and self.vlat_params is None
@@ -1069,13 +1071,16 @@ class Simulation:
         """
         cfg = self.cfg
         steps = cfg.maxsteps if steps is None else steps
+        filter_int = (cfg.filter.interval if cfg.filter.enabled else 0)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
-                                 cfg.dist_int, cfg.pic_int) if i > 0]
+                                 cfg.dist_int, cfg.pic_int, filter_int)
+                     if i > 0]
         if block <= 0:
             block = min([steps] + intervals) if intervals else min(steps, 100)
             block = max(block, 1)
 
-        from imd_tpu.ops.fused_step import (cl_to_scene, make_fused_step,
+        from imd_tpu.ops.fused_step import (cl_to_scene, make_filter_apply,
+                                            make_fused_step,
                                             make_fused_ttm_step)
         from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
 
@@ -1092,7 +1097,8 @@ class Simulation:
             if ttm_on:
                 step_cl, cl = make_fused_ttm_step(
                     template, self.eam_run, dt, self.ttm_params, self.eos,
-                    laser, mesh=self.mesh)
+                    laser, mesh=self.mesh, nrb_state=self.nrb_state,
+                    tmm_params=self.tmm_params)
                 fdi = -jnp.ones(cl.mass.size, jnp.int32)
                 carry = (cl, ttm_grid, fdi, jnp.asarray(step0, jnp.int32))
 
@@ -1102,13 +1108,18 @@ class Simulation:
                         0, k, lambda i, c: step_cl(*c), carry)
             else:
                 step_cl, cl = make_fused_step(template, self.eam_run, dt,
-                                              mesh=self.mesh)
+                                              mesh=self.mesh,
+                                              nrb_state=self.nrb_state)
                 carry = (cl,)
 
                 @jax.jit
                 def run_block(carry, k):
                     return (jax.lax.fori_loop(
                         0, k, lambda i, c: step_cl(c)[0], carry[0]),)
+
+            filt_apply = (make_filter_apply(template, cfg.filter,
+                                            self.cutoff)
+                          if filter_int > 0 else None)
 
             @jax.jit
             def observe(cl):
@@ -1122,9 +1133,9 @@ class Simulation:
                 return scene.replace(force=res.force, epot=res.epot), \
                     jnp.sum(res.epot), ekin, res.virial, res.presstens
 
-            return carry, run_block, observe
+            return carry, run_block, observe, filt_apply
 
-        carry, run_block, observe = build(template, state0.ttm_grid,
+        carry, run_block, observe, filt_apply = build(template, state0.ttm_grid,
                                           self.step_count)
 
         from imd_tpu.utils.timers import Timers
@@ -1183,7 +1194,7 @@ class Simulation:
                 self.grid = template.grid
                 self.scene = template
                 self._select_engine()
-                carry, run_block, observe = build(
+                carry, run_block, observe, filt_apply = build(
                     template,
                     prev_carry[1] if ttm_on else None,
                     self.step_count + done)
@@ -1243,6 +1254,17 @@ class Simulation:
                 if stop or walltime_up:
                     self.write_checkpoint(state, gstep)
                     break
+            if (filt_apply is not None and done < steps
+                    and gstep % filter_int == 0):
+                # FILTER cadence (filter_atoms every filter_int,
+                # imd_filter.c:151): applied at the block boundary so
+                # the next block starts from the filtered, rebinned
+                # state (block size is aligned to filter_int above)
+                if ttm_on:
+                    carry = (filt_apply(carry[0]), carry[1],
+                             -jnp.ones_like(carry[2]), carry[3])
+                else:
+                    carry = (filt_apply(carry[0]),)
         if state is None:
             scene, epot, ekin, virial, presstens = observe(carry[0])
             state = mk_state(scene, epot, ekin, virial, presstens,

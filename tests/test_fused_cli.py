@@ -86,3 +86,39 @@ def test_fused_cli_ttm(eam_dir):
     assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
     names = {q.name for q in eam_dir.iterdir()}
     assert "t.1.ttm" in names, names
+
+
+def test_fused_cli_flagship(eam_dir):
+    """The reference's flagship build (TTM + TMM Helmholtz laser + NRB +
+    FILTER, manual.pdf §2) runs on the FUSED hot loop and matches the
+    general step."""
+    extra = ("pbc_dirs 0 1 1\n"
+             "ttmdimx 6\nfd_min_atoms 4\nwide_range 1\ninit_t_el 0.026\n"
+             "ttm_int 8\n"
+             "tmm\nlambda 800e-9\nI0 2.0e17\n"
+             "laser_t_0 30e-15\nlaser_sigma_t 20e-15\n"
+             "nrb_alat 4.05\nnrb_k 5.0\n"
+             "filter_int 4\nfilter_min_x 1.0\n")
+    p = eam_dir / "fl.imd"
+    p.write_text(BASE.format(out="fl", ens="ttm") + extra)
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float32,
+                                     engine="pallas")
+    assert sim.tmm_params is not None and sim.nrb_state is not None
+    assert sim.cfg.filter.enabled
+    assert sim._fused_eligible()
+    st = sim.run()
+    assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
+    assert int(st.scene.n_atoms()) > 0
+
+    p2 = eam_dir / "fl2.imd"
+    p2.write_text(BASE.format(out="fl2", ens="ttm") + extra)
+    sim2 = Simulation.from_param_file(str(p2), dtype=jnp.float32,
+                                      engine="pallas")
+    st2 = sim2.run(allow_fused=False)
+    # same physics on both paths
+    assert int(st.scene.n_atoms()) == int(st2.scene.n_atoms())
+    te1 = np.asarray(st.ttm_grid.temp)
+    te2 = np.asarray(st2.ttm_grid.temp)
+    np.testing.assert_allclose(te1, te2, rtol=2e-3, atol=2e-5)
+    e1, e2 = float(st.epot_total), float(st2.epot_total)
+    assert abs(e1 - e2) < 1e-3 * abs(e1)

@@ -110,3 +110,88 @@ def test_fused_matches_scene_step():
     ma = by_id(ids_a, s.mom)
     mb = by_id(ids_b, out.mom)
     np.testing.assert_allclose(ma, mb, atol=3e-3)
+
+
+def test_fused_nrb_matches_general():
+    """NRB woven into the fused step == nrb_forces + masked integrator
+    (nrb_forces imd_nrb.c:792; skip-p-update imd_integrate.c:254)."""
+    from imd_tpu.models.nrb import init_nrb, nrb_forces
+
+    pos, typ, diag = fcc((5, 3, 3), 4.05)
+    box = Box.create([diag[0] * 1.5, 0, 0], [0, diag[1], 0],
+                     [0, 0, diag[2]], dtype=jnp.float32)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos) + 4)
+    grid = grid.replace(box=box.replace(pbc=(0, 1, 1)))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    id=np.arange(len(pos)), dtype=jnp.float32)
+    scene = integrate.maxwell(sc, 0.04, jax.random.PRNGKey(5))
+    state = init_nrb(scene, 4.05, 5.0, mass=26.9815, pbc=(0, 1, 1))
+    assert state is not None and len(np.asarray(state.bnd_id)) > 0
+
+    dt = 0.1
+    params = integrate.IntegratorParams(timestep=jnp.float32(dt))
+    step_cl, cl = make_fused_step(scene, EAM, dt, nrb_state=state)
+    step_cl = jax.jit(step_cl)
+
+    @jax.jit
+    def step_scene(s):
+        res = compute_eam_forces_pallas(s, EAM, need_energy=False)
+        s = s.replace(force=res.force)
+        s, m = nrb_forces(s, state)
+        s, _ = integrate.nve(s, params, nrb_mask=m)
+        return s
+
+    s = scene
+    for i in range(12):
+        cl, _ = step_cl(cl)
+        s = step_scene(s)
+        if bool(needs_rebin(s, s.grid.skin)):
+            s = rebin(s)
+
+    out = cl_to_scene(cl, scene)
+
+    def by_id(sc_):
+        f = sc_.flatten_atoms()
+        ids = np.asarray(f["id"])
+        m = np.asarray(f["mask"])
+        o = np.argsort(ids[m])
+        return (np.asarray(f["pos"])[m][o], np.asarray(f["mom"])[m][o])
+
+    pa, ma = by_id(s)
+    pb, mb = by_id(out)
+    np.testing.assert_allclose(pa, pb, atol=2e-4)
+    np.testing.assert_allclose(ma, mb, atol=2e-3)
+
+
+def test_fused_filter_apply_matches_general():
+    """make_filter_apply (host-side block-boundary FILTER for the fused
+    loop) deletes exactly the atoms filter_atoms deletes."""
+    from imd_tpu.config import FilterConfig
+    from imd_tpu.models.filter import filter_atoms
+    from imd_tpu.ops.fused_step import make_filter_apply
+
+    pos, typ, diag = fcc((4, 3, 3), 4.05)
+    # detach two atoms into the vacuum (beyond the filter bound)
+    box = Box.create([diag[0] * 2.5, 0, 0], [0, diag[1], 0],
+                     [0, 0, diag[2]], dtype=jnp.float32)
+    pos = np.concatenate([pos + [diag[0] * 1.5, 0, 0],
+                          [[3.0, 2.0, 2.0], [7.0, 5.0, 5.0]]])
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos) + 4)
+    grid = grid.replace(box=box.replace(pbc=(0, 1, 1)))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    id=np.arange(len(pos)), dtype=jnp.float32)
+    fcfg = FilterConfig(enabled=True, interval=10, min_x=diag[0] * 1.2)
+
+    sc2, ndel = filter_atoms(sc, fcfg, 5.0)
+    assert int(ndel) == 2
+
+    apply = make_filter_apply(sc, fcfg, 5.0)
+    cl2 = apply(scene_to_cl(sc))
+    out = cl_to_scene(cl2, sc)
+    assert int(out.n_atoms()) == int(sc.n_atoms()) - 2
+    ids = np.asarray(out.flatten_atoms()["id"])
+    m = np.asarray(out.flatten_atoms()["mask"])
+    kept = set(ids[m].tolist())
+    assert len(pos) - 1 not in kept and len(pos) - 2 not in kept

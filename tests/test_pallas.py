@@ -299,3 +299,37 @@ def test_optimize_grid_dims_beats_max_cells():
     sc = make_scene(g, pos, mass=np.full(len(pos), 26.9815),
                     dtype=jnp.float32)
     assert int(sc.overflow) == 0
+
+
+def test_win_engine_vacuum_block_skip():
+    """A half-vacuum box (the ablation geometry) must produce identical
+    forces with the windowed engine's empty-block skip active: empty
+    lane blocks write zeros and are never swept."""
+    from imd_tpu.ops.forces_pallas import eam_kernels_cl_split, prep_neighbors
+    from imd_tpu.ops.forces_win import eam_kernels_win_split
+
+    pos, typ, diag = fcc((4, 3, 3), 4.05)
+    box = Box.create([diag[0] * 2.5, 0, 0], [0, diag[1], 0],
+                     [0, 0, diag[2]], pbc=(0, 1, 1), dtype=jnp.float32)
+    pos = pos + np.array([diag[0] * 1.5, 0.0, 0.0])   # film at the rear
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float32)
+    sc = sc.replace(pos=sc.pos + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(9), sc.pos.shape))
+    xi, nbr, mask = prep_neighbors(sc)
+    # the geometry really has empty cells (vacuum ahead of the film)
+    occ = np.asarray(jnp.sum(mask, axis=0))
+    assert (occ == 0).sum() > occ.size // 3
+    F1, rho1, nn1 = jax.jit(
+        lambda xi, nbr, mask: eam_kernels_cl_split(
+            xi, nbr, mask, EAM, sc.grid,
+            count_neighbors=True))(xi, nbr, mask)
+    F2, rho2, nn2 = jax.jit(
+        lambda xi, mask: eam_kernels_win_split(
+            xi, mask, EAM, sc.grid, count_neighbors=True,
+            block=64))(xi, mask)
+    assert float(jnp.abs(F1 - F2).max()) == 0.0
+    assert float(jnp.abs(rho1 - rho2).max()) == 0.0
+    assert float(jnp.abs(nn1 - nn2).max()) == 0.0
