@@ -744,10 +744,12 @@ def gather_atom_coupling(grid: TTMGrid, scene: Scene, params: TTMParams):
     return xi_a.reshape(fdi.shape), vcom_a.reshape(fdi.shape + (3,))
 
 
-def gather_atom_coupling_flat(grid: TTMGrid, fdi_flat):
+def gather_atom_coupling_flat(grid: TTMGrid, fdi_flat, extra=None):
     """One-hot matmul instead of a per-slot gather (14.8 ms -> ~1 ms at
     1M atoms on v5e; the column table is tiny, so the contraction is an
-    MXU matvec).  Returns flat (xi [M], vcom [M, 3])."""
+    MXU matvec).  Returns flat (xi [M], vcom [M, 3]); with ``extra``
+    (a per-cell [nx] column, e.g. the ELECPRESS blast force) also its
+    per-atom gather, riding the same one-hot."""
     nx = grid.xi.shape[0]
     onehot = (fdi_flat[:, None]
               == jnp.arange(nx, dtype=jnp.int32)[None]
@@ -756,6 +758,10 @@ def gather_atom_coupling_flat(grid: TTMGrid, fdi_flat):
                       precision=jax.lax.Precision.HIGHEST)[:, 0]
     vcom_a = jnp.matmul(onehot, grid.vcom,
                         precision=jax.lax.Precision.HIGHEST)
+    if extra is not None:
+        extra_a = jnp.matmul(onehot, extra[:, None],
+                             precision=jax.lax.Precision.HIGHEST)[:, 0]
+        return xi_a, vcom_a, extra_a
     return xi_a, vcom_a
 
 

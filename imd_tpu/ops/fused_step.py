@@ -193,7 +193,8 @@ def make_fused_step(template: Scene, eam_run, timestep,
 def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
                         engine: str = "win", mesh=None, nrb_state=None,
-                        tmm_params=None):
+                        tmm_params=None, vlat=None,
+                        elecpress: bool = False):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -209,6 +210,12 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
     step (nrb_forces, imd_nrb.c:792) — together these make the fused
     loop cover the reference's full flagship build
     (eam_nve_nbl_nrb_stress_ttm_tmm_filter, manual.pdf §2).
+    ``vlat`` = (VlatParams, VlatState0) appends the continuum virtual-
+    lattice tail to the diffusion substeps (imd_ttm.c:41-59); the step
+    then takes/returns an extra vstate carry element:
+    step(cl, tgrid, fdi, vs, k).  ``elecpress`` adds the electron
+    blast-pressure x-force (do_electronic_pressure, imd_ttm.c:554),
+    gathered per atom on the same one-hot matmul as xi.
     """
     from imd_tpu.models import ttm as ttm_mod
     from imd_tpu.ops import forces_pallas as fp
@@ -232,7 +239,7 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         shifts.append(sh)
         oks.append(ok)
 
-    def step(cl: CLState, tgrid, fdi, k):
+    def _core(cl: CLState, tgrid, fdi, vs, k):
         if sharded_forces is not None:
             F, _, nn = sharded_forces(cl.xi, cl.alive)
         elif engine == "win":
@@ -270,12 +277,21 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         massf = cl.mass.reshape(-1)
         maskf = cl.alive.reshape(-1)
         t = k.astype(dtype) * dt
-        tgrid, fdi = ttm_mod.calc_ttm(
+        out = ttm_mod.calc_ttm(
             tgrid, (x, mom3, massf, maskf), tp, eos,
             nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
-            first_step=(k == 0), tmm_params=tmm_params)
-        xi_a, vcom_a = ttm_mod.gather_atom_coupling_flat(
-            tgrid, ttm_mod.fd_index_from_x(x, tp))
+            first_step=(k == 0), tmm_params=tmm_params,
+            vlat=(None if vlat is None else (vlat[0], vs)))
+        tgrid, fdi = out[0], out[1]
+        vs = out[2] if vlat is not None else None
+        fdidx = ttm_mod.fd_index_from_x(x, tp)
+        if elecpress:
+            epf = ttm_mod.electron_pressure_force(tgrid, tp, eos)
+            xi_a, vcom_a, ep_a = ttm_mod.gather_atom_coupling_flat(
+                tgrid, fdidx, extra=epf)
+        else:
+            xi_a, vcom_a = ttm_mod.gather_atom_coupling_flat(tgrid, fdidx)
+            ep_a = None
         # p += dt (F + xi m (v - vcom))  (move_atoms_ttm); NRB boundary
         # atoms keep their SET momenta (imd_integrate.c:254-259)
         af = cl.alive.astype(dtype)
@@ -285,7 +301,12 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
             momc = mom_set[:, c, :]
             extra = (xi_a * (mom3[c] - massf * vcom_a[:, c])
                      ).reshape(shape2)
-            upd = momc + dt * (F[:, c, :] + extra)
+            Fc = F[:, c, :]
+            if c == 0 and ep_a is not None:
+                # electron blast pressure acts along x only
+                # (imd_integrate.c:741-743)
+                Fc = Fc - ep_a.reshape(shape2)
+            upd = momc + dt * (Fc + extra)
             if bnd is not None:
                 upd = jnp.where(bnd, momc, upd)
             mom_new.append(upd * af)
@@ -304,7 +325,14 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
             return scene_to_cl(sc), -jnp.ones_like(fdi)
 
         cl, fdi = jax.lax.cond(need, do_rebin, lambda a: a, (cl, fdi))
-        return cl, tgrid, fdi, k + 1
+        return cl, tgrid, fdi, vs, k + 1
+
+    if vlat is None:
+        def step(cl, tgrid, fdi, k):
+            c, g, f, _, k2 = _core(cl, tgrid, fdi, None, k)
+            return c, g, f, k2
+    else:
+        step = _core
 
     return step, scene_to_cl(template)
 

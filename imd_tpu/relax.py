@@ -108,9 +108,17 @@ def fire_step(scene: Scene, st: FireState, cfg: FireConfig,
 # ---------------------------------------------------------------------------
 
 def cg_relax(scene: Scene, force_fn: Callable, n_steps: int,
-             trial_step: float = 1e-3, restart_every: int = 50):
+             trial_step: float = 0.02, restart_every: int = 50,
+             max_move: float = 0.2):
     """Polak-Ribiere CG with a secant line search (cg_step/linmin,
     imd_cg.c:46-210).  Two force evaluations per iteration; jit-safe.
+
+    The search direction is displacement-normalized: the trial probe
+    moves the fastest atom by ``trial_step`` Å and the accepted step is
+    clamped to ``max_move`` Å per atom (the role of the reference's
+    linmin bracketing, which an unnormalized secant step lacks — raw
+    alpha*h steps explode a perturbed lattice).  Non-descent directions
+    restart with steepest descent, like cg_reset_int.
 
     Returns (scene, epot_trace [n_steps], fnorm_final).
     """
@@ -127,15 +135,20 @@ def cg_relax(scene: Scene, force_fn: Callable, n_steps: int,
         beta = jnp.maximum(num / den, 0.0)
         beta = jnp.where(i % restart_every == 0, 0.0, beta)
         h = g + beta * h
-        # secant linmin on the directional derivative (linmin, cg:96):
-        # d(i) = F(x + s h).h; alpha* = s d0 / (d0 - d1)
+        # restart with steepest descent when h is not a descent direction
         d0 = jnp.sum(g * h)
-        trial = force_fn(scene.replace(pos=scene.pos + trial_step * h))
+        h = jnp.where(d0 > 0.0, h, g)
+        d0 = jnp.where(d0 > 0.0, d0, jnp.sum(g * g))
+        # secant linmin on the directional derivative (linmin, cg:96):
+        # probe at a displacement of trial_step A for the fastest atom
+        hmax = jnp.maximum(jnp.max(jnp.abs(h)), 1e-30)
+        s = trial_step / hmax
+        trial = force_fn(scene.replace(pos=scene.pos + s * h))
         d1 = jnp.sum(trial.force * scene.fmask()[..., None] * h)
         denom = d0 - d1
-        alpha = jnp.where(jnp.abs(denom) > 1e-30,
-                          trial_step * d0 / denom, trial_step)
-        alpha = jnp.clip(alpha, 0.0, 100.0 * trial_step)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, s * d0 / denom, s)
+        # clamp: no atom moves more than max_move A in one iteration
+        alpha = jnp.clip(alpha, 0.0, max_move / hmax)
         scene = scene.replace(pos=scene.pos + alpha * h)
         return (scene, g, h), jnp.sum(res.epot)
 

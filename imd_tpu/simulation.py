@@ -322,7 +322,7 @@ class Simulation:
         ens = self.cfg.ensemble
         known = ("nve", "nvt", "mik", "glok", "ttm", "ber", "and", "lang",
                  "npt_iso", "npt_axial", "sllod", "damp", "frac", "ftg",
-                 "finnis", "stm", "nvx")
+                 "finnis", "stm", "nvx", "cg")
         if ens not in known:
             raise NotImplementedError(f"ensemble '{ens}' not yet implemented")
         self.ensemble = ens
@@ -856,8 +856,6 @@ class Simulation:
             return (not self.ttm_3d
                     and self.fdtd_params is None
                     and self.colrad_tab is None
-                    and self.vlat_params is None
-                    and not cfg.ttm.elecpress
                     and cfg.laser.rescale_mode in (0, 4))
         return False
 
@@ -887,6 +885,77 @@ class Simulation:
             fdi = jnp.pad(fdi, pad, constant_values=-1)
         return state.replace(scene=scene, fdi=fdi)
 
+    def _run_cg(self, steps: Optional[int] = None) -> SimState:
+        """`ensemble cg`: quasistatic Polak-Ribiere CG relaxation
+        (move_atoms_cg dispatch, imd_param.c:5288; cg_step/linmin,
+        imd_cg.c:46-210), block-scanned on device with check_relaxed
+        termination between blocks (imd_main_3d.c:1787-1870)."""
+        from imd_tpu import relax as relax_mod
+        cfg = self.cfg
+        steps = cfg.maxsteps if steps is None else steps
+        R = cfg.relax
+        block = cfg.eng_int if cfg.eng_int > 0 else min(steps, 50)
+        block = max(1, min(block, steps))
+        restart_every = cfg.cg_reset_int if cfg.cg_reset_int > 0 else 50
+
+        @jax.jit
+        def blk(scene):
+            return relax_mod.cg_relax(scene, self._compute_forces, block,
+                                      restart_every=restart_every)
+
+        from imd_tpu.utils.timers import Timers
+        timers = Timers()
+        timers.start("total")
+        nactive = float(integrate.count_active_dof(self.scene,
+                                                   self._restrictions()))
+        if cfg.eng_int > 0 and self.eng is None:
+            self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
+                                 append=cfg.simulation_phase > 1)
+        scene = self.scene
+        epot_prev = None
+        done = 0
+        fnorm = jnp.zeros((), self.dtype)
+        while done < steps:
+            with timers.section("main"):
+                scene, epots, fnorm = blk(scene)
+                jax.block_until_ready(scene.pos)
+            if bool(needs_rebin(scene, self.grid.skin)):
+                scene = rebin(scene)
+            done += block
+            ep = float(epots[-1])
+            if cfg.eng_int > 0:
+                n = max(int(scene.n_atoms()), 1)
+                self.eng.write(
+                    time=float(self.step_count + done) * cfg.timestep,
+                    epot_per_atom=ep / n, temperature=0.0,
+                    pressure=0.0,
+                    volume=float(scene.grid.box.volume))
+            st = _initial_stats(self.dtype).replace(fnorm=fnorm)
+            if epot_prev is not None and bool(relax_mod.check_relaxed(
+                    st, ep, epot_prev, nactive,
+                    R.fnorm_threshold, 0.0, R.delta_epot_threshold)):
+                print(f"# relaxed at step {self.step_count + done}",
+                      flush=True)
+                break
+            epot_prev = ep
+        state = SimState(
+            scene=scene,
+            step=jnp.asarray(self.step_count + done, jnp.int32),
+            eta=jnp.zeros((), self.dtype),
+            epot_total=jnp.asarray(float(epots[-1]), self.dtype),
+            virial=jnp.zeros((), self.dtype),
+            presstens=jnp.zeros((6,), self.dtype),
+            stats=_initial_stats(self.dtype).replace(fnorm=fnorm),
+            nbl_count=jnp.zeros((), jnp.int32))
+        if cfg.checkpt_int > 0:
+            self.write_checkpoint(state, (self.step_count + done)
+                                  // cfg.checkpt_int)
+        self.scene = state.scene
+        self.step_count = int(state.step)
+        timers.stop("total")
+        self.timers = timers
+        return state
+
     def run(self, steps: Optional[int] = None, block: int = 0,
             on_interval: Optional[Callable] = None,
             allow_fused: bool = True) -> SimState:
@@ -897,6 +966,8 @@ class Simulation:
         the fused cells-last hot loop (the benched path), it is used
         automatically so CLI throughput matches bench.py.
         """
+        if self.ensemble == "cg":
+            return self._run_cg(steps)
         if allow_fused and self._fused_eligible():
             return self.run_fused(steps=steps, block=block,
                                   on_interval=on_interval)
@@ -1089,8 +1160,9 @@ class Simulation:
         ttm_on = self.ensemble == "ttm"
         state0 = self.init_state()
         laser = cfg.laser if cfg.laser.sigma_e > 0 else None
+        has_vlat = ttm_on and self.vlat_params is not None
 
-        def build(template, ttm_grid, step0):
+        def build(template, ttm_grid, step0, vstate=None):
             """(Re)build the fused step/observe closures for the current
             template — called once up front and again after a capacity
             growth (overflow recovery re-specializes every kernel)."""
@@ -1098,9 +1170,19 @@ class Simulation:
                 step_cl, cl = make_fused_ttm_step(
                     template, self.eam_run, dt, self.ttm_params, self.eos,
                     laser, mesh=self.mesh, nrb_state=self.nrb_state,
-                    tmm_params=self.tmm_params)
+                    tmm_params=self.tmm_params,
+                    vlat=((self.vlat_params, self.vlat_state0)
+                          if has_vlat else None),
+                    elecpress=bool(cfg.ttm.elecpress))
                 fdi = -jnp.ones(cl.mass.size, jnp.int32)
-                carry = (cl, ttm_grid, fdi, jnp.asarray(step0, jnp.int32))
+                if has_vlat:
+                    carry = (cl, ttm_grid, fdi,
+                             vstate if vstate is not None
+                             else self.vlat_state0,
+                             jnp.asarray(step0, jnp.int32))
+                else:
+                    carry = (cl, ttm_grid, fdi,
+                             jnp.asarray(step0, jnp.int32))
 
                 @jax.jit
                 def run_block(carry, k):
@@ -1135,8 +1217,9 @@ class Simulation:
 
             return carry, run_block, observe, filt_apply
 
-        carry, run_block, observe, filt_apply = build(template, state0.ttm_grid,
-                                          self.step_count)
+        carry, run_block, observe, filt_apply = build(
+            template, state0.ttm_grid, self.step_count,
+            vstate=state0.vstate)
 
         from imd_tpu.utils.timers import Timers
         timers = Timers()
@@ -1156,7 +1239,8 @@ class Simulation:
                 virial=virial, presstens=presstens, stats=st,
                 nbl_count=jnp.zeros((), jnp.int32),
                 ttm_grid=(carry[1] if ttm_on else None),
-                fdi=state0.fdi)
+                fdi=state0.fdi,
+                vstate=(carry[3] if has_vlat else state0.vstate))
 
         done = 0
         state = None
@@ -1197,7 +1281,8 @@ class Simulation:
                 carry, run_block, observe, filt_apply = build(
                     template,
                     prev_carry[1] if ttm_on else None,
-                    self.step_count + done)
+                    self.step_count + done,
+                    vstate=(prev_carry[3] if has_vlat else None))
                 continue
             done += block
             gstep = self.step_count + done
@@ -1262,7 +1347,7 @@ class Simulation:
                 # state (block size is aligned to filter_int above)
                 if ttm_on:
                     carry = (filt_apply(carry[0]), carry[1],
-                             -jnp.ones_like(carry[2]), carry[3])
+                             -jnp.ones_like(carry[2]), *carry[3:])
                 else:
                     carry = (filt_apply(carry[0]),)
         if state is None:

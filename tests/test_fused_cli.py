@@ -122,3 +122,37 @@ def test_fused_cli_flagship(eam_dir):
     np.testing.assert_allclose(te1, te2, rtol=2e-3, atol=2e-5)
     e1, e2 = float(st.epot_total), float(st2.epot_total)
     assert abs(e1 - e2) < 1e-3 * abs(e1)
+
+
+def test_fused_cli_ttm_vlat_elecpress(eam_dir):
+    """VLATTICE continuum tail + ELECPRESS blast force ride the fused
+    hot loop (imd_ttm.c:41-59 / 554) and match the general step."""
+    extra = ("pbc_dirs 0 1 1\n"
+             "ttmdimx 6\nfd_min_atoms 4\ninit_t_el 0.3\nttm_int 8\n"
+             "laser_rescale_mode 4\nlaser_sigma_e 0.05\n"
+             "laser_sigma_t 50\nlaser_t_0 100\nlaser_mu 0.01\n"
+             "vlatdim 4\nelecpress 1\n")
+    p = eam_dir / "vl.imd"
+    p.write_text(BASE.format(out="vl", ens="ttm") + extra)
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float32,
+                                     engine="pallas")
+    assert sim.vlat_params is not None and sim.cfg.ttm.elecpress
+    assert sim._fused_eligible()
+    st = sim.run()
+    assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
+    assert st.vstate is not None
+    assert bool(jnp.all(jnp.isfinite(st.vstate.te)))
+
+    p2 = eam_dir / "vl2.imd"
+    p2.write_text(BASE.format(out="vl2", ens="ttm") + extra)
+    sim2 = Simulation.from_param_file(str(p2), dtype=jnp.float32,
+                                      engine="pallas")
+    st2 = sim2.run(allow_fused=False)
+    np.testing.assert_allclose(np.asarray(st.ttm_grid.temp),
+                               np.asarray(st2.ttm_grid.temp),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.vstate.te),
+                               np.asarray(st2.vstate.te),
+                               rtol=2e-3, atol=2e-5)
+    e1, e2 = float(st.epot_total), float(st2.epot_total)
+    assert abs(e1 - e2) < 1e-3 * abs(e1)

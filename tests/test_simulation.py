@@ -203,3 +203,32 @@ def test_grow_capacity_preserves_atoms():
     i0 = np.argsort(np.asarray(f0["id"])[m0])
     i2 = np.argsort(np.asarray(f2["id"])[m2])
     np.testing.assert_allclose(p0[i0], p2[i2], rtol=0, atol=0)
+
+
+def test_ensemble_cg_relaxes(tmp_path):
+    """`ensemble cg` runs the Polak-Ribiere CG relaxation from the
+    driver (move_atoms_cg dispatch, imd_param.c:5288) and lowers Epot
+    monotonically to a near-zero-force state."""
+    out = str(tmp_path / "cg")
+    text = PARAM_LJ.format(out=out).replace("ensemble    nve",
+                                            "ensemble    cg")
+    text = text.replace("starttemp   0.03", "starttemp   0")
+    text += "fnorm_threshold 1e-6\n"
+    p = tmp_path / "cg.imd"
+    p.write_text(text)
+    sim = Simulation.from_param_file(str(p))
+    # perturb the lattice so there is something to relax
+    key = jax.random.PRNGKey(2)
+    sim.scene = sim.scene.replace(
+        pos=sim.scene.pos + 0.05 * jax.random.normal(
+            key, sim.scene.pos.shape))
+    res0 = sim._compute_forces(sim.scene)
+    e0 = float(jnp.sum(res0.epot))
+    m = sim.scene.fmask()[..., None]
+    f0 = float(jnp.sum(res0.force * res0.force * m))
+    st = sim.run()
+    e1 = float(st.epot_total)
+    assert e1 < e0 - 1e-3
+    # the force norm collapses toward the relaxed state
+    assert float(st.stats.fnorm) < 0.05 * f0
+    assert (tmp_path / "cg.eng").exists()
