@@ -646,13 +646,16 @@ def to_fastpoly(pt, deg: int = 12, vcap: float = 50.0,
     for c in range(ncols):
         b = float(np.asarray(pt.begin)[c] if hasattr(pt, "begin") else 0.0)
         e = float(np.asarray(pt.end)[c])
+        # sample at the widest precision actually enabled (requesting
+        # f64 without jax_enable_x64 just prints a truncation warning)
+        ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         xs = np.linspace(b, e, 8001)
-        ref = np.asarray(pt.interp(c, jnp.asarray(xs, jnp.float64))[0],
+        ref = np.asarray(pt.interp(c, jnp.asarray(xs, ftype))[0],
                          np.float64)
         ok = np.abs(ref) <= vcap
         b_fit = xs[np.argmax(ok)] if ok.any() else b
         xs = np.linspace(b_fit, e, 4001)
-        ref = np.asarray(pt.interp(c, jnp.asarray(xs, jnp.float64))[0],
+        ref = np.asarray(pt.interp(c, jnp.asarray(xs, ftype))[0],
                          np.float64)
         t = (xs - b_fit) / (e - b_fit) * 2.0 - 1.0
         cf_cheb = cheb.chebfit(t, ref, deg)

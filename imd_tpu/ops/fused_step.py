@@ -194,7 +194,8 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         laser_cfg, block: int = 128,
                         engine: str = "win", mesh=None, nrb_state=None,
                         tmm_params=None, vlat=None,
-                        elecpress: bool = False):
+                        elecpress: bool = False, colrad=None,
+                        fdtd_params=None):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -215,8 +216,19 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
     then takes/returns an extra vstate carry element:
     step(cl, tgrid, fdi, vs, k).  ``elecpress`` adds the electron
     blast-pressure x-force (do_electronic_pressure, imd_ttm.c:554),
-    gathered per atom on the same one-hot matmul as xi.
+    gathered per atom on the same one-hot matmul as xi.  ``colrad``
+    = (tables, step_fn) runs the collisional-radiative plasma kinetics
+    inside calc_ttm (do_colrad hook, imd_ttm.c:101-103) with a cstate
+    carry element ordered BEFORE vstate:
+    step(cl, tgrid, fdi[, cs][, vs], k).  ``fdtd_params`` (exclusive
+    with tmm/colrad/vlat, like the driver) switches the schedule to
+    calc_ttm_fdtd — the Maxwell solver as the laser source
+    (imd_ttm_3D.c:110-180) — with an fstate carry element:
+    step(cl, tgrid, fdi, fs, k).
     """
+    if fdtd_params is not None:
+        assert tmm_params is None and colrad is None and vlat is None, \
+            "FDTD is exclusive with TMM/COLRAD/VLAT (driver rule)"
     from imd_tpu.models import ttm as ttm_mod
     from imd_tpu.ops import forces_pallas as fp
 
@@ -239,7 +251,7 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         shifts.append(sh)
         oks.append(ok)
 
-    def _core(cl: CLState, tgrid, fdi, vs, k):
+    def _core(cl: CLState, tgrid, fdi, cs, vs, k):
         if sharded_forces is not None:
             F, _, nn = sharded_forces(cl.xi, cl.alive)
         elif engine == "win":
@@ -277,13 +289,27 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         massf = cl.mass.reshape(-1)
         maskf = cl.alive.reshape(-1)
         t = k.astype(dtype) * dt
-        out = ttm_mod.calc_ttm(
-            tgrid, (x, mom3, massf, maskf), tp, eos,
-            nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
-            first_step=(k == 0), tmm_params=tmm_params,
-            vlat=(None if vlat is None else (vlat[0], vs)))
-        tgrid, fdi = out[0], out[1]
-        vs = out[2] if vlat is not None else None
+        if fdtd_params is not None:
+            # cs carries the FDTD field state on the fdtd schedule
+            tgrid, fdi, cs = ttm_mod.calc_ttm_fdtd(
+                tgrid, cs, (x, mom3, massf, maskf), tp, eos,
+                fdtd_params, nn.reshape(-1), fdi, dt, t,
+                first_step=(k == 0))
+            vs = None
+        else:
+            out = ttm_mod.calc_ttm(
+                tgrid, (x, mom3, massf, maskf), tp, eos,
+                nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
+                first_step=(k == 0), tmm_params=tmm_params,
+                colrad=(None if colrad is None
+                        else (colrad[0], colrad[1], cs)),
+                vlat=(None if vlat is None else (vlat[0], vs)))
+            tgrid, fdi = out[0], out[1]
+            j = 2
+            if colrad is not None:
+                cs = out[j]
+                j += 1
+            vs = out[j] if vlat is not None else None
         fdidx = ttm_mod.fd_index_from_x(x, tp)
         if elecpress:
             epf = ttm_mod.electron_pressure_force(tgrid, tp, eos)
@@ -325,12 +351,22 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
             return scene_to_cl(sc), -jnp.ones_like(fdi)
 
         cl, fdi = jax.lax.cond(need, do_rebin, lambda a: a, (cl, fdi))
-        return cl, tgrid, fdi, vs, k + 1
+        return cl, tgrid, fdi, cs, vs, k + 1
 
-    if vlat is None:
+    has_cs = colrad is not None or fdtd_params is not None
+    has_vs = vlat is not None
+    if not has_cs and not has_vs:
         def step(cl, tgrid, fdi, k):
-            c, g, f, _, k2 = _core(cl, tgrid, fdi, None, k)
+            c, g, f, _, _, k2 = _core(cl, tgrid, fdi, None, None, k)
             return c, g, f, k2
+    elif has_cs and not has_vs:
+        def step(cl, tgrid, fdi, cs, k):
+            c, g, f, cs2, _, k2 = _core(cl, tgrid, fdi, cs, None, k)
+            return c, g, f, cs2, k2
+    elif not has_cs and has_vs:
+        def step(cl, tgrid, fdi, vs, k):
+            c, g, f, _, vs2, k2 = _core(cl, tgrid, fdi, None, vs, k)
+            return c, g, f, vs2, k2
     else:
         step = _core
 

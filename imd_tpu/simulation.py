@@ -854,8 +854,6 @@ class Simulation:
             return not cfg.ttm.enabled
         if self.ensemble == "ttm":
             return (not self.ttm_3d
-                    and self.fdtd_params is None
-                    and self.colrad_tab is None
                     and cfg.laser.rescale_mode in (0, 4))
         return False
 
@@ -896,7 +894,11 @@ class Simulation:
         R = cfg.relax
         block = cfg.eng_int if cfg.eng_int > 0 else min(steps, 50)
         block = max(1, min(block, steps))
-        restart_every = cfg.cg_reset_int if cfg.cg_reset_int > 0 else 50
+        # cg_mode != 0 selects the reference's ACG/steepest-descent
+        # variant (acg_step, imd_cg.c:70): CG memory off every iteration
+        restart_every = (1 if R.cg_mode else
+                         (cfg.cg_reset_int if cfg.cg_reset_int > 0
+                          else 50))
 
         @jax.jit
         def blk(scene):
@@ -1161,8 +1163,13 @@ class Simulation:
         state0 = self.init_state()
         laser = cfg.laser if cfg.laser.sigma_e > 0 else None
         has_vlat = ttm_on and self.vlat_params is not None
+        has_colrad = ttm_on and self.colrad_tab is not None
+        has_fdtd = ttm_on and self.fdtd_params is not None
+        # the colrad and fdtd states share the first aux carry slot
+        # (they are mutually exclusive, driver rule)
+        has_aux0 = has_colrad or has_fdtd
 
-        def build(template, ttm_grid, step0, vstate=None):
+        def build(template, ttm_grid, step0, vstate=None, cstate=None):
             """(Re)build the fused step/observe closures for the current
             template — called once up front and again after a capacity
             growth (overflow recovery re-specializes every kernel)."""
@@ -1173,16 +1180,23 @@ class Simulation:
                     tmm_params=self.tmm_params,
                     vlat=((self.vlat_params, self.vlat_state0)
                           if has_vlat else None),
-                    elecpress=bool(cfg.ttm.elecpress))
+                    elecpress=bool(cfg.ttm.elecpress),
+                    colrad=((self.colrad_tab, self.colrad_step)
+                            if has_colrad else None),
+                    fdtd_params=self.fdtd_params)
                 fdi = -jnp.ones(cl.mass.size, jnp.int32)
+                aux = []
+                if has_colrad:
+                    aux.append(cstate if cstate is not None
+                               else state0.cstate)
+                elif has_fdtd:
+                    aux.append(cstate if cstate is not None
+                               else state0.fdtd)
                 if has_vlat:
-                    carry = (cl, ttm_grid, fdi,
-                             vstate if vstate is not None
-                             else self.vlat_state0,
-                             jnp.asarray(step0, jnp.int32))
-                else:
-                    carry = (cl, ttm_grid, fdi,
-                             jnp.asarray(step0, jnp.int32))
+                    aux.append(vstate if vstate is not None
+                               else self.vlat_state0)
+                carry = (cl, ttm_grid, fdi, *aux,
+                         jnp.asarray(step0, jnp.int32))
 
                 @jax.jit
                 def run_block(carry, k):
@@ -1219,7 +1233,7 @@ class Simulation:
 
         carry, run_block, observe, filt_apply = build(
             template, state0.ttm_grid, self.step_count,
-            vstate=state0.vstate)
+            vstate=state0.vstate, cstate=state0.cstate)
 
         from imd_tpu.utils.timers import Timers
         timers = Timers()
@@ -1240,7 +1254,10 @@ class Simulation:
                 nbl_count=jnp.zeros((), jnp.int32),
                 ttm_grid=(carry[1] if ttm_on else None),
                 fdi=state0.fdi,
-                vstate=(carry[3] if has_vlat else state0.vstate))
+                cstate=(carry[3] if has_colrad else state0.cstate),
+                fdtd=(carry[3] if has_fdtd else state0.fdtd),
+                vstate=(carry[3 + has_aux0] if has_vlat
+                        else state0.vstate))
 
         done = 0
         state = None
@@ -1282,7 +1299,9 @@ class Simulation:
                     template,
                     prev_carry[1] if ttm_on else None,
                     self.step_count + done,
-                    vstate=(prev_carry[3] if has_vlat else None))
+                    cstate=(prev_carry[3] if has_aux0 else None),
+                    vstate=(prev_carry[3 + has_aux0]
+                            if has_vlat else None))
                 continue
             done += block
             gstep = self.step_count + done

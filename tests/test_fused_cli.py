@@ -156,3 +156,61 @@ def test_fused_cli_ttm_vlat_elecpress(eam_dir):
                                rtol=2e-3, atol=2e-5)
     e1, e2 = float(st.epot_total), float(st2.epot_total)
     assert abs(e1 - e2) < 1e-3 * abs(e1)
+
+
+def test_fused_cli_ttm_colrad(eam_dir):
+    """COLRAD plasma kinetics ride the fused hot loop (do_colrad hook,
+    imd_ttm.c:101-103) and match the general step."""
+    extra = ("ttmdimx 6\nfd_min_atoms 4\ninit_t_el 0.5\nttm_int 8\n"
+             "laser_rescale_mode 4\nlaser_sigma_e 0.05\n"
+             "laser_sigma_t 50\nlaser_t_0 100\nlaser_mu 0.01\n"
+             "colrad\ncolrad_maxz 2\ncolrad_nlev 3\n")
+    p = eam_dir / "cr.imd"
+    p.write_text(BASE.format(out="cr", ens="ttm") + extra)
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float32,
+                                     engine="pallas")
+    assert sim.colrad_tab is not None
+    assert sim._fused_eligible()
+    st = sim.run()
+    assert st.cstate is not None
+    assert bool(jnp.all(jnp.isfinite(st.cstate.c)))
+    assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
+
+    p2 = eam_dir / "cr2.imd"
+    p2.write_text(BASE.format(out="cr2", ens="ttm") + extra)
+    sim2 = Simulation.from_param_file(str(p2), dtype=jnp.float32,
+                                      engine="pallas")
+    st2 = sim2.run(allow_fused=False)
+    np.testing.assert_allclose(np.asarray(st.ttm_grid.temp),
+                               np.asarray(st2.ttm_grid.temp),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.cstate.c),
+                               np.asarray(st2.cstate.c),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_fused_cli_ttm_fdtd(eam_dir):
+    """The FDTD Maxwell laser source rides the fused hot loop
+    (calc_ttm_fdtd schedule, imd_ttm_3D.c:110-180) and matches the
+    general step."""
+    extra = ("ttmdimx 6\nfd_min_atoms 4\ninit_t_el 0.1\nttm_int 8\n"
+             "fdtd\nlambda 800e-9\nI0 5.0e16\n"
+             "laser_t_0 30e-15\nlaser_sigma_t 20e-15\n")
+    p = eam_dir / "fd.imd"
+    p.write_text(BASE.format(out="fd", ens="ttm") + extra)
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float32,
+                                     engine="pallas")
+    assert sim.fdtd_params is not None
+    assert sim._fused_eligible()
+    st = sim.run()
+    assert st.fdtd is not None
+    assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
+
+    p2 = eam_dir / "fd2.imd"
+    p2.write_text(BASE.format(out="fd2", ens="ttm") + extra)
+    sim2 = Simulation.from_param_file(str(p2), dtype=jnp.float32,
+                                      engine="pallas")
+    st2 = sim2.run(allow_fused=False)
+    np.testing.assert_allclose(np.asarray(st.ttm_grid.temp),
+                               np.asarray(st2.ttm_grid.temp),
+                               rtol=2e-3, atol=2e-5)
