@@ -210,3 +210,58 @@ def test_sharded_fused_ttm_step_matches_unsharded():
     np.testing.assert_allclose(np.asarray(c8[1].temp),
                                np.asarray(c1[1].temp),
                                rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_flagship_matches_unsharded():
+    """The FLAGSHIP build under the mesh: fused TTM step with TMM laser
+    + NRB rear boundary, shard_mapped forces + GSPMD calc_ttm, equals
+    the single-device fused step bit-for-bit."""
+    from imd_tpu.config import TMMConfig, TTMConfig
+    from imd_tpu.models import tmm as tmm_mod
+    from imd_tpu.models import ttm as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.models.nrb import init_nrb
+    from imd_tpu.ops.fused_step import make_fused_ttm_step
+    from imd_tpu.parallel.mesh import shard_ttm
+
+    scene, eam = _eam_scene()
+    # open x for the boundary detection (film spans the box here)
+    scene = scene.replace(grid=scene.grid.replace(
+        box=scene.grid.box.replace(pbc=(0, 1, 1))))
+    nrb = init_nrb(scene, 4.05, 5.0, mass=26.9815, pbc=(0, 1, 1))
+    assert nrb is not None
+    mesh = make_mesh((8, 1, 1))
+    dtype = scene.pos.dtype
+    tcfg = TTMConfig(enabled=True, fd_nx=16, fd_min_atoms=2,
+                     init_t_el=0.026)
+    tp = ttm_mod.make_params(tcfg, scene.grid.box, 5.0, dtype)
+    eos = FEGEos()
+    tmm_cfg = TMMConfig(enabled=True, lambda_m=800e-9, I0=2e17,
+                        t0_s=30e-15, sigma_t_s=20e-15)
+    tmm_p = tmm_mod.make_tmm_params(tmm_cfg, dtype)
+    kw = dict(nrb_state=nrb, tmm_params=tmm_p)
+    step1, cl1 = make_fused_ttm_step(scene, eam, 0.05, tp, eos, None,
+                                     engine="split", **kw)
+    step8, cl8 = make_fused_ttm_step(scene, eam, 0.05, tp, eos, None,
+                                     mesh=mesh, **kw)
+    step1 = jax.jit(step1)
+    step8 = jax.jit(step8)
+    tg1 = ttm_mod.make_grid(tp, dtype)
+    tg1 = tg1.replace(temp=jnp.full_like(tg1.temp, 0.026),
+                      init_done=jnp.ones((), bool))
+    tg8 = shard_ttm(mesh, tg1)
+    fdi = -jnp.ones(cl1.mass.size, jnp.int32)
+    c1 = (cl1, tg1, fdi, jnp.zeros((), jnp.int32))
+    c8 = (cl8, tg8, fdi, jnp.zeros((), jnp.int32))
+    for _ in range(4):
+        c1 = step1(*c1)
+        c8 = step8(*c8)
+    np.testing.assert_allclose(np.asarray(c8[0].xi), np.asarray(c1[0].xi),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c8[0].mom),
+                               np.asarray(c1[0].mom),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c8[1].temp),
+                               np.asarray(c1[1].temp),
+                               rtol=1e-10, atol=1e-10)
