@@ -211,3 +211,91 @@ def cna_classes(scene, r_cut: float, kmax: int = 20,
     nbr, nmask, alive, overflow = neighbor_lists(scene, r_cut, kmax=kmax)
     cls = _cna_impl(nbr, nmask, alive, chunk)
     return jnp.where(overflow, -jnp.ones_like(cls), cls)
+
+
+CNA_ICO = 4
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _aj_impl(pos_flat, box, nbr, nmask, alive, chunk):
+    n, K = nbr.shape
+    npad = ((n + chunk - 1) // chunk) * chunk - n
+    pos_p = jnp.pad(pos_flat, ((0, npad), (0, 0)))
+    nbr_p = jnp.pad(nbr, ((0, npad), (0, 0)))
+    nmask_p = jnp.pad(nmask, ((0, npad), (0, 0)))
+    edges = np.asarray([-1.01, -0.945, -0.915, -0.755, -0.195, 0.195,
+                        0.245, 0.795, 1.01])
+    kio = jnp.arange(K, dtype=jnp.int32)
+
+    def one_chunk(args):
+        ni, mi, pi = args                       # [C,K], [C,K], [C,3]
+        pj = pos_p[ni]                          # [C,K,3]
+        d = box.min_image(pj - pi[:, None, :])
+        r2 = jnp.sum(d * d, axis=2)
+        r2m = jnp.where(mi, r2, 1e30)
+        # adaptive cutoff: (1.204 r0)^2 ~ 1.45 <r0^2 of 6 closest>
+        r0sq = jnp.mean(jnp.sort(r2m, axis=1)[:, :6], axis=1)
+        sel = mi & (r2m <= 1.45 * r0sq[:, None])
+        n0 = jnp.sum(sel, axis=1)
+        u = d / jnp.sqrt(jnp.maximum(r2, 1e-30))[..., None]
+        cosg = jnp.einsum("cka,cla->ckl", u, u)
+        pair = (sel[:, :, None] & sel[:, None, :]
+                & (kio[None, :, None] < kio[None, None, :]))
+        chi = []
+        for b in range(8):
+            inb = (cosg >= edges[b]) & (cosg < edges[b + 1]) & pair
+            chi.append(jnp.sum(inb, axis=(1, 2)))
+        c = [x.astype(pos_p.dtype) for x in chi]
+        denom = c[5] + c[6] + c[7] - c[4]
+        d_bcc = jnp.where(denom > 0, 0.35 * c[4]
+                          / jnp.where(denom > 0, denom, 1.0), 100.0)
+        d_cp = jnp.abs(1.0 - c[6] / 24.0)
+        d_fcc = 0.61 * (jnp.abs(c[0] + c[1] - 6.0) + c[2]) / 6.0
+        d_hcp = (jnp.abs(c[0] - 3.0)
+                 + jnp.abs(c[0] + c[1] + c[2] + c[3] - 9.0)) / 12.0
+        d_bcc = jnp.where(chi[0] == 7, 0.0, d_bcc)
+        d_fcc = jnp.where(chi[0] == 6, 0.0, d_fcc)
+        d_hcp = jnp.where(chi[0] <= 3, 0.0, d_hcp)
+        # decision ladder (AJ 2006 Fig. 6 / imd_ada.c:120-210), applied
+        # innermost-first so earlier conditions override later ones
+        cls = jnp.where(d_hcp < d_fcc, CNA_HCP, CNA_FCC)
+        cls = jnp.where((n0 == 11) | (n0 == 12), cls, CNA_OTHER)
+        cls = jnp.where(d_bcc <= d_cp,
+                        jnp.where(n0 >= 11, CNA_BCC, CNA_OTHER), cls)
+        cls = jnp.where(c[4] < 3,
+                        jnp.where((n0 >= 11) & (n0 <= 13), CNA_ICO,
+                                  CNA_OTHER), cls)
+        cls = jnp.where(c[7] > 0, CNA_OTHER, cls)
+        cls = jnp.where(jnp.sum(mi, axis=1) < 6, CNA_OTHER, cls)
+        return cls.astype(jnp.int32)
+
+    nchunk = (n + npad) // chunk
+    cls = jax.lax.map(one_chunk,
+                      (nbr_p.reshape(nchunk, chunk, K),
+                       nmask_p.reshape(nchunk, chunk, K),
+                       pos_p.reshape(nchunk, chunk, 3)))
+    return cls.reshape(-1)[:n] * alive.astype(jnp.int32)
+
+
+def ackland_jones_classes(scene, r_cut: float = 0.0, kmax: int = 24,
+                          chunk: int = 512) -> jnp.ndarray:
+    """Per-atom Ackland-Jones class [N] in flat slot order (imd_ada.c;
+    PRB 73, 054104 (2006)), entirely on device: candidate neighbors from
+    the cell sweep, adaptive 1.45*<r0^2> cutoff, chi angular histogram
+    as batched boolean bin tests, published decision ladder.
+
+    ``r_cut``: candidate search radius (0 = 1.6x the mean atomic
+    spacing, like the host plugin's guess).  Same class codes as
+    analysis.ackland_jones (0=other 1=fcc 2=hcp 3=bcc 4=ico).
+    """
+    if r_cut <= 0:
+        box_diag = np.diag(np.asarray(scene.grid.box.h))
+        n_alive = max(int(scene.n_atoms()), 1)
+        r_cut = 1.6 * float(np.prod(box_diag) / n_alive) ** (1.0 / 3.0)
+    nbr, nmask, alive, overflow = neighbor_lists(scene, r_cut, kmax=kmax)
+    xi, _, _ = _cl_arrays(scene)
+    cap = xi.shape[0]
+    nc = xi.shape[2]
+    pos_flat = xi.transpose(0, 2, 1).reshape(-1, 3)
+    cls = _aj_impl(pos_flat, scene.grid.box, nbr, nmask, alive, chunk)
+    return jnp.where(overflow, -jnp.ones_like(cls), cls)
