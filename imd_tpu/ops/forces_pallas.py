@@ -847,31 +847,30 @@ def _mt_eval(x, consts_list, w_list, mode):
     return v_tot, g_tot
 
 
-def compute_eam_forces_pallas_mt(scene: Scene, eam, ntypes: int,
-                                 count_neighbors: bool = False,
-                                 neigh_r2: float = 0.0,
-                                 block: int = 128,
-                                 need_energy: bool = True,
-                                 need_stress: Optional[bool] = None
-                                 ) -> ForceResult:
-    """Multi-type (alloy) EAM with Pallas blocked sweeps.
+def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
+                      count_neighbors: bool = False,
+                      neigh_r2: float = 0.0,
+                      block: int = 128,
+                      need_energy: bool = True,
+                      need_stress: bool = False):
+    """Cells-last multi-type EAM kernels (alloys on the fused hot loop).
 
-    Round-1 gap: the Pallas engine was ntypes==1-only and alloys fell
-    back to the slower XLA engine.  Here the type-pair column of each
-    table is selected in-kernel by one-hot weights: pair phi/grad use
-    col = ti*nt+tj, the host densities use the reference's asymmetric
-    pair (rho_i += col[tj,ti], rho_j += col[ti,tj],
-    imd_forces_nbl.c:468-470/843-872), and the embedding derivative is
-    selected per type on the XLA side.  Cost grows ~linearly with
-    ntypes^2 polynomial evaluations; intended for nt <= 4.
+    ``xi`` [cap, 3, NC] sentinel-filled positions (dead slots pushed to
+    SENTINEL_DEAD), ``typ`` [cap, NC] int32 (-1 = dead), ``mask``
+    [cap, NC] bool.  Builds the rolled neighbor views internally and
+    returns cells-last (F, epot, rho_t, nneigh, virial, presstens).
+    Type-pair table columns are selected in-kernel by one-hot weights:
+    pair phi/grad use col = ti*nt+tj, the host densities use the
+    reference's asymmetric pair (rho_i += col[tj,ti], rho_j +=
+    col[ti,tj], imd_forces_nbl.c:468-470/843-872), and the embedding
+    derivative is selected per type on the XLA side.  Cost grows
+    ~linearly with ntypes^2 polynomial evaluations; intended for
+    nt <= 4.
     """
-    if need_stress is None:
-        need_stress = need_energy
     nt = ntypes
-    grid = scene.grid
     dims = grid.dims
-    dtype = scene.pos.dtype
-    cap = scene.capacity
+    dtype = xi.dtype
+    cap = xi.shape[0]
     nc = dims[0] * dims[1] * dims[2]
     cap_pad = ((cap + 7) // 8) * 8
     budget = block * 16 * 16
@@ -879,8 +878,16 @@ def compute_eam_forces_pallas_mt(scene: Scene, eam, ntypes: int,
     ncp = ((nc + b - 1) // b) * b
     nblk = ncp // b
 
-    xi, nbr, mask = prep_neighbors(scene)
-    typ = _to_cl(scene.type, dims)
+    # rolled neighbor views with PBC shifts + invalid-cell sentinels
+    # (prep_neighbors' logic on raw cells-last inputs)
+    nbrs = []
+    for off in HALF_OFFSETS:
+        xj = _roll_cells(xi, dims, off)
+        shift, cell_ok = _wrap_shift_mask_cl(grid, off, dtype)
+        xj = xj + shift[None]
+        xj = jnp.where(cell_ok[None, None, :], xj, SENTINEL_CELL)
+        nbrs.append(xj)
+    nbr = jnp.stack(nbrs)
     tf = jnp.clip(typ, 0, nt - 1).astype(dtype)      # dead slots -> col 0
     tf_n = jnp.stack([_roll_cells(tf, dims, off) for off in HALF_OFFSETS])
     pad = ncp - nc
@@ -1116,11 +1123,37 @@ def compute_eam_forces_pallas_mt(scene: Scene, eam, ntypes: int,
     else:
         presstens = jnp.zeros((6,), dtype)
         virial = jnp.zeros((), dtype)
+    return (F, epot * maskf, rho_t * maskf, nneigh * maskf, virial,
+            presstens)
+
+
+def compute_eam_forces_pallas_mt(scene: Scene, eam, ntypes: int,
+                                 count_neighbors: bool = False,
+                                 neigh_r2: float = 0.0,
+                                 block: int = 128,
+                                 need_energy: bool = True,
+                                 need_stress: Optional[bool] = None
+                                 ) -> ForceResult:
+    """Multi-type (alloy) EAM with Pallas blocked sweeps (Scene wrapper
+    around eam_kernels_cl_mt; round-1 gap: alloys fell back to the
+    slower XLA engine)."""
+    if need_stress is None:
+        need_stress = need_energy
+    grid = scene.grid
+    dims = grid.dims
+    typ = _to_cl(scene.type, dims)
+    mask = typ >= 0
+    pos = _to_cl(scene.pos, dims)
+    xi = jnp.where(mask[:, None, :], pos, SENTINEL_DEAD)
+    F, epot, rho_t, nneigh, virial, presstens = eam_kernels_cl_mt(
+        xi, typ, mask, eam, grid, ntypes,
+        count_neighbors=count_neighbors, neigh_r2=neigh_r2, block=block,
+        need_energy=need_energy, need_stress=need_stress)
     return ForceResult(
-        force=_from_cl(F, dims), epot=_from_cl(epot * maskf, dims),
+        force=_from_cl(F, dims), epot=_from_cl(epot, dims),
         virial=virial, presstens=presstens,
         num_neighs=_from_cl(nneigh.astype(jnp.int32), dims),
-        rho=_from_cl(rho_t * maskf, dims))
+        rho=_from_cl(rho_t, dims))
 
 
 # ---------------------------------------------------------------------------

@@ -88,7 +88,7 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
 def make_fused_step(template: Scene, eam_run, timestep,
                     count_neighbors: bool = False,
                     block: int = 128, engine: str = "win",
-                    mesh=None, nrb_state=None):
+                    mesh=None, nrb_state=None, ntypes: int = 1):
     """Returns (step_fn, cl0): jitted-compatible fused MD step.
 
     step_fn(cl) -> (cl', num_neighs_cl):  forces (Pallas, forces-only)
@@ -129,7 +129,18 @@ def make_fused_step(template: Scene, eam_run, timestep,
         shifts.append(sh)
         oks.append(ok)
 
-    def forces_cl(xi, alive):
+    if ntypes > 1:
+        assert mesh is None, \
+            "multi-type fused step is single-device (GSPMD covers meshes)"
+
+    def forces_cl(xi, alive, typ):
+        if ntypes > 1:
+            # alloy path: type-pair column select inside the sweep
+            F, _, _, nn, _, _ = fp.eam_kernels_cl_mt(
+                xi, typ, alive, eam_run, grid, ntypes,
+                count_neighbors=count_neighbors, block=block,
+                need_energy=False, need_stress=False)
+            return F, nn
         if sharded_forces is not None:
             F, _, nn = sharded_forces(xi, alive)
             return F, nn
@@ -159,7 +170,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
         return F, nn
 
     def step(cl: CLState):
-        force, nn = forces_cl(cl.xi, cl.alive)
+        force, nn = forces_cl(cl.xi, cl.alive, cl.typ)
         af = cl.alive.astype(dtype)
         if nrb_state is not None:
             from imd_tpu.models.nrb import nrb_forces_cl
@@ -195,7 +206,7 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                         engine: str = "win", mesh=None, nrb_state=None,
                         tmm_params=None, vlat=None,
                         elecpress: bool = False, colrad=None,
-                        fdtd_params=None):
+                        fdtd_params=None, ntypes: int = 1):
     """TTM-coupled fused cells-last step (the north-star configuration).
 
     step(cl, tgrid, fdi, k) -> (cl', tgrid', fdi', k+1): EAM forces with
@@ -251,8 +262,17 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         shifts.append(sh)
         oks.append(ok)
 
+    if ntypes > 1:
+        assert mesh is None, \
+            "multi-type fused step is single-device (GSPMD covers meshes)"
+
     def _core(cl: CLState, tgrid, fdi, cs, vs, k):
-        if sharded_forces is not None:
+        if ntypes > 1:
+            F, _, _, nn, _, _ = fp.eam_kernels_cl_mt(
+                cl.xi, cl.typ, cl.alive, eam_run, grid, ntypes,
+                count_neighbors=True, block=block,
+                need_energy=False, need_stress=False)
+        elif sharded_forces is not None:
             F, _, nn = sharded_forces(cl.xi, cl.alive)
         elif engine == "win":
             from imd_tpu.ops.forces_win import eam_kernels_win_split

@@ -828,9 +828,11 @@ class Simulation:
         cfg = self.cfg
         if not getattr(self, "use_pallas", False) or self.eam_run is None:
             return False
-        if cfg.ntypes != 1:      # fused_step is single-species
+        if cfg.ntypes > 4:       # mt kernels are one-hot column selects
             return False
         if self.mesh is not None:
+            if cfg.ntypes != 1:  # sharded fused sweep is single-species
+                return False
             # x-only decompositions run the sharded fused hot loop
             # (shard_mapped Pallas sweeps + explicit halo permutes,
             # parallel/fused_shard.py); other mesh shapes fall back to
@@ -1177,7 +1179,7 @@ class Simulation:
                 step_cl, cl = make_fused_ttm_step(
                     template, self.eam_run, dt, self.ttm_params, self.eos,
                     laser, mesh=self.mesh, nrb_state=self.nrb_state,
-                    tmm_params=self.tmm_params,
+                    tmm_params=self.tmm_params, ntypes=cfg.ntypes,
                     vlat=((self.vlat_params, self.vlat_state0)
                           if has_vlat else None),
                     elecpress=bool(cfg.ttm.elecpress),
@@ -1205,7 +1207,8 @@ class Simulation:
             else:
                 step_cl, cl = make_fused_step(template, self.eam_run, dt,
                                               mesh=self.mesh,
-                                              nrb_state=self.nrb_state)
+                                              nrb_state=self.nrb_state,
+                                              ntypes=cfg.ntypes)
                 carry = (cl,)
 
                 @jax.jit
@@ -1220,9 +1223,16 @@ class Simulation:
             @jax.jit
             def observe(cl):
                 scene = cl_to_scene(cl, template)
-                res = compute_eam_forces_pallas(scene, self.eam_run,
-                                                need_energy=True,
-                                                need_stress=True)
+                if cfg.ntypes > 1:
+                    from imd_tpu.ops.forces_pallas import \
+                        compute_eam_forces_pallas_mt
+                    res = compute_eam_forces_pallas_mt(
+                        scene, self.eam_run, cfg.ntypes,
+                        need_energy=True, need_stress=True)
+                else:
+                    res = compute_eam_forces_pallas(scene, self.eam_run,
+                                                    need_energy=True,
+                                                    need_stress=True)
                 af = cl.alive.astype(cl.mass.dtype)
                 ekin = 0.5 * jnp.sum(
                     jnp.sum(cl.mom * cl.mom, 1) * af / cl.mass)

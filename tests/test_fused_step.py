@@ -195,3 +195,78 @@ def test_fused_filter_apply_matches_general():
     m = np.asarray(out.flatten_atoms()["mask"])
     kept = set(ids[m].tolist())
     assert len(pos) - 1 not in kept and len(pos) - 2 not in kept
+
+
+def test_fused_multitype_matches_scene_step():
+    """Alloys on the fused hot loop (ntypes>1 -> eam_kernels_cl_mt)
+    == the Scene-based mt engine stepped manually."""
+    from imd_tpu.models.potential import (EAMPotential, analytic_eam,
+                                          to_fastpoly)
+    from imd_tpu.models.potential import PotTable
+    from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas_mt
+
+    nt = 2
+    e1 = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float32)
+
+    def scale_cols(pt, scales):
+        tab = np.asarray(pt.table)
+        n = len(scales)
+        table = np.concatenate([tab * s for s in scales], axis=0)
+        rep = lambda a: np.concatenate([np.asarray(a)] * n)  # noqa: E731
+        return PotTable(table=jnp.asarray(table),
+                        begin=jnp.asarray(rep(pt.begin)),
+                        end=jnp.asarray(rep(pt.end)),
+                        step=jnp.asarray(rep(pt.step)),
+                        invstep=jnp.asarray(rep(pt.invstep)),
+                        length=jnp.asarray(rep(pt.length)))
+
+    eam2 = EAMPotential(
+        pair=scale_cols(e1.pair, [1.0, 0.8, 0.8, 0.6]),
+        rho=scale_cols(e1.rho, [1.0, 0.9, 0.7, 0.5]),
+        embed=scale_cols(e1.embed, [1.0, 0.75]))
+    eam_run = EAMPotential(pair=to_fastpoly(eam2.pair),
+                           rho=to_fastpoly(eam2.rho),
+                           embed=to_fastpoly(eam2.embed, vcap=1e9))
+
+    scene = _scene()
+    key = jax.random.PRNGKey(9)
+    rtypes = jax.random.bernoulli(key, 0.4,
+                                  scene.type.shape).astype(jnp.int32)
+    scene = scene.replace(type=jnp.where(scene.mask, rtypes, -1))
+
+    dt = 0.1
+    params = integrate.IntegratorParams(timestep=jnp.float32(dt))
+    step_cl, cl = make_fused_step(scene, eam_run, dt, ntypes=nt)
+    step_cl = jax.jit(step_cl)
+
+    @jax.jit
+    def step_scene(s):
+        res = compute_eam_forces_pallas_mt(s, eam_run, nt,
+                                           need_energy=False,
+                                           need_stress=False)
+        s = s.replace(force=res.force)
+        s, _ = integrate.nve(s, params)
+        return s
+
+    s = scene
+    for i in range(15):
+        cl, _ = step_cl(cl)
+        s = step_scene(s)
+        if bool(needs_rebin(s, s.grid.skin)):
+            s = rebin(s)
+
+    out = cl_to_scene(cl, scene)
+
+    def by_id(sc_):
+        f = sc_.flatten_atoms()
+        ids = np.asarray(f["id"])
+        m = np.asarray(f["mask"])
+        o = np.argsort(ids[m])
+        return (np.asarray(f["pos"])[m][o], np.asarray(f["mom"])[m][o],
+                np.asarray(f["type"])[m][o])
+
+    pa, ma, ta = by_id(s)
+    pb, mb, tb = by_id(out)
+    np.testing.assert_array_equal(ta, tb)
+    np.testing.assert_allclose(pa, pb, atol=3e-4)
+    np.testing.assert_allclose(ma, mb, atol=3e-3)
