@@ -987,6 +987,16 @@ class SimConfig:
         T.eos_dir = str(g("eos_dir", "."))
         if g("atomic_z") is not None:
             T.atomic_z = float(g("atomic_z"))
+        elif g("atomic_charge") is not None:
+            # the reference's TTM tag for the NUCLEAR charge z0 fed to
+            # MeanCharge/getKappa (imd_param.c:2091; MeanCharge is
+            # called with z0 = atomic_charge, imd_ttm.c:667)
+            v = g("atomic_charge")
+            try:
+                T.atomic_z = float(v[0] if isinstance(v, (list, tuple))
+                                   else v)
+            except (TypeError, ValueError):
+                pass
         if c.masses:
             T.atomic_mass = float(c.masses[0])
         # --- TMM ---

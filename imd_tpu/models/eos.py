@@ -207,8 +207,15 @@ class TabulatedEOS:
         """
         from scipy.interpolate import griddata  # noqa: deferred heavy import
 
-        cve_raw = np.loadtxt(cve_path)
-        ee_raw = np.loadtxt(ee_path)
+        def load_xyz(path):
+            # the reference format (nn_read_table, imd_interpol.c:1174)
+            # carries a 2-line header: "is js" then "xmin xmax ymin ymax"
+            with open(path) as f:
+                first = f.readline().split()
+            return np.loadtxt(path, skiprows=2 if len(first) == 2 else 0)
+
+        cve_raw = load_xyz(cve_path)
+        ee_raw = load_xyz(ee_path)
         rho = np.linspace(min(cve_raw[:, 0].min(), ee_raw[:, 0].min()),
                           max(cve_raw[:, 0].max(), ee_raw[:, 0].max()), nr)
         tsq_e = np.linspace(ee_raw[:, 1].min(), ee_raw[:, 1].max(), nt)
