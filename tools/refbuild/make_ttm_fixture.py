@@ -57,7 +57,10 @@ rho = np.linspace(300.0, 8000.0, 150)          # kg/m^3
 # keep the (rho, Te) aspect ratio moderate: the reference interpolates
 # these tables with Delaunay triangulations and sliver triangles from
 # anisotropic point clouds produce garbage values
-Te_K = np.linspace(50.0, 5.8e4, 400)           # K
+# dense at low Te: the reference's EOS round-trip plausibility check
+# (imd_ttm.c:770-804, 1% tolerance) probes room temperature
+Te_K = np.concatenate([np.linspace(20.0, 2000.0, 250),
+                       np.linspace(2100.0, 5.8e4, 300)])           # K
 
 def write_nn(path, xs, ys, zfun):
     # header bounds one grid line INSIDE the data: the reference clamps
@@ -65,7 +68,11 @@ def write_nn(path, xs, ys, zfun):
     # interpolator NaNs on exact hull-boundary points
     with open(path, "w") as f:
         f.write(f"{len(xs)} {len(ys)}\n")
-        f.write(f"{xs[1]:.10e} {xs[-2]:.10e} {ys[1]:.10e} {ys[-2]:.10e}\n")
+        x0 = xs[1] + 0.37 * (xs[2] - xs[1])
+        x1 = xs[-2] - 0.37 * (xs[-2] - xs[-3])
+        y0 = ys[1] + 0.37 * (ys[2] - ys[1])
+        y1 = ys[-2] - 0.37 * (ys[-2] - ys[-3])
+        f.write(f"{x0:.10e} {x1:.10e} {y0:.10e} {y1:.10e}\n")
         for x in xs:
             for y in ys:
                 f.write(f"{x:.10e} {y:.10e} {zfun(x, y):.10e}\n")
