@@ -21,14 +21,18 @@ def _dims(grid):
     return shape if len(shape) == 3 else (shape[0], 1, 1)
 
 
-def write_ttm(path: str, grid, colrad_c=None) -> None:
+def write_ttm(path: str, grid, colrad_c=None, vlat=None) -> None:
     """Write a TTM grid (host transfer) in the reference's layout.
 
     ``colrad_c`` [n, nlev]: COLRAD level populations appended as extra
     self-describing columns c0..c{nlev-1} (the reference appends its
     COLRAD power columns to the same file, imd_ttm.c:1885-1897; the
     populations themselves go to colrad_write's own file,
-    imd_colrad.c:2991 — here one file carries both)."""
+    imd_colrad.c:2991 — here one file carries both).
+
+    ``vlat`` (VlatState): virtual-lattice cells appended as extra rows
+    with the reference's natoms = -2 sentinel (imd_ttm.c:1926-1947),
+    so the file restarts reference runs with VLATTICE enabled."""
     nx, ny, nz = _dims(grid)
     n = nx * ny * nz
     vcom = np.asarray(grid.vcom).reshape(n, 3)
@@ -64,6 +68,14 @@ def write_ttm(path: str, grid, colrad_c=None) -> None:
                 else:
                     vals.append("%e" % float(cols[name][i]))
             f.write(" ".join(vals) + "\n")
+        if vlat is not None:
+            te = np.asarray(vlat.te)
+            ti = np.asarray(vlat.ti)
+            for k in range(len(te)):
+                row = [str(nx + k), "0", "0", "-2", "%e" % te[k],
+                       "%e" % ti[k]]
+                row += ["0.000000e+00"] * (len(names) - 6)
+                f.write(" ".join(row) + "\n")
 
 
 def read_ttm(path: str) -> dict:
@@ -73,6 +85,26 @@ def read_ttm(path: str) -> dict:
         data = np.loadtxt(f)
     data = np.atleast_2d(data)
     return {name: data[:, i] for i, name in enumerate(header)}
+
+
+def vlat_from_ttm(path: str, vlat_template):
+    """Restore VLATTICE temperatures from the natoms = -2 rows the
+    reference appends to .ttm files (imd_ttm.c:1926); returns the
+    template with te/ti replaced, or None when the file has no vlat
+    rows."""
+    import jax.numpy as jnp
+    d = read_ttm(path)
+    m = np.asarray(d["natoms"]) == -2
+    if not m.any():
+        return None
+    te = np.asarray(d["temp"])[m]
+    ti = np.asarray(d["md_temp"])[m]
+    nv = len(np.asarray(vlat_template.te))
+    if len(te) < nv:
+        return None
+    return vlat_template.replace(
+        te=jnp.asarray(te[:nv], vlat_template.te.dtype),
+        ti=jnp.asarray(ti[:nv], vlat_template.ti.dtype))
 
 
 def colrad_from_ttm(path: str, nlev: int, dtype=None):

@@ -786,6 +786,12 @@ class Simulation:
                                           vlat_template=vstate)
                     fdtd_state = f2 if f2 is not None else fdtd_state
                     vstate = v2 if v2 is not None else vstate
+                elif vstate is not None and os.path.exists(ttm_file):
+                    # reference-written .ttm: vlat rides as natoms=-2
+                    # rows (imd_ttm.c:1926)
+                    from imd_tpu.io.ttm_io import vlat_from_ttm
+                    v2 = vlat_from_ttm(ttm_file, vstate)
+                    vstate = v2 if v2 is not None else vstate
         if self.ensemble == "glok":
             from imd_tpu import relax as relax_mod
             fire = relax_mod.fire_init(
@@ -1441,7 +1447,8 @@ class Simulation:
             from imd_tpu.io.ttm_io import write_ttm, write_ttm_aux
             write_ttm(base + ".ttm", state.ttm_grid,
                       colrad_c=(state.cstate.c if state.cstate is not None
-                                else None))
+                                else None),
+                      vlat=state.vstate)
             if state.fdtd is not None or state.vstate is not None:
                 write_ttm_aux(base + ".ttmaux.npz", fdtd=state.fdtd,
                               vlat=state.vstate)
