@@ -399,9 +399,15 @@ class Simulation:
             # volume (amu -> kg/m^3: m_amu * 1.66054e-27 / (a0^3/4) 1e-30)
             dens0 = (self.cfg.ttm.atomic_mass * 1.66054e-27
                      / (4.05e-10 ** 3 / 4.0))
+            # the reference initializes the virtual lattice at room
+            # temperature (0.0264 eV hardcoded, imd_ttm.c:1038) — a
+            # restart config without a starttemp tag must not seed the
+            # continuum tail at ~12 K
             self.vlat_params, self.vlat_state0 = self.ttm_mod.make_vlat(
                 self.cfg.ttm.vlatdim, dens0=dens0,
-                t0=max(self.cfg.starttemp, 1e-3), dtype=self.dtype,
+                t0=(self.cfg.starttemp if self.cfg.starttemp > 0
+                    else 0.0264),
+                dtype=self.dtype,
                 atomic_z=self.cfg.ttm.atomic_z,
                 atomic_mass=self.cfg.ttm.atomic_mass)
         else:

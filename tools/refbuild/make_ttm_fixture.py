@@ -24,14 +24,18 @@ write_pot_table(eam.pair, f"{RUN}/pair.pt")
 write_pot_table(eam.rho, f"{RUN}/rho.pt")
 write_pot_table(eam.embed, f"{RUN}/embed.pt")
 
-pos, typ, diag = fcc((32, 3, 3), 4.05)
+pos, typ, diag = fcc((20, 3, 3), 4.05)
 N = len(pos)
-# film centered in a 1.5x longer box: vacuum at both x ends keeps the
-# outermost FD cells inactive (the reference's edge-ghost handling
-# reads past its natoms array for a film spanning the full box)
-lx = diag[0] * 1.5
+# film spans FD cells 2..6 of the 12-cell grid (box 194.4 A): vacuum at
+# both ends keeps the edge cells inactive (the reference reads past its
+# natoms array there), and the film ENDS at the 2-rank boundary so the
+# vlat-owning rank has exactly one active cell -- the reference's
+# do_DIFF vlattice neighbor override (imd_ttm.c:1546, applied to every
+# cell of that rank) then only touches the last active cell, which is
+# its intended semantics
+lx = 48 * 4.05
 box = Box.create([lx,0,0],[0,diag[1],0],[0,0,diag[2]], dtype=jnp.float64)
-pos = pos + np.array([diag[0] * 0.25, 0.0, 0.0])
+pos = pos + np.array([2 * 16.2, 0.0, 0.0])
 grid = choose_grid(box, 5.0, skin=0.5, n_atoms=N)
 grid = with_capacity(grid, measured_capacity(grid, pos))
 mass = np.full(N, 26.9815)
@@ -44,7 +48,7 @@ p = np.asarray(flat["pos"])[m][order]
 v = (np.asarray(flat["mom"])[m] / mass[0])[order]
 d = ChkptData(number=np.arange(N), type=np.zeros(N, np.int32),
               mass=mass, pos=p, vel=v, data=np.zeros((N,1)),
-              box_x=np.asarray([diag[0],0,0]), box_y=np.asarray([0,diag[1],0]),
+              box_x=np.asarray([lx,0,0]), box_y=np.asarray([0,diag[1],0]),
               box_z=np.asarray([0,0,diag[2]]))
 write_chkpt(f"{RUN}/start.chkpt", d, binary=False)
 
@@ -91,7 +95,8 @@ def ee(r, ts):
     return u * units.EV_TO_J / m_kg                           # J/kg
 write_nn(f"{OUT}/EOS_ee_from_r_tesqrt.txt", rho, tsq, ee)
 
-Ti_K = np.linspace(50.0, 5.8e4, 50)
+Ti_K = np.concatenate([np.linspace(20.0, 2000.0, 250),
+                       np.linspace(2100.0, 5.8e4, 300)])
 write_nn(f"{OUT}/EOS_phase_from_r_ti.txt", rho, Ti_K, lambda r, t: 1.0)
 
 # ---- TMM tables ----------------------------------------------------
