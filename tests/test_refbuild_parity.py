@@ -1,0 +1,190 @@
+"""Cross-validation against the REFERENCE BINARY built from source.
+
+Compiles the reference's MPI-only TTM+TMM target unmodified from
+/root/reference against the two-rank mini-MPI shim
+(tools/refbuild/mpistub2.c), generates a self-contained fixture
+(tools/refbuild/make_ttm_fixture.py) and checks:
+
+1. the 2-rank reference reproduces the committed serial golden NVE
+   .eng (tests/data/parity/ref.eng) to ~1e-13 — validating the shim's
+   transport AND the reference's own halo/migration paths;
+2. the reference restarts from imd_tpu-written .chkpt/.itr/.ttm files
+   and the coupled TTM+TMM runs agree on Epot to 1e-4 and lattice
+   temperature to 2e-2 over 40 steps (full format + physics interop;
+   see tools/refbuild/README.md for the known reference-side caveats
+   that bound the TTM tolerances).
+
+Requires /root/reference and gcc; skipped elsewhere.  Slow (~10 min).
+"""
+
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+RB = REPO / "tools" / "refbuild"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference not mounted"),
+    pytest.mark.skipif(shutil.which("gcc") is None, reason="no gcc"),
+]
+
+SRC_COMMON = ("imd_maxwell.c imd_misc.c imd_param.c imd_alloc.c imd_io.c "
+              "imd_io_3d.c imd_potential.c imd_time.c imd_generate.c "
+              "imd_distrib.c imd_main_3d.c imd_geom_3d.c "
+              "imd_pictures_3d.c imd_geom_mpi_3d.c imd_comm_force_3d.c "
+              "imd_fix_cells_3d.c imd_mpi_util.c imd.c "
+              "imd_forces_nbl.c imd_integrate.c").split()
+# imd_interpol.c only compiles under -DTTM (nn_interp is TTM-gated)
+SRC_NVE = SRC_COMMON
+SRC_TTM = SRC_COMMON + ["imd_interpol.c", "fminbnd3.c", "imd_ttm.c",
+                        "imd_tmm.c"]
+
+
+def _build(tmp, sources, flags, out):
+    objs = []
+    for f in sources:
+        o = tmp / (f[:-2] + ".o")
+        subprocess.run(
+            ["gcc", "-O2", "-fcommon", f"-I{RB}", f"-I{REF}"] + flags
+            + ["-Wno-implicit-function-declaration", "-Wno-unused",
+               "-c", str(REF / f), "-o", str(o)],
+            check=True, capture_output=True)
+        objs.append(str(o))
+    shim = tmp / "mpistub2.o"
+    subprocess.run(["gcc", "-O2", "-fcommon", "-c", str(RB / "mpistub2.c"),
+                    "-o", str(shim)], check=True, capture_output=True)
+    subprocess.run(
+        ["gcc", "-O2", "-rdynamic", "-o", str(out)] + objs + [str(shim),
+         str(REF / "nn_interpol" / "libnn.a"), "-lm"],
+        check=True, capture_output=True)
+    return out
+
+
+def _read_eng(path):
+    return np.loadtxt(path)
+
+
+def _align(ref, us, col):
+    tr = {round(t, 9): i for i, t in enumerate(ref[:, 0])}
+    tu = {round(t, 9): i for i, t in enumerate(us[:, 0])}
+    common = sorted(set(tr) & set(tu))
+    assert len(common) >= 30, (ref[:3, 0], us[:3, 0])
+    a = np.array([ref[tr[t], col] for t in common])
+    b = np.array([us[tu[t], col] for t in common])
+    return a, b
+
+
+def test_two_rank_reference_matches_serial_golden_nve(tmp_path):
+    exe = _build(tmp_path, SRC_NVE,
+                 ["-DMPI", "-DMPI2", "-DNBL", "-DEAM2", "-DNVE"],
+                 tmp_path / "imd_nve2")
+    data = REPO / "tests" / "data" / "parity"
+    for f in data.iterdir():
+        shutil.copy(f, tmp_path / f.name)
+    text = (tmp_path / "parity.imd").read_text()
+    (tmp_path / "parity.imd").write_text(
+        "cpu_dim 2 1 1\nmsgbuf_size 8\n" + text)
+    subprocess.run([str(exe), "-p", "parity.imd"], cwd=tmp_path,
+                   check=True, capture_output=True, timeout=300)
+    a, b = _align(_read_eng(data / "ref.eng"),
+                  _read_eng(tmp_path / "run.eng"), 1)
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-10
+
+
+def test_reference_ttm_tmm_interop(tmp_path):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    exe = _build(tmp_path, SRC_TTM,
+                 ["-DMPI", "-DMPI2", "-DNBL", "-DEAM2", "-DTTM",
+                  "-DTTM1D", "-DTMM"],
+                 tmp_path / "imd_ttm2")
+    run = tmp_path / "run"
+    run.mkdir()
+    # fixture (writes EOS/bb/K12 tables to tmp_path, inputs to run/)
+    env = dict(os.environ, TTMFIX_OUT=str(tmp_path), TTMFIX_RUN=str(run))
+    subprocess.run([sys.executable, str(RB / "make_ttm_fixture.py")],
+                   check=True, capture_output=True, env=env, timeout=590)
+
+    base = """\
+coordname start.chkpt
+outfiles run
+ntypes 1
+total_types 1
+masses 26.9815
+core_potential_file pair.pt
+embedding_energy_file embed.pt
+atomic_e-density_file rho.pt
+box_from_header 1
+pbc_dirs 1 1 1
+ensemble ttm
+timestep 0.1
+eng_int 1
+nbl_margin 0.5
+ttmdimx 12
+fd_min_atoms 2
+fd_n_timesteps 10000
+atomic_weight 26.9815
+atomic_charge 13
+tmm_threshold 2.0
+lambda 800e-9
+I0 2e15
+laser_t_0 20e-15
+laser_sigma_t 10e-15
+ttm_int 5
+checkpt_int 5
+vlatdim 1
+"""
+    (run / "phase1.imd").write_text(
+        base + "maxsteps 5\ninit_t_el 0.1\nwide_range 1\neos_dir ..\ntmm\n"
+        "tmm_bb_table ../alu_eps_bb.dat\n")
+    (run / "ours.imd").write_text(
+        base + "maxsteps 45\nwide_range 1\neos_dir ..\ntmm\n"
+        "tmm_bb_table ../alu_eps_bb.dat\n")
+    (run / "ref.imd").write_text(
+        base + "maxsteps 45\ncpu_dim 2 1 1\nmsgbuf_size 8\nvlatbuffer 0\n")
+
+    from imd_tpu.config import SimConfig
+    from imd_tpu.simulation import Simulation
+    cwd = os.getcwd()
+    os.chdir(run)
+    try:
+        sim = Simulation.from_param_file(str(run / "phase1.imd"),
+                                         dtype=jnp.float64, engine="xla",
+                                         fast=False)
+        sim.run()
+        for ext in ("chkpt", "itr", "ttm"):
+            shutil.copy(run / f"run.00001.{ext}", run / f"run.1.{ext}")
+        (run / "run.eng").rename(run / "phase1.eng")
+
+        r = subprocess.run([str(exe), "-p", "ref.imd", "-r", "1"],
+                           cwd=run, capture_output=True, timeout=590)
+        assert r.returncode == 0, r.stdout[-800:] + r.stderr[-400:]
+        (run / "run.eng").rename(run / "ref.eng")
+
+        cfg = SimConfig.from_file(str(run / "ours.imd"), 1)
+        cfg.coordname = "run.1.chkpt"
+        cfg.itrname = "run.1.itr"
+        cfg.restart_base = "run.1"
+        sim2 = Simulation(cfg, workdir=str(run), dtype=jnp.float64,
+                          engine="xla", fast=False)
+        sim2.run()
+    finally:
+        os.chdir(cwd)
+
+    ref = _read_eng(run / "ref.eng")
+    us = _read_eng(run / "run.eng")
+    ea, eb = _align(ref, us, 1)
+    ta, tb = _align(ref, us, 2)
+    assert np.abs(ea - eb).max() / np.abs(ea).max() < 1e-4
+    assert np.abs(ta - tb).max() / np.abs(ta).max() < 2e-2

@@ -16,8 +16,9 @@ from imd_tpu.models.eos import FEGEos
 from imd_tpu.models import tmm as tmm_mod
 from imd_tpu.models import widerange as wr
 
-OUT = "/tmp/ttmfix"
-RUN = "/tmp/ttmfix/run"
+OUT = os.environ.get("TTMFIX_OUT", "/tmp/ttmfix")
+RUN = os.environ.get("TTMFIX_RUN", OUT + "/run")
+os.makedirs(RUN, exist_ok=True)
 
 eam = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float64)
 write_pot_table(eam.pair, f"{RUN}/pair.pt")
