@@ -105,8 +105,14 @@ def main(argv=None):
             sim.adopt_scene(prev_scene)
             sim.step_count = prev_step
         steps = args.steps_override if args.steps_override else None
+        if steps is None and args.restart is not None and phase == 1:
+            # reference semantics: maxsteps is the ABSOLUTE final step
+            # (main_loop runs steps_min..steps_max, imd_main_3d.c:151);
+            # a restart continues to maxsteps, not for maxsteps more
+            steps = max(cfg.maxsteps - sim.step_count, 0)
         print(f"# phase {phase}/{n_phases}: ensemble={cfg.ensemble} "
-              f"steps={steps or cfg.maxsteps}", flush=True)
+              f"steps={steps if steps is not None else cfg.maxsteps}",
+              flush=True)
         state = sim.run(steps=steps)
         prev_scene, prev_step = sim.scene, sim.step_count
         n = int(prev_scene.n_atoms())

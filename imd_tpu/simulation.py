@@ -999,8 +999,8 @@ class Simulation:
 
         def make_run_block(fn):
             @jax.jit
-            def run_block(state):
-                return jax.lax.fori_loop(0, block, lambda i, s: fn(s), state)
+            def run_block(state, k):
+                return jax.lax.fori_loop(0, k, lambda i, s: fn(s), state)
             return run_block
 
         run_block = make_run_block(step_fn)
@@ -1031,8 +1031,9 @@ class Simulation:
         grow_tries = 0
         while done < steps:
             prev_state = state
+            b = min(block, steps - done)
             with timers.section("main"):
-                state = run_block(state)
+                state = run_block(state, b)
                 jax.block_until_ready(state.scene.pos)
             if int(state.scene.overflow) > 0:
                 # a rebin inside the block overflowed the static cell
@@ -1049,19 +1050,22 @@ class Simulation:
                 step_fn = self.make_step_fn()
                 run_block = make_run_block(step_fn)
                 continue
-            done += block
+            done += b
+            # I/O cadence keys on the GLOBAL step like the reference's
+            # main loop (imd_main_3d.c:623-793) so restarted runs keep
+            # the original file schedule
             gstep = int(state.step)
-            if cfg.eng_int > 0 and done % cfg.eng_int == 0:
+            if cfg.eng_int > 0 and gstep % cfg.eng_int == 0:
                 self._write_eng(state, nactive)
-            if cfg.checkpt_int > 0 and done % cfg.checkpt_int == 0:
+            if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                 self.write_checkpoint(state, gstep // cfg.checkpt_int)
             if (cfg.ttm.enabled and cfg.ttm_int > 0
-                    and done % cfg.ttm_int == 0):
+                    and gstep % cfg.ttm_int == 0):
                 from imd_tpu.io.ttm_io import write_ttm
                 write_ttm(self._path(
                     f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
                     state.ttm_grid)
-            if cfg.dist_int > 0 and done % cfg.dist_int == 0:
+            if cfg.dist_int > 0 and gstep % cfg.dist_int == 0:
                 # binned-field snapshot (write_distrib, imd_distrib.c:33)
                 from imd_tpu.io.distrib import compute_distrib, write_distrib
                 fields = compute_distrib(state.scene, cfg.dist_dim)
@@ -1074,12 +1078,12 @@ class Simulation:
                     fields, names, cfg.dist_dim,
                     bh / np.asarray(cfg.dist_dim, np.float64),
                     mode="binary" if cfg.binary_output else "ascii")
-            if cfg.pic_int > 0 and done % cfg.pic_int == 0:
+            if cfg.pic_int > 0 and gstep % cfg.pic_int == 0:
                 from imd_tpu.io.pictures import write_picture
                 write_picture(
                     self._path(f"{cfg.outfiles}.{gstep // cfg.pic_int}.ppm"),
                     state.scene)
-            if cfg.lb_frequency > 0 and done % cfg.lb_frequency == 0:
+            if cfg.lb_frequency > 0 and gstep % cfg.lb_frequency == 0:
                 # x-slab repartition (balanceLoad every lb_frequency,
                 # imd_main_3d.c:864-914) — moves grid.xbounds (a traced
                 # leaf: no recompilation) and rebins
@@ -1093,7 +1097,7 @@ class Simulation:
                     scene=lb.repartition_x(state.scene))
             if on_interval is not None:
                 on_interval(self, state)
-            if (sock is not None and done % cfg.socket_int == 0):
+            if (sock is not None and gstep % cfg.socket_int == 0):
                 from imd_tpu.io import socket_io
                 if socket_io.poll(sock, self, state):
                     break
@@ -1286,8 +1290,9 @@ class Simulation:
         grow_tries = 0
         while done < steps:
             prev_carry = carry
+            b = min(block, steps - done)
             with timers.section("main"):
-                carry = run_block(carry, block)
+                carry = run_block(carry, b)
                 jax.block_until_ready(carry[0].xi)
             if int(carry[0].overflow) > 0:
                 # in-loop rebin overflowed the cell capacity: grow the
@@ -1325,9 +1330,9 @@ class Simulation:
                     vstate=(prev_carry[3 + has_aux0]
                             if has_vlat else None))
                 continue
-            done += block
+            done += b
             gstep = self.step_count + done
-            io_due = any(i > 0 and done % i == 0 for i in intervals)
+            io_due = any(i > 0 and gstep % i == 0 for i in intervals)
             wfile, sfile = self._path("write"), self._path("stop")
             stop = os.path.exists(sfile)
             force_write = os.path.exists(wfile)
@@ -1338,18 +1343,18 @@ class Simulation:
                 scene, epot, ekin, virial, presstens = observe(carry[0])
                 state = mk_state(scene, epot, ekin, virial, presstens,
                                  gstep)
-                if cfg.eng_int > 0 and done % cfg.eng_int == 0:
+                if cfg.eng_int > 0 and gstep % cfg.eng_int == 0:
                     self._write_eng(state, nactive)
-                if cfg.checkpt_int > 0 and done % cfg.checkpt_int == 0:
+                if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                     self.write_checkpoint(state,
                                           gstep // cfg.checkpt_int)
                 if (ttm_on and cfg.ttm_int > 0
-                        and done % cfg.ttm_int == 0):
+                        and gstep % cfg.ttm_int == 0):
                     from imd_tpu.io.ttm_io import write_ttm
                     write_ttm(self._path(
                         f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
                         state.ttm_grid)
-                if cfg.dist_int > 0 and done % cfg.dist_int == 0:
+                if cfg.dist_int > 0 and gstep % cfg.dist_int == 0:
                     from imd_tpu.io.distrib import (compute_distrib,
                                                     write_distrib)
                     fields = compute_distrib(scene, cfg.dist_dim)
@@ -1364,7 +1369,7 @@ class Simulation:
                         fields, names, cfg.dist_dim,
                         bh / np.asarray(cfg.dist_dim, np.float64),
                         mode="binary" if cfg.binary_output else "ascii")
-                if cfg.pic_int > 0 and done % cfg.pic_int == 0:
+                if cfg.pic_int > 0 and gstep % cfg.pic_int == 0:
                     from imd_tpu.io.pictures import write_picture
                     write_picture(
                         self._path(f"{cfg.outfiles}."

@@ -232,3 +232,26 @@ def test_ensemble_cg_relaxes(tmp_path):
     # the force norm collapses toward the relaxed state
     assert float(st.stats.fnorm) < 0.05 * f0
     assert (tmp_path / "cg.eng").exists()
+
+
+def test_cli_restart_runs_to_absolute_maxsteps(tmp_path):
+    """Reference semantics: maxsteps is the ABSOLUTE final step — a
+    restart continues steps_min..maxsteps (imd_main_3d.c:151), it does
+    not run maxsteps additional steps."""
+    import imd_tpu.__main__ as cli
+
+    out = str(tmp_path / "r")
+    p = tmp_path / "r.imd"
+    p.write_text(PARAM_LJ.format(out="r"))
+    cli.main(["-p", str(p), "--engine", "xla"])
+    # restart from checkpoint 1 (written at step 60); startstep = 61
+    text = PARAM_LJ.format(out="r").replace("maxsteps    60",
+                                            "maxsteps    80")
+    p.write_text(text)
+    cli.main(["-p", str(p), "-r", "1", "--engine", "xla"])
+    eng = [ln for ln in open(out + ".eng").read().splitlines()
+           if ln and not ln.startswith("#")]
+    times = [float(ln.split()[0]) for ln in eng]
+    # the restarted run appended only up to t = 80 * dt, not 140 * dt
+    assert max(times) <= 80 * 0.004 + 1e-9, max(times)
+    assert max(times) >= 79 * 0.004
