@@ -114,6 +114,10 @@ def main(argv=None):
               f"steps={steps if steps is not None else cfg.maxsteps}",
               flush=True)
         state = sim.run(steps=steps)
+        if phase == n_phases and cfg.checkpt_int > 0:
+            # end-of-run "-final" checkpoint + .itr so `imdcontinue`-style
+            # workflows can pick up the last state (imd_io_3d.c:995)
+            sim.write_checkpoint(state, -1)
         prev_scene, prev_step = sim.scene, sim.step_count
         n = int(prev_scene.n_atoms())
         print(f"# phase {phase} done: step={prev_step} atoms={n} "

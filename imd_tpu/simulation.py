@@ -1446,7 +1446,10 @@ class Simulation:
             box_y=np.asarray(self.box.h)[1],
             box_z=np.asarray(self.box.h)[2],
         )
-        base = self._path(f"{self.cfg.outfiles}.{fzhlr:05d}")
+        # fzhlr == -1: the reference's end-of-run "-final" checkpoint
+        # (write_config(-1) naming, imd_io_3d.c:995-999)
+        base = self._path(self.cfg.outfiles + "-final" if fzhlr == -1
+                          else f"{self.cfg.outfiles}.{fzhlr:05d}")
         write_chkpt(base + ".chkpt", d, binary=bool(self.cfg.binary_output))
         write_itr(base + ".itr", checkpoint=fzhlr,
                   startstep=int(state.step) + 1,

@@ -163,6 +163,9 @@ def test_cli_two_phase_run(tmp_path):
     assert len(eng) >= 4
     d = read_chkpt(str(tmp_path / "cli.00001.chkpt"))
     assert d.n == 4 * 4 * 4 * 4      # all atoms survived (f32 binning)
+    # end-of-run -final checkpoint (write_config(-1), imd_io_3d.c:995)
+    assert (tmp_path / "cli-final.chkpt").exists()
+    assert "checkpoint -1" in (tmp_path / "cli-final.itr").read_text()
 
 
 def test_grow_capacity_preserves_atoms():
