@@ -1410,6 +1410,15 @@ class Simulation:
 
     def _write_eng(self, state: SimState, nactive: float):
         n = max(int(state.scene.n_atoms()), 1)
+        if (state.ttm_grid is not None
+                and getattr(state.ttm_grid, "cfl_overflow", None) is not None
+                and not getattr(self, "_cfl_warned", False)
+                and bool(state.ttm_grid.cfl_overflow)):
+            self._cfl_warned = True
+            print("# WARNING: TTM diffusion CFL demand exceeded "
+                  "max_substeps — the electron grid is integrated at "
+                  "the clamped substep count (raise ttm max_substeps "
+                  "or coarsen ttmdimx)", flush=True)
         vol = float(state.scene.grid.box.volume)
         ekin = float(state.stats.tot_kin_energy)
         ttm_eng = None
