@@ -1,3 +1,7 @@
+# NOTE: the serial reference binary consumed below (/tmp/refbin) can be
+# rebuilt reproducibly with the recipe in tools/refbuild/README.md
+# (gcc -fcommon -DNBL -DEAM2 -DNVE over the SRC_NVE list, no MPI), or
+# via the 2-rank variant exercised by tests/test_refbuild_parity.py.
 import os, sys, subprocess, pathlib, shutil
 sys.path.insert(0, '/root/repo')
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
