@@ -148,6 +148,7 @@ _KNOWN_ODD = {"simulation", "lambda", "I0", "Sc", "bw", "srcx",
               "srcw", "ttmdimx", "ttmdimy", "ttmdimz",
               "init_t_el", "fix_t_el", "elecpress", "vlatdim",
               "vlatbuffer", "wide_range", "eos_dir", "atomic_z",
+              "ttm_max_substeps",
               "restrictionvector", "extra_startforce", "extf",
               "strainrate", "expansionmode", "total_types",
               "Tleft", "Tright", "nslices_Left", "nslices_Right",
@@ -984,6 +985,8 @@ class SimConfig:
         T.vlatdim = int(g("vlatdim", 0))
         T.vlatbuffer = int(g("vlatbuffer", 0))
         T.wide_range = bool(g("wide_range", False))
+        if g("ttm_max_substeps") is not None:
+            T.max_substeps = int(g("ttm_max_substeps"))
         T.eos_dir = str(g("eos_dir", "."))
         if g("atomic_z") is not None:
             T.atomic_z = float(g("atomic_z"))
