@@ -405,3 +405,240 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     fz = _assemble(dims, outs2[2], outs2[5])
     F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
     return F, rho_t * maskf, nneigh * maskf
+
+
+def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
+                             count_neighbors: bool = False,
+                             neigh_r2: float = 0.0, block: int = B):
+    """Multi-type windowed split EAM (alloys without roll
+    materialization).
+
+    Same in-kernel window machinery as eam_kernels_win_split; the
+    type-pair table columns are selected by one-hot weights exactly
+    like the roll-based eam_kernels_cl_mt (pair col = ti*nt+tj, host
+    densities rho_i += col(tj,ti) / rho_j += col(ti,tj),
+    imd_forces_nbl.c:468-470/843-872).  The per-slot types ride the
+    same streamed window blocks as the dF views.  Returns cells-last
+    (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]).
+    """
+    from imd_tpu.ops.forces_pallas import _mt_eval
+
+    nt = ntypes
+    layout = WinLayout(grid, block=block)
+    dims = grid.dims
+    dtype = xi.dtype
+    cap = xi.shape[0]
+    nc = layout.nc
+    nblk, ncp = layout.nblk, layout.ncp
+
+    rcut2 = float(grid.cutoff) ** 2
+    nr2 = float(neigh_r2 if neigh_r2 > 0 else rcut2)
+    pair_cs = [_poly_consts(eam.pair, c) for c in range(nt * nt)]
+    rho_cs = [_poly_consts(eam.rho, c) for c in range(nt * nt)]
+    interp = jax.default_backend() == "cpu"
+
+    xp = layout.pad_flat(xi)                       # [cap, 3, L]
+    tf = jnp.clip(typ, 0, nt - 1).astype(dtype)    # dead slots -> col 0
+    tfp = layout.pad_flat(tf)                      # [cap, L]
+    stab = layout.shift_table(grid, dtype)         # [13, 3, ncp]
+    nw = len(layout.wblocks)
+    blk0 = layout.pad_lo // layout.block
+    bb = layout.block
+
+    def tri_mask(cap):
+        ti = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 0)
+        tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
+        return ti < tj
+
+    def build_xj(wins, sref, m, masks):
+        plan = layout.plans[m]
+        return [_view(layout, wins, c, plan, masks) + sref[m, c, :][None]
+                for c in range(3)]
+
+    def xi_self(wins, masks):
+        dead = masks[4]
+        w0 = layout.widx[0]
+        return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+                for c in range(3)]
+
+    def weights(ti_f, tj_f):
+        wi = [(ti_f[:, None, :] == float(p)).astype(dtype)
+              for p in range(nt)]
+        wj = [(tj_f[None, :, :] == float(q)).astype(dtype)
+              for q in range(nt)]
+        return [wi[p] * wj[q] for p in range(nt) for q in range(nt)]
+
+    # ---------------- kernel R: host density (+ neighbor count) ----------
+    def sweep_r(xi3, ti_f, xj3, tj_f, tri):
+        dx = xi3[0][:, None, :] - xj3[0][None, :, :]
+        dy = xi3[1][:, None, :] - xj3[1][None, :, :]
+        dz = xi3[2][:, None, :] - xj3[2][None, :, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = r2 < rcut2
+        if tri is not None:
+            inside = inside & tri
+        insf = inside.astype(dtype)
+        w = weights(ti_f, tj_f)
+        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
+        rv_ij = _mt_eval(r2, rho_cs, wT, "v") * insf
+        rv_ji = _mt_eval(r2, rho_cs, w, "v") * insf
+        out = {"rho_i": jnp.sum(rv_ij, 1), "rho_j": jnp.sum(rv_ji, 0)}
+        if count_neighbors:
+            near = (insf if nr2 >= rcut2
+                    else insf * (r2 < nr2).astype(dtype))
+            out["nn_i"] = jnp.sum(near, 1)
+            out["nn_j"] = jnp.sum(near, 0)
+        return out
+
+    keys_r = ["rho"] + (["nn"] if count_neighbors else [])
+    nkr = len(keys_r)
+
+    def kern_r(occ_ref, *refs):
+        wins, rest = refs[:nw], refs[nw:]
+        twins = rest[:nw]
+        sref = rest[nw]
+        iref, jref = rest[nw + 1:nw + 1 + nkr], rest[nw + 1 + nkr:]
+        i = pl.program_id(0)
+
+        @pl.when(occ_ref[i] == 0)
+        def _zero():
+            for k in range(nkr):
+                iref[k][...] = jnp.zeros((cap, bb), dtype)
+                jref[k][...] = jnp.zeros((NOF, cap, bb), dtype)
+
+        @pl.when(occ_ref[i] > 0)
+        def _body():
+            masks = _phase_masks(layout, i)
+            xi3 = xi_self(wins, masks)
+            ti_f = twins[layout.widx[0]][...]
+            o = sweep_r(xi3, ti_f, xi3, ti_f, tri_mask(cap))
+            for k, name in enumerate(keys_r):
+                iref[k][...] = o[name + "_i"] + o[name + "_j"]
+            for m in range(NOF):
+                tj_f = _view1(layout, twins, layout.plans[m], masks)
+                o = sweep_r(xi3, ti_f, build_xj(wins, sref, m, masks),
+                            tj_f, None)
+                for k, name in enumerate(keys_r):
+                    iref[k][...] += o[name + "_i"]
+                    jref[k][m] = o[name + "_j"]
+
+    maskp = jnp.zeros((ncp,), jnp.int32).at[:nc].set(
+        jnp.sum(mask.astype(jnp.int32), axis=0))
+    occ = jnp.sum(maskp.reshape(nblk, bb), axis=1)
+    spec_occ = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_w = [pl.BlockSpec((cap, 3, bb),
+                           functools.partial(
+                               lambda i, w: (0, 0, i + blk0 + w), w=w),
+                           memory_space=pltpu.VMEM)
+              for w in layout.wblocks]
+    spec_dw = [pl.BlockSpec((cap, bb),
+                            functools.partial(
+                                lambda i, w: (0, i + blk0 + w), w=w),
+                            memory_space=pltpu.VMEM)
+               for w in layout.wblocks]
+    spec_s = pl.BlockSpec((NOF, 3, bb), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((cap, bb), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    spec_oj = pl.BlockSpec((NOF, cap, bb), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
+    shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
+
+    outs = pl.pallas_call(
+        kern_r, grid=(nblk,),
+        in_specs=[spec_occ] + spec_w + spec_dw + [spec_s],
+        out_specs=[spec_o] * nkr + [spec_oj] * nkr,
+        out_shape=[shp] * nkr + [shpj] * nkr,
+        interpret=interp,
+    )(occ, *([xp] * nw), *([tfp] * nw), stab)
+    outs = [o[..., :nc] for o in outs]
+    acc = {name: _assemble(dims, outs[k], outs[nkr + k])
+           for k, name in enumerate(keys_r)}
+    rho_t = acc["rho"]
+    maskf = mask.astype(dtype)
+    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+
+    # embedding derivative: per-type column select (XLA elementwise)
+    emb_g = None
+    for p in range(nt):
+        _, g = eam.embed.interp(p, jnp.maximum(rho_t, 1e-12))
+        sel = (jnp.clip(typ, 0, nt - 1) == p).astype(dtype)
+        emb_g = g * sel if emb_g is None else emb_g + g * sel
+    dF = 0.5 * emb_g * maskf
+    dFp = layout.pad_flat(dF)
+
+    # ---------------- kernel F: combined pair+embedding forces -----------
+    def sweep_f(xi3, ti_f, xj3, tj_f, tri, dfi, dfj):
+        dx = xi3[0][:, None, :] - xj3[0][None, :, :]
+        dy = xi3[1][:, None, :] - xj3[1][None, :, :]
+        dz = xi3[2][:, None, :] - xj3[2][None, :, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        inside = r2 < rcut2
+        if tri is not None:
+            inside = inside & tri
+        insf = inside.astype(dtype)
+        w = weights(ti_f, tj_f)
+        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
+        pg = _mt_eval(r2, pair_cs, w, "g")
+        g_ij = _mt_eval(r2, rho_cs, wT, "g")
+        g_ji = _mt_eval(r2, rho_cs, w, "g")
+        grad = (pg + dfi[:, None, :] * g_ij
+                + dfj[None, :, :] * g_ji) * insf
+        return {"fx_i": -jnp.sum(grad * dx, 1),
+                "fy_i": -jnp.sum(grad * dy, 1),
+                "fz_i": -jnp.sum(grad * dz, 1),
+                "fx_j": jnp.sum(grad * dx, 0),
+                "fy_j": jnp.sum(grad * dy, 0),
+                "fz_j": jnp.sum(grad * dz, 0)}
+
+    def kern_f(occ_ref, *refs):
+        wins, rest = refs[:nw], refs[nw:]
+        twins = rest[:nw]
+        dwins = rest[nw:2 * nw]
+        sref = rest[2 * nw]
+        fx, fy, fz, fjx, fjy, fjz = rest[2 * nw + 1:]
+        i = pl.program_id(0)
+
+        @pl.when(occ_ref[i] == 0)
+        def _zero():
+            for r in (fx, fy, fz):
+                r[...] = jnp.zeros((cap, bb), dtype)
+            for r in (fjx, fjy, fjz):
+                r[...] = jnp.zeros((NOF, cap, bb), dtype)
+
+        @pl.when(occ_ref[i] > 0)
+        def _body():
+            masks = _phase_masks(layout, i)
+            xi3 = xi_self(wins, masks)
+            ti_f = twins[layout.widx[0]][...]
+            dfi = dwins[layout.widx[0]][...]
+            o = sweep_f(xi3, ti_f, xi3, ti_f, tri_mask(cap), dfi, dfi)
+            fx[...] = o["fx_i"] + o["fx_j"]
+            fy[...] = o["fy_i"] + o["fy_j"]
+            fz[...] = o["fz_i"] + o["fz_j"]
+            for m in range(NOF):
+                tj_f = _view1(layout, twins, layout.plans[m], masks)
+                dfj = _view1(layout, dwins, layout.plans[m], masks)
+                o = sweep_f(xi3, ti_f, build_xj(wins, sref, m, masks),
+                            tj_f, None, dfi, dfj)
+                fx[...] += o["fx_i"]
+                fy[...] += o["fy_i"]
+                fz[...] += o["fz_i"]
+                fjx[m] = o["fx_j"]
+                fjy[m] = o["fy_j"]
+                fjz[m] = o["fz_j"]
+
+    outs2 = pl.pallas_call(
+        kern_f, grid=(nblk,),
+        in_specs=[spec_occ] + spec_w + spec_dw + spec_dw + [spec_s],
+        out_specs=[spec_o] * 3 + [spec_oj] * 3,
+        out_shape=[shp] * 3 + [shpj] * 3,
+        interpret=interp,
+    )(occ, *([xp] * nw), *([tfp] * nw), *([dFp] * nw), stab)
+    outs2 = [o[..., :nc] for o in outs2]
+    fx = _assemble(dims, outs2[0], outs2[3])
+    fy = _assemble(dims, outs2[1], outs2[4])
+    fz = _assemble(dims, outs2[2], outs2[5])
+    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
+    return F, rho_t * maskf, nneigh * maskf

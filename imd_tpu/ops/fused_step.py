@@ -135,11 +135,13 @@ def make_fused_step(template: Scene, eam_run, timestep,
 
     def forces_cl(xi, alive, typ):
         if ntypes > 1:
-            # alloy path: type-pair column select inside the sweep
-            F, _, _, nn, _, _ = fp.eam_kernels_cl_mt(
+            # alloy path: type-pair column select inside the windowed
+            # sweep (no roll materialization, like the single-species
+            # production engine)
+            from imd_tpu.ops.forces_win import eam_kernels_win_split_mt
+            F, _, nn = eam_kernels_win_split_mt(
                 xi, typ, alive, eam_run, grid, ntypes,
-                count_neighbors=count_neighbors, block=block,
-                need_energy=False, need_stress=False)
+                count_neighbors=count_neighbors)
             return F, nn
         if sharded_forces is not None:
             F, _, nn = sharded_forces(xi, alive)
@@ -268,10 +270,10 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
 
     def _core(cl: CLState, tgrid, fdi, cs, vs, k):
         if ntypes > 1:
-            F, _, _, nn, _, _ = fp.eam_kernels_cl_mt(
+            from imd_tpu.ops.forces_win import eam_kernels_win_split_mt
+            F, _, nn = eam_kernels_win_split_mt(
                 cl.xi, cl.typ, cl.alive, eam_run, grid, ntypes,
-                count_neighbors=True, block=block,
-                need_energy=False, need_stress=False)
+                count_neighbors=True)
         elif sharded_forces is not None:
             F, _, nn = sharded_forces(cl.xi, cl.alive)
         elif engine == "win":

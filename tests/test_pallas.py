@@ -333,3 +333,58 @@ def test_win_engine_vacuum_block_skip():
     assert float(jnp.abs(F1 - F2).max()) == 0.0
     assert float(jnp.abs(rho1 - rho2).max()) == 0.0
     assert float(jnp.abs(nn1 - nn2).max()) == 0.0
+
+
+@pytest.mark.parametrize("pbc", [(1, 1, 1), (0, 1, 1)])
+def test_win_mt_engine_matches_roll_mt(pbc):
+    """The windowed multi-type engine (in-kernel views + one-hot column
+    select) must reproduce the roll-based mt engine: bit-equal densities
+    and neighbor counts, forces to f32 summation round-off."""
+    from imd_tpu.models.potential import (EAMPotential, analytic_eam,
+                                          to_fastpoly)
+    from imd_tpu.models.potential import PotTable
+    from imd_tpu.ops.forces_fast import _to_cl
+    from imd_tpu.ops.forces_pallas import SENTINEL_DEAD, eam_kernels_cl_mt
+    from imd_tpu.ops.forces_win import eam_kernels_win_split_mt
+
+    nt = 2
+    e1 = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float32)
+
+    def scale_cols(pt, scales):
+        tab = np.asarray(pt.table)
+        n = len(scales)
+        table = np.concatenate([tab * s for s in scales], axis=0)
+        rep = lambda a: np.concatenate([np.asarray(a)] * n)  # noqa: E731
+        return PotTable(table=jnp.asarray(table),
+                        begin=jnp.asarray(rep(pt.begin)),
+                        end=jnp.asarray(rep(pt.end)),
+                        step=jnp.asarray(rep(pt.step)),
+                        invstep=jnp.asarray(rep(pt.invstep)),
+                        length=jnp.asarray(rep(pt.length)))
+
+    eam2 = EAMPotential(pair=scale_cols(e1.pair, [1.0, 0.8, 0.8, 0.6]),
+                        rho=scale_cols(e1.rho, [1.0, 0.9, 0.7, 0.5]),
+                        embed=scale_cols(e1.embed, [1.0, 0.75]))
+    eam_run = EAMPotential(pair=to_fastpoly(eam2.pair),
+                           rho=to_fastpoly(eam2.rho),
+                           embed=to_fastpoly(eam2.embed, vcap=1e9))
+
+    sc = _scene(pbc=pbc)
+    key = jax.random.PRNGKey(9)
+    rt = jax.random.bernoulli(key, 0.4, sc.type.shape).astype(jnp.int32)
+    sc = sc.replace(type=jnp.where(sc.mask, rt, -1),
+                    pos=sc.pos + 0.05 * jax.random.normal(
+                        jax.random.PRNGKey(1), sc.pos.shape))
+    dims = sc.grid.dims
+    typc = _to_cl(sc.type, dims)
+    maskc = typc >= 0
+    xi = jnp.where(maskc[:, None, :], _to_cl(sc.pos, dims), SENTINEL_DEAD)
+    F1, _, r1, n1, _, _ = eam_kernels_cl_mt(
+        xi, typc, maskc, eam_run, sc.grid, nt,
+        count_neighbors=True, need_energy=False)
+    F2, r2, n2 = eam_kernels_win_split_mt(
+        xi, typc, maskc, eam_run, sc.grid, nt, count_neighbors=True)
+    assert float(jnp.abs(r1 - r2).max()) == 0.0
+    assert float(jnp.abs(n1 - n2).max()) == 0.0
+    scale = float(jnp.abs(F1).max()) + 1.0
+    assert float(jnp.abs(F1 - F2).max()) / scale < 1e-5
