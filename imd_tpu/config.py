@@ -330,6 +330,10 @@ class SimConfig:
     coordname: str = ""              # input config (.chkpt) or _lattice spec
     outfiles: str = "out"            # output basename
     potfile: str = ""                # pair potential table
+    # table-interpolation mode: '3point' (reference default), '4point'
+    # (the FOURPOINT build), 'spline' (the SPLINE build).  The reference
+    # selects this at compile time (potaccess.h:23-35); here it is a tag.
+    pot_interp: str = "3point"
     itrname: str = ""
     # restart file basename (<outfiles>.<N>), set by the CLI -r flag;
     # subsystem restart files <base>.{ttm,ttmaux.npz,nrb} are read from
@@ -790,6 +794,7 @@ class SimConfig:
         c.coordname = str(g("coordname", c.coordname))
         c.outfiles = str(g("outfiles", c.outfiles))
         c.potfile = str(g("potfile", c.potfile))
+        c.pot_interp = str(g("pot_interp", c.pot_interp))
         c.itrname = str(g("itrname", c.itrname))
         c.use_header = int(g("use_header", c.use_header))
         c.core_potential_file = str(g("core_potential_file", ""))

@@ -107,6 +107,211 @@ class PotTable:
 
 
 # ---------------------------------------------------------------------------
+# alternate interpolation modes (reference compile flags 4point / spline)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FourPointTable:
+    """Cubic 4-point Lagrange interpolation over a PotTable.
+
+    Matches the reference's FOURPOINT build (`PAIR_INT3`,
+    potaccess.h:365-410): same stencil `k = max(trunc(r2a), 1)` so the
+    cubic is evaluated at chi in [-1, 0) just above the table start,
+    and the same fac/dfac Lagrange weights.  The interface is identical
+    to PotTable.interp — (value, 2*d/dx) — so every table-driven engine
+    accepts it unchanged.
+    """
+    base: PotTable
+
+    def tree_flatten(self):
+        return ((self.base,), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ncols(self) -> int:
+        return self.base.ncols
+
+    @property
+    def max_end(self) -> float:
+        return self.base.max_end
+
+    def __getattr__(self, name):
+        # delegate table metadata (begin/end/step/...) to the base table
+        return getattr(object.__getattribute__(self, "base"), name)
+
+    def interp(self, col, x):
+        pt = self.base
+        begin = pt.begin[col]
+        invstep = pt.invstep[col]
+        is_short = x < begin
+        xa = jnp.minimum(x, pt.end[col]) - begin
+        xa = jnp.maximum(xa, 0.0) * invstep
+        k = jnp.maximum(jnp.floor(xa).astype(jnp.int32), 1)
+        k = jnp.minimum(k, pt.table.shape[1] - 3)
+        chi = xa - k
+        if isinstance(col, int):
+            tab = pt.table[col]
+            p0, p1, p2, p3 = tab[k - 1], tab[k], tab[k + 1], tab[k + 2]
+        else:
+            p0 = pt.table[col, k - 1]
+            p1 = pt.table[col, k]
+            p2 = pt.table[col, k + 1]
+            p3 = pt.table[col, k + 2]
+        sixth = 1.0 / 6.0
+        fac0 = -sixth * chi * (chi - 1.0) * (chi - 2.0)
+        fac1 = 0.5 * (chi * chi - 1.0) * (chi - 2.0)
+        fac2 = -0.5 * chi * (chi + 1.0) * (chi - 2.0)
+        fac3 = sixth * chi * (chi * chi - 1.0)
+        dfac0 = -sixth * ((3.0 * chi - 6.0) * chi + 2.0)
+        dfac1 = 0.5 * ((3.0 * chi - 4.0) * chi - 1.0)
+        dfac2 = -0.5 * ((3.0 * chi - 2.0) * chi - 2.0)
+        dfac3 = sixth * (3.0 * chi * chi - 1.0)
+        val = fac0 * p0 + fac1 * p1 + fac2 * p2 + fac3 * p3
+        grad = 2.0 * invstep * (dfac0 * p0 + dfac1 * p1
+                                + dfac2 * p2 + dfac3 * p3)
+        # same below-start policy as PotTable.interp: flat clamp (the
+        # reference keeps the extrapolated gradient and warns is_short)
+        grad = jnp.where(is_short, jnp.zeros_like(grad), grad)
+        return val, grad
+
+    def value(self, col, x):
+        return self.interp(col, x)[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SplineTable:
+    """Natural-spline interpolation over a PotTable (+second derivatives).
+
+    Matches the reference's SPLINE build: second-derivative columns from
+    `init_spline` (imd_potential.c:1201 — natural at the left end, for
+    radial tables a clamped zero first derivative at the right end) and
+    the `PAIR_INT_SP` evaluation (potaccess.h:421-458).  Built via
+    :func:`init_spline`.
+    """
+    base: PotTable
+    table2: jnp.ndarray    # [ncols, maxsteps+2] second derivatives
+
+    def tree_flatten(self):
+        return ((self.base, self.table2), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ncols(self) -> int:
+        return self.base.ncols
+
+    @property
+    def max_end(self) -> float:
+        return self.base.max_end
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "base"), name)
+
+    def interp(self, col, x):
+        pt = self.base
+        begin = pt.begin[col]
+        invstep = pt.invstep[col]
+        step = pt.step[col]
+        is_short = x < begin
+        xa = jnp.minimum(x, pt.end[col]) - begin
+        xa = jnp.maximum(xa, 0.0) * invstep
+        k = jnp.floor(xa).astype(jnp.int32)
+        k = jnp.minimum(k, pt.table.shape[1] - 2)
+        b = xa - k
+        a = 1.0 - b
+        if isinstance(col, int):
+            p1, p2 = pt.table[col][k], pt.table[col][k + 1]
+            d21, d22 = self.table2[col][k], self.table2[col][k + 1]
+        else:
+            p1, p2 = pt.table[col, k], pt.table[col, k + 1]
+            d21, d22 = self.table2[col, k], self.table2[col, k + 1]
+        a2 = a * a - 1.0
+        b2 = b * b - 1.0
+        st6 = step / 6.0
+        val = a * p1 + b * p2 + (a * a2 * d21 + b * b2 * d22) * st6 * step
+        grad = 2.0 * ((p2 - p1) * invstep
+                      + ((3.0 * b2 + 2.0) * d22
+                         - (3.0 * a2 + 2.0) * d21) * st6)
+        grad = jnp.where(is_short, jnp.zeros_like(grad), grad)
+        return val, grad
+
+    def value(self, col, x):
+        return self.interp(col, x)[0]
+
+
+def init_spline(pt: PotTable, radial: bool = True) -> SplineTable:
+    """Second-derivative table for spline interpolation.
+
+    Host-side tridiagonal solve replicating `init_spline`
+    (imd_potential.c:1201-1245): natural spline at the left end; for
+    radial tables the right end clamps the first derivative to zero
+    (the table ends at the cutoff with zero slope), otherwise natural.
+    The last+1 sample continues the final polynomial like the reference.
+    """
+    table = np.asarray(pt.table, np.float64).copy()
+    steps = np.asarray(pt.step, np.float64)
+    lengths = np.asarray(pt.length)
+    ncols, size = table.shape
+    table2 = np.zeros_like(table)
+    for col in range(ncols):
+        n = int(lengths[col])
+        if n < 3:
+            continue
+        step = float(steps[col])
+        y = table[col]
+        y2 = np.zeros(size)
+        u = np.zeros(size)
+        # forward elimination (Numerical-Recipes form with sig = 0.5)
+        for i in range(1, n - 1):
+            p = 0.5 * y2[i - 1] + 2.0
+            y2[i] = -0.5 / p
+            ui = (y[i + 1] - 2.0 * y[i] + y[i - 1]) / step
+            u[i] = (6.0 * ui / (2.0 * step) - 0.5 * u[i - 1]) / p
+        if radial:
+            qn = 0.5
+            un = (3.0 / step) * (y[n - 2] - y[n - 1]) / step
+        else:
+            qn = un = 0.0
+        y2[n - 1] = (un - qn * u[n - 2]) / (qn * y2[n - 2] + 1.0)
+        for k in range(n - 2, -1, -1):
+            y2[k] = y2[k] * y2[k + 1] + u[k]
+        # continue the last interpolation polynomial past the end
+        if n < size:
+            y[n] = 2.0 * y[n - 1] - y[n - 2] + step * step * y2[n - 1]
+            y2[n] = 2.0 * y2[n - 1] - y2[n - 2]
+        if n + 1 < size:
+            y[n + 1] = 2.0 * y[n] - y[n - 1] + step * step * y2[n]
+            y2[n + 1] = 2.0 * y2[n] - y2[n - 1]
+        table2[col] = y2
+    dtype = pt.table.dtype
+    base = dataclasses.replace(pt, table=jnp.asarray(table, dtype))
+    return SplineTable(base=base, table2=jnp.asarray(table2, dtype))
+
+
+def with_interpolation(pt: PotTable, mode: str, radial: bool = True):
+    """Wrap a PotTable in the requested interpolation mode.
+
+    ``mode``: '3point' (reference default, returns pt unchanged),
+    '4point' (FOURPOINT build), or 'spline' (SPLINE build).
+    """
+    if mode in ("3point", "", None):
+        return pt
+    if mode == "4point":
+        return FourPointTable(base=pt)
+    if mode == "spline":
+        return init_spline(pt, radial=radial)
+    raise ValueError(f"unknown interpolation mode {mode!r} "
+                     "(3point | 4point | spline)")
+
+
+# ---------------------------------------------------------------------------
 # construction helpers
 # ---------------------------------------------------------------------------
 

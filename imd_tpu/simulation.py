@@ -117,21 +117,34 @@ class Simulation:
         cfg = self.cfg
         self.eam: Optional[EAMPotential] = None
         self.pair: Optional[PotTable] = None
+        # pot_interp: table-interpolation mode for the table-driven
+        # engines (reference compile flags FOURPOINT/SPLINE,
+        # potaccess.h:23-35).  The Pallas engines fit polynomials from
+        # the interpolated table, so the mode also shapes their fit.
+        def _mode(pt, radial=True):
+            from imd_tpu.models.potential import with_interpolation
+            return with_interpolation(pt, cfg.pot_interp, radial=radial)
+
         if cfg.core_potential_file:
-            self.eam = read_eam(self._path(cfg.core_potential_file),
-                                self._path(cfg.embedding_energy_file),
-                                self._path(cfg.el_density_file),
-                                cfg.ntypes, self.dtype)
+            eam = read_eam(self._path(cfg.core_potential_file),
+                           self._path(cfg.embedding_energy_file),
+                           self._path(cfg.el_density_file),
+                           cfg.ntypes, self.dtype)
+            self.eam = EAMPotential(pair=_mode(eam.pair),
+                                    rho=_mode(eam.rho),
+                                    embed=_mode(eam.embed, radial=False))
             self.cutoff = math.sqrt(self.eam.cutoff2)
         elif cfg.potfile:
-            self.pair = read_pot_table(self._path(cfg.potfile),
-                                       cfg.ntypes * cfg.ntypes, True,
-                                       self.dtype)
+            self.pair = _mode(read_pot_table(self._path(cfg.potfile),
+                                             cfg.ntypes * cfg.ntypes, True,
+                                             self.dtype))
             self.cutoff = math.sqrt(self.pair.max_end)
         elif cfg.lj_epsilon:
             rc = cfg.r_cut or tuple(2.5 * s for s in cfg.lj_sigma)
-            self.pair = lj_table(list(cfg.lj_epsilon), list(cfg.lj_sigma),
-                                 list(rc), cfg.ntypes, dtype=self.dtype)
+            self.pair = _mode(lj_table(list(cfg.lj_epsilon),
+                                       list(cfg.lj_sigma),
+                                       list(rc), cfg.ntypes,
+                                       dtype=self.dtype))
             self.cutoff = math.sqrt(self.pair.max_end)
         else:
             raise ValueError("no potential configured "

@@ -127,3 +127,85 @@ def test_chebyshev_vector_cols():
         vi, gi = cp.interp(i, jnp.asarray(2.0))
         np.testing.assert_allclose(float(v[i]), float(vi), rtol=1e-12)
         np.testing.assert_allclose(float(g[i]), float(gi), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# FOURPOINT / SPLINE interpolation modes (potaccess.h:23-35)
+# ---------------------------------------------------------------------------
+
+def _lj_ref(eps, sig, r):
+    s6 = (sig / r) ** 6
+    v = eps * (s6 * s6 - 2 * s6)
+    g = -12 * eps / (r * r) * (s6 * s6 - s6)   # 2 dV/dr^2 = (1/r) dV/dr
+    return v, g
+
+
+@pytest.mark.parametrize("mode", ["4point", "spline"])
+def test_alt_interp_matches_analytic(mode):
+    from imd_tpu.models.potential import with_interpolation
+    eps, sig, rc = 0.3, 2.5, 6.0
+    pt = lj_table(eps, sig, rc, res=4000, dtype=jnp.float64)
+    wrapped = with_interpolation(pt, mode)
+    r = np.linspace(0.9 * sig, (1 - POT_TAIL - 0.01) * rc, 173)
+    val, grad = wrapped.interp(0, jnp.asarray(r * r))
+    v_ref, g_ref = _lj_ref(eps, sig, r)
+    shift = float(val[0] - v_ref[0])
+    np.testing.assert_allclose(np.asarray(val) - shift, v_ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(grad), g_ref, rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["4point", "spline"])
+def test_alt_interp_grad_consistent_with_value(mode):
+    """The returned grad must be 2*d(val)/dx of the interpolant itself."""
+    from imd_tpu.models.potential import with_interpolation
+    pt = lj_table(0.3, 2.5, 6.0, res=1000, dtype=jnp.float64)
+    wrapped = with_interpolation(pt, mode)
+    x = np.linspace(7.0, 30.0, 211)
+    h = 1e-6
+    vp = np.asarray(wrapped.interp(0, jnp.asarray(x + h))[0])
+    vm = np.asarray(wrapped.interp(0, jnp.asarray(x - h))[0])
+    grad = np.asarray(wrapped.interp(0, jnp.asarray(x))[1])
+    fd = 2.0 * (vp - vm) / (2 * h)
+    np.testing.assert_allclose(grad, fd, rtol=5e-4, atol=1e-6)
+
+
+def test_alt_interp_beats_3point_on_smooth_function():
+    """Cubic/spline should track a smooth table more closely than the
+    quadratic default at equal sampling (the point of the 4point/spline
+    builds)."""
+    from imd_tpu.models.potential import with_interpolation
+    eps, sig, rc = 0.3, 2.5, 6.0
+    pt = lj_table(eps, sig, rc, res=300, dtype=jnp.float64)  # coarse
+    r = np.linspace(1.05 * sig, (1 - POT_TAIL - 0.02) * rc, 401)
+    _, g_ref = _lj_ref(eps, sig, r)
+    errs = {}
+    for mode in ("3point", "4point", "spline"):
+        w = with_interpolation(pt, mode)
+        g = np.asarray(w.interp(0, jnp.asarray(r * r))[1])
+        errs[mode] = np.max(np.abs(g - g_ref))
+    assert errs["4point"] <= errs["3point"]
+    assert errs["spline"] <= errs["3point"]
+
+
+def test_alt_interp_vector_cols_and_short_clamp():
+    from imd_tpu.models.potential import with_interpolation
+    pt = lj_table([0.3, 0.2, 0.25], [2.5, 2.0, 2.2], [6.0, 5.0, 5.5],
+                  ntypes=2, res=800, dtype=jnp.float64)
+    for mode in ("4point", "spline"):
+        w = with_interpolation(pt, mode)
+        cols = jnp.asarray([0, 1, 3])
+        x = jnp.asarray([9.0, 8.0, 7.0])
+        v, g = w.interp(cols, x)
+        for k, c in enumerate([0, 1, 3]):
+            vc, gc = w.interp(int(c), x[k])
+            np.testing.assert_allclose(float(v[k]), float(vc), rtol=1e-12)
+            np.testing.assert_allclose(float(g[k]), float(gc), rtol=1e-12)
+        # below-start clamp: flat (zero grad), finite value
+        v0, g0 = w.interp(0, jnp.asarray(1e-4))
+        assert np.isfinite(float(v0)) and float(g0) == 0.0
+
+
+def test_pot_interp_tag_parses():
+    from imd_tpu.config import SimConfig, parse_param_text
+    cfg = SimConfig.from_params(parse_param_text("pot_interp spline\n"))
+    assert cfg.pot_interp == "spline"
