@@ -120,7 +120,7 @@ _UNSUPPORTED_TAGS = frozenset({
     # Zhou/Wadley drag variant, misc inherited one-offs
     "zapp_threshold", "bend_axis", "bend_nmoments",
     "bend_vtype_of_force", "bend_vtype_of_origin", "rigid",
-    "dem_int", "flagedatomstype",
+    "flagedatomstype",
 })
 
 
@@ -592,6 +592,7 @@ class SimConfig:
     dsp_int: int = 0
     min_dsp2: float = 0.0
     update_ort_ref: int = 0
+    dem_int: int = 0
     reffile: str = ""
     # pictures (imd_pictures_3d.c)
     pic_ll: Tuple[float, float, float] = (0.0, 0.0, 0.0)

@@ -1,0 +1,284 @@
+"""The write_config_select observable family: .avp / .dsp / .dem files.
+
+Reference: the main loop's periodic-I/O hooks (imd_main_3d.c:751-793)
+drive three per-atom "selected config" writers —
+
+- **AVPOS** (`.avp`): time-averaged positions + potential energy.
+  `add_positions` (imd_misc.c:124) accumulates unwrapped coordinates
+  (ORT + SHEET) every ``avpos_res`` steps; every ``avpos_int`` steps
+  `write_atoms_avp` (imd_io.c:1604) writes the average wrapped back
+  into the box and `update_avpos` (imd_io.c:1687) resets the
+  accumulator to the current state (count = 1).
+- **DSP** (`.dsp`): displacement map vs a reference configuration
+  captured at step ``update_ort_ref`` (imd_main_3d.c:760); atoms with
+  minimum-image displacement² > ``min_dsp2`` are written
+  (imd_io.c:1539).
+- **DEM** (`.dem`): "dislocation energy map" — atoms whose
+  |Epot − Epot_ref| exceeds ``min_dpot``, with Epot_ref captured at
+  ``reset_Epot_step`` when ``calc_Epot_ref == 1`` (imd_main_3d.c:451,
+  imd_io.c:1484/1617).
+
+TPU-native design: these are host-side observers fed from the
+flattened Scene at I/O boundaries — per-atom reference state (ort_ref,
+epot_ref, averaging accumulators) is indexed by atom id OUTSIDE the
+jitted hot loop, so the observables cost nothing when inactive and one
+device→host fetch per firing interval when active.  The PBC unwrap
+(the reference's per-atom SHEET counter, maintained inside
+do_boundaries) is reconstructed by minimum-image deltas between
+consecutive samples, which is exact while no atom travels more than
+half a box edge per ``avpos_res`` interval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _header(f, kind: str, n_data: int, box_h, pbc):
+    f.write(f"#F A {'1 1 1' if kind == 'avp' else '0 1 0'} 3 0 {n_data}\n")
+    cols = {"avp": "number type mass x y z Epot_av",
+            "dsp": "type x y z dx dy dz",
+            "dem": "type x y z dpot"}[kind]
+    f.write(f"#C {cols}\n")
+    h = np.asarray(box_h, np.float64)
+    f.write(f"#X \t{h[0, 0]:.16e} {h[0, 1]:.16e} {h[0, 2]:.16e}\n")
+    f.write(f"#Y \t{h[1, 0]:.16e} {h[1, 1]:.16e} {h[1, 2]:.16e}\n")
+    f.write(f"#Z \t{h[2, 0]:.16e} {h[2, 1]:.16e} {h[2, 2]:.16e}\n")
+    f.write(f"##PBC {int(pbc[0])} {int(pbc[1])} {int(pbc[2])}\n")
+    f.write("#E\n")
+
+
+class SelectWriters:
+    """Drives the .avp/.dsp/.dem cadences from the simulation loop.
+
+    ``step(scene, gstep)`` is called at every I/O boundary; the class
+    decides internally which observers fire.  ``intervals()`` returns
+    the step intervals the run loop must align its dispatch blocks to,
+    and ``special_steps()`` the one-off steps (reference capture) that
+    need an exact block boundary.
+    """
+
+    def __init__(self, cfg, box_h, pbc, path_fn):
+        self.cfg = cfg
+        self.box_h = np.asarray(box_h, np.float64)
+        self.inv_h = np.linalg.inv(self.box_h)
+        self.pbc = tuple(int(b) for b in pbc)
+        self._path = path_fn
+        # id-indexed reference/accumulator state (grown on demand)
+        self.ort_ref = None          # [maxid+1, 3]
+        self.epot_ref = None         # [maxid+1]
+        self.av_pos = None           # [maxid+1, 3] unwrapped position sums
+        self.av_epot = None          # [maxid+1]
+        self.av_prev = None          # [maxid+1, 3] last sampled wrapped pos
+        self.av_unwrap = None        # [maxid+1, 3] last unwrapped pos
+        self.av_cnt = 0
+
+    # -- activation -----------------------------------------------------
+    @property
+    def avpos_on(self) -> bool:
+        return self.cfg.avpos_int > 0
+
+    @property
+    def dsp_on(self) -> bool:
+        return self.cfg.dsp_int > 0
+
+    @property
+    def dem_on(self) -> bool:
+        return self.cfg.dem_int > 0
+
+    @property
+    def active(self) -> bool:
+        return self.avpos_on or self.dsp_on or self.dem_on
+
+    def intervals(self):
+        out = []
+        if self.avpos_on:
+            out.append(self.cfg.avpos_int)
+            if self.cfg.avpos_res > 0:
+                out.append(self.cfg.avpos_res)
+        if self.dsp_on:
+            out.append(self.cfg.dsp_int)
+        if self.dem_on:
+            out.append(self.cfg.dem_int)
+        return out
+
+    def special_steps(self):
+        s = set()
+        if self.dsp_on:
+            s.add(int(self.cfg.update_ort_ref))
+        if self.dem_on and self.cfg.calc_Epot_ref:
+            s.add(int(self.cfg.reset_Epot_step))
+        if self.avpos_on:
+            s.add(int(self.cfg.avpos_start))
+            if self.cfg.avpos_end > 0:
+                s.add(int(self.cfg.avpos_end))
+        return {x for x in s if x > 0}
+
+    # -- helpers ----------------------------------------------------------
+    def _flat(self, scene):
+        flat = scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        return {k: np.asarray(v)[mask] for k, v in flat.items()
+                if k != "mask"}
+
+    def _ensure(self, arr, n, width=None):
+        shape = (n,) if width is None else (n, width)
+        if arr is None:
+            return np.zeros(shape)
+        if len(arr) < n:
+            out = np.zeros(shape)
+            out[:len(arr)] = arr
+            return out
+        return arr
+
+    def _min_image(self, d):
+        # rows of box_h are the box vectors (pos = frac @ h, geometry.Box)
+        frac = d @ self.inv_h
+        for a in range(3):
+            if self.pbc[a]:
+                frac[:, a] -= np.rint(frac[:, a])
+        return frac @ self.box_h
+
+    # -- cadence driver ---------------------------------------------------
+    def init_refs(self, scene, gstep: int = 0):
+        """Capture step-0 references (the reference's defaults fire at
+        steps == 0 before the loop)."""
+        c = self.cfg
+        f = None
+        if self.dsp_on and int(c.update_ort_ref) <= gstep:
+            f = f or self._flat(scene)
+            self._capture_ort_ref(f)
+        if (self.dem_on and c.calc_Epot_ref
+                and int(c.reset_Epot_step) <= gstep):
+            f = f or self._flat(scene)
+            self._capture_epot_ref(f)
+        if self.avpos_on and int(c.avpos_start) <= gstep:
+            f = f or self._flat(scene)
+            self._avpos_reset(f)
+
+    def _capture_ort_ref(self, f):
+        ids = f["id"].astype(int)
+        n = ids.max() + 1 if len(ids) else 0
+        self.ort_ref = self._ensure(None, n, 3)
+        self.ort_ref[ids] = f["pos"]
+
+    def _capture_epot_ref(self, f):
+        ids = f["id"].astype(int)
+        n = ids.max() + 1 if len(ids) else 0
+        self.epot_ref = self._ensure(None, n)
+        self.epot_ref[ids] = f["epot"]
+
+    def _avpos_reset(self, f):
+        ids = f["id"].astype(int)
+        n = ids.max() + 1 if len(ids) else 0
+        self.av_pos = self._ensure(None, n, 3)
+        self.av_epot = self._ensure(None, n)
+        self.av_prev = self._ensure(None, n, 3)
+        self.av_unwrap = self._ensure(None, n, 3)
+        self.av_pos[ids] = f["pos"]
+        self.av_unwrap[ids] = f["pos"]
+        self.av_prev[ids] = f["pos"]
+        self.av_epot[ids] = f["epot"]
+        self.av_cnt = 1
+
+    def _avpos_sample(self, f):
+        ids = f["id"].astype(int)
+        n = ids.max() + 1 if len(ids) else 0
+        if self.av_pos is None or n > len(self.av_epot):
+            self._avpos_reset(f)
+            return
+        # unwrap: minimum-image delta from the previous sample
+        d = self._min_image(f["pos"] - self.av_prev[ids])
+        self.av_unwrap[ids] += d
+        self.av_prev[ids] = f["pos"]
+        self.av_pos[ids] += self.av_unwrap[ids]
+        self.av_epot[ids] += f["epot"]
+        self.av_cnt += 1
+
+    def step(self, scene, gstep: int):
+        """Fire every observer whose cadence matches ``gstep``."""
+        if not self.active:
+            return
+        c = self.cfg
+        f = None
+
+        def flat():
+            nonlocal f
+            if f is None:
+                f = self._flat(scene)
+            return f
+
+        # one-off reference captures (imd_main_3d.c:451/760)
+        if self.dsp_on and gstep == int(c.update_ort_ref):
+            self._capture_ort_ref(flat())
+        if (self.dem_on and c.calc_Epot_ref
+                and gstep == int(c.reset_Epot_step)):
+            self._capture_epot_ref(flat())
+
+        # AVPOS accumulate / write (imd_main_3d.c:768-789)
+        in_win = (gstep > c.avpos_start
+                  and (c.avpos_end <= 0 or gstep <= c.avpos_end))
+        if self.avpos_on and gstep == int(c.avpos_start):
+            self._avpos_reset(flat())
+        if self.avpos_on and in_win:
+            res = c.avpos_res if c.avpos_res > 0 else c.avpos_int
+            if (gstep - c.avpos_start) % res == 0:
+                self._avpos_sample(flat())
+            if (gstep - c.avpos_start) % c.avpos_int == 0:
+                self._write_avp(flat(),
+                                (gstep - c.avpos_start) // c.avpos_int)
+                self._avpos_reset(flat())
+
+        # .dem/.dsp files are numbered by the RAW step, not step/int
+        # (write_config_select(steps, ...) at imd_main_3d.c:761/763)
+        if (self.dsp_on and gstep > int(c.update_ort_ref)
+                and gstep % c.dsp_int == 0 and self.ort_ref is not None):
+            self._write_dsp(flat(), gstep)
+        if (self.dem_on and gstep % c.dem_int == 0
+                and self.epot_ref is not None):
+            self._write_dem(flat(), gstep)
+
+    # -- writers ----------------------------------------------------------
+    def _write_avp(self, f, nr: int):
+        ids = f["id"].astype(int)
+        tmp = 1.0 / max(self.av_cnt, 1)
+        avg = self.av_pos[ids] * tmp
+        # wrap back into the box (write_atoms_avp coeff −= floor)
+        frac = avg @ self.inv_h
+        for a in range(3):
+            if self.pbc[a]:
+                frac[:, a] -= np.floor(frac[:, a])
+        pos = frac @ self.box_h
+        epot = self.av_epot[ids] * tmp
+        with open(self._path(f"{self.cfg.outfiles}.{nr}.avp"), "w") as out:
+            _header(out, "avp", 1, self.box_h, self.pbc)
+            for k in range(len(ids)):
+                out.write(f"{ids[k]} {int(f['vtype'][k])} "
+                          f"{f['mass'][k]:e} {pos[k, 0]:e} {pos[k, 1]:e} "
+                          f"{pos[k, 2]:e} {epot[k]:e}\n")
+
+    def _write_dsp(self, f, nr: int):
+        ids = f["id"].astype(int)
+        ref = self.ort_ref[ids] if len(self.ort_ref) > ids.max() \
+            else np.zeros_like(f["pos"])
+        d = self._min_image(f["pos"] - ref)
+        sel = np.einsum("ij,ij->i", d, d) > self.cfg.min_dsp2
+        with open(self._path(f"{self.cfg.outfiles}.{nr}.dsp"), "w") as out:
+            _header(out, "dsp", 3, self.box_h, self.pbc)
+            for k in np.nonzero(sel)[0]:
+                p = f["pos"][k]
+                out.write(f"{int(f['vtype'][k])} {p[0]:e} {p[1]:e} "
+                          f"{p[2]:e} {d[k, 0]:e} {d[k, 1]:e} {d[k, 2]:e}\n")
+
+    def _write_dem(self, f, nr: int):
+        ids = f["id"].astype(int)
+        ref = self.epot_ref[ids] if len(self.epot_ref) > ids.max() \
+            else np.zeros_like(f["epot"])
+        dpot = np.abs(f["epot"] - ref)
+        sel = dpot > self.cfg.min_dpot
+        with open(self._path(f"{self.cfg.outfiles}.{nr}.dem"), "w") as out:
+            _header(out, "dem", 1, self.box_h, self.pbc)
+            for k in np.nonzero(sel)[0]:
+                p = f["pos"][k]
+                out.write(f"{int(f['vtype'][k])} {p[0]:e} {p[1]:e} "
+                          f"{p[2]:e} {dpot[k]:e}\n")

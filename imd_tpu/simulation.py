@@ -1003,9 +1003,16 @@ class Simulation:
         cfg = self.cfg
         steps = cfg.maxsteps if steps is None else steps
         step_fn = self.make_step_fn()
+        # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
+        sel = None
+        if cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0:
+            from imd_tpu.io.select import SelectWriters
+            sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
                                  cfg.pic_int, cfg.ttm_int, cfg.socket_int,
                                  cfg.lb_frequency) if i > 0]
+        if sel is not None:
+            intervals += sel.intervals()
         if block <= 0:
             block = min([steps] + intervals) if intervals else min(steps, 100)
             block = max(block, 1)
@@ -1039,12 +1046,25 @@ class Simulation:
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
             from imd_tpu.parallel.loadbalance import LbLog
             lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
+        if sel is not None:
+            sel.init_refs(state.scene, self.step_count)
         epot_prev = None
         done = 0
         grow_tries = 0
         while done < steps:
             prev_state = state
             b = min(block, steps - done)
+            if sel is not None:
+                # land a block boundary exactly on one-off capture steps
+                # (update_ort_ref / reset_Epot_step / avpos window edges),
+                # then realign to the interval lattice so periodic I/O
+                # steps are still hit after an off-lattice clamp
+                cur = int(state.step)
+                ahead = [s - cur for s in sel.special_steps() if s > cur]
+                if ahead:
+                    b = min(b, min(ahead))
+                if cur % block:
+                    b = min(b, block - cur % block)
             with timers.section("main"):
                 state = run_block(state, b)
                 jax.block_until_ready(state.scene.pos)
@@ -1096,6 +1116,8 @@ class Simulation:
                 write_picture(
                     self._path(f"{cfg.outfiles}.{gstep // cfg.pic_int}.ppm"),
                     state.scene)
+            if sel is not None:
+                sel.step(state.scene, gstep)
             if cfg.lb_frequency > 0 and gstep % cfg.lb_frequency == 0:
                 # x-slab repartition (balanceLoad every lb_frequency,
                 # imd_main_3d.c:864-914) — moves grid.xbounds (a traced
@@ -1179,6 +1201,12 @@ class Simulation:
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
                                  cfg.dist_int, cfg.pic_int, filter_int)
                      if i > 0]
+        # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
+        sel = None
+        if cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0:
+            from imd_tpu.io.select import SelectWriters
+            sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
+            intervals += sel.intervals()
         if block <= 0:
             block = min([steps] + intervals) if intervals else min(steps, 100)
             block = max(block, 1)
@@ -1298,12 +1326,22 @@ class Simulation:
                 vstate=(carry[3 + has_aux0] if has_vlat
                         else state0.vstate))
 
+        if sel is not None:
+            sel.init_refs(state0.scene, self.step_count)
         done = 0
         state = None
         grow_tries = 0
         while done < steps:
             prev_carry = carry
             b = min(block, steps - done)
+            if sel is not None:
+                # one-off capture steps + lattice realignment (see run())
+                cur = self.step_count + done
+                ahead = [s - cur for s in sel.special_steps() if s > cur]
+                if ahead:
+                    b = min(b, min(ahead))
+                if cur % block:
+                    b = min(b, block - cur % block)
             with timers.section("main"):
                 carry = run_block(carry, b)
                 jax.block_until_ready(carry[0].xi)
@@ -1345,7 +1383,11 @@ class Simulation:
                 continue
             done += b
             gstep = self.step_count + done
-            io_due = any(i > 0 and gstep % i == 0 for i in intervals)
+            sel_due = sel is not None and (
+                any(gstep % i == 0 for i in sel.intervals())
+                or gstep in sel.special_steps())
+            io_due = sel_due or any(i > 0 and gstep % i == 0
+                                    for i in intervals)
             wfile, sfile = self._path("write"), self._path("stop")
             stop = os.path.exists(sfile)
             force_write = os.path.exists(wfile)
@@ -1388,6 +1430,8 @@ class Simulation:
                         self._path(f"{cfg.outfiles}."
                                    f"{gstep // cfg.pic_int}.ppm"),
                         scene)
+                if sel_due:
+                    sel.step(scene, gstep)
                 if on_interval is not None:
                     on_interval(self, state)
                 if force_write:

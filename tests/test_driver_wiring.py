@@ -167,3 +167,42 @@ def test_socket_steering(tmp_path):
     assert int(st.step) < 400
     assert any(n.endswith(".chkpt") for n in
                (q.name for q in tmp_path.iterdir()))
+
+
+def test_select_observers(tmp_path):
+    """AVPOS/DSP/DEM selected-config writers fire from a param file
+    (write_config_select family: .avp imd_main_3d.c:629-663, .dsp/.dem
+    760-763, writers imd_io.c:1432/1539/1805)."""
+    sim, st = _run(tmp_path,
+                   "ensemble nve\nmaxsteps 12\n"
+                   "avpos_int 6\navpos_res 2\n"
+                   "dsp_int 6\nmin_dsp2 1e-12\nupdate_ort_ref 5\n"
+                   "dem_int 6\ncalc_Epot_ref 1\nmin_dpot -1.0\n",
+                   "selw")
+    names = {q.name for q in tmp_path.iterdir()}
+    # .avp numbered by (steps-avpos_start)/avpos_int; .dsp/.dem by raw step
+    assert "selw.1.avp" in names and "selw.2.avp" in names, names
+    assert "selw.6.dsp" in names and "selw.12.dsp" in names, names
+    assert "selw.6.dem" in names and "selw.12.dem" in names, names
+
+    n = int(sim.scene.n_atoms())
+    avp = np.loadtxt(tmp_path / "selw.1.avp")     # id type mass x y z Epot
+    assert avp.shape == (n, 7)
+    box = 6 * 4.05, 4 * 4.05, 4 * 4.05
+    assert np.all(avp[:, 3:6] >= 0) and np.all(avp[:, 3:6] <= max(box))
+    # averaged Epot is bound-state negative like the live Epot
+    assert np.all(avp[:, 6] < 0)
+
+    # ort_ref captured at step 5 (off the I/O lattice — exercises the
+    # special-step block clamp): displacements at step 6 are one thermal
+    # step, tiny but nonzero
+    dsp6 = np.loadtxt(tmp_path / "selw.6.dsp")    # type x y z dx dy dz
+    assert dsp6.shape[1] == 7 and len(dsp6) == n
+    d6 = np.linalg.norm(dsp6[:, 4:7], axis=1)
+    assert 0 < d6.max() < 0.5
+    dsp12 = np.loadtxt(tmp_path / "selw.12.dsp")
+    assert np.linalg.norm(dsp12[:, 4:7], axis=1).max() > d6.max()
+
+    dem = np.loadtxt(tmp_path / "selw.6.dem")     # type x y z dpot
+    assert dem.shape == (n, 5)
+    assert np.all(dem[:, 4] >= 0) and np.isfinite(dem[:, 4]).all()

@@ -214,3 +214,24 @@ def test_fused_cli_ttm_fdtd(eam_dir):
     np.testing.assert_allclose(np.asarray(st.ttm_grid.temp),
                                np.asarray(st2.ttm_grid.temp),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_fused_select_observers(eam_dir):
+    """.avp/.dsp/.dem observers fire on the fused hot loop too — the
+    observe() kernel supplies the per-atom Epot the writers need."""
+    p = eam_dir / "sel.imd"
+    p.write_text(BASE.format(out="sel", ens="nve") +
+                 "avpos_int 4\ndsp_int 4\nmin_dsp2 1e-12\n"
+                 "dem_int 4\ncalc_Epot_ref 1\nmin_dpot -1.0\n")
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float32,
+                                     engine="pallas")
+    assert sim._fused_eligible()
+    sim.run()
+    names = {q.name for q in eam_dir.iterdir()}
+    assert "sel.1.avp" in names and "sel.2.avp" in names, names
+    assert "sel.4.dsp" in names and "sel.8.dsp" in names, names
+    assert "sel.4.dem" in names and "sel.8.dem" in names, names
+    n = int(sim.scene.n_atoms())
+    dsp = np.loadtxt(eam_dir / "sel.8.dsp")
+    assert len(dsp) == n
+    assert 0 < np.linalg.norm(dsp[:, 4:7], axis=1).max() < 0.5
