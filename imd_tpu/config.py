@@ -71,7 +71,18 @@ def parse_param_text(text: str, phase: int = 1) -> Dict[str, Any]:
 
 _ACCUM_TAGS = {"ep_pos", "ep_vel", "ep_dir",
                # per-vtype indexed deform vectors (imd_deform.c)
-               "deform_shift", "deform_shear", "deform_base"}
+               "deform_shift", "deform_shear", "deform_base",
+               # k-point rays: k0(3) kdir(3) kmax (imd_param.c:1917)
+               "dsf_k",
+               # per-vtype indexed lines '<vtype> x y z' repeated per
+               # type (imd_param.c:1078/907-998)
+               "restrictionvector", "extra_startforce", "extf",
+               "extra_dforce", "extra_endforce", "extra_startbforce",
+               "extra_bdforce", "extra_endbforce",
+               # BEND moments '<moment> ...' + RIGID groups
+               # (imd_param.c:1042-1075/818-844)
+               "bend_axis", "bend_vtype_of_origin",
+               "bend_vtype_of_force", "rigid"}
 
 # ---------------------------------------------------------------------------
 # reference tag registry (imd_param.c:251-4128, 488 unique getparam tags).
@@ -102,6 +113,8 @@ _IGNORED_TAGS = frozenset({
     "use_socket_window", "view_dir", "view_pos", "projection",
     # debug helpers
     "debug_potential", "debug_pot_res", "ew_test",
+    # parsed by the reference but never consumed anywhere in its code
+    "flagedatomstype",
 })
 
 _UNSUPPORTED_TAGS = frozenset({
@@ -114,13 +127,6 @@ _UNSUPPORTED_TAGS = frozenset({
     "fcs_pp3mg_max_part", "fcs_pp3mg_degree", "fcs_vmg_max_level",
     "fcs_vmg_smooth_steps", "fcs_vmg_gamma", "fcs_vmg_near_field_cells",
     "fcs_vmg_interpol_order", "fcs_vmg_discr_order",
-    # nMoldyn / DSF trajectory export (imd_io.c write_nmoldyn)
-    "nmoldyn_int", "nmoldyn_veloc", "dsf_int", "dsf_weight", "dsf_nk",
-    "dsf_k",
-    # Zhou/Wadley drag variant, misc inherited one-offs
-    "zapp_threshold", "bend_axis", "bend_nmoments",
-    "bend_vtype_of_force", "bend_vtype_of_origin", "rigid",
-    "flagedatomstype",
 })
 
 
@@ -594,6 +600,13 @@ class SimConfig:
     update_ort_ref: int = 0
     dem_int: int = 0
     reffile: str = ""
+    # nMoldyn trajectory + dynamical structure factor (imd_io.c:3606/3749)
+    nmoldyn_int: int = 0
+    nmoldyn_veloc: int = 0
+    dsf_int: int = 0
+    dsf_weight: Tuple[float, ...] = ()
+    dsf_nk: int = 0                  # capacity check only (dsf_nkmax)
+    dsf_k: list = dataclasses.field(default_factory=list)
     # pictures (imd_pictures_3d.c)
     pic_ll: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     pic_ur: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -645,11 +658,25 @@ class SimConfig:
     bfbc_waitsteps: int = 0
     max_fbc_int: int = 0
     max_bfbc_int: int = 0
-    extra_dforce: Tuple[float, ...] = ()
-    extra_endforce: Tuple[float, ...] = ()
-    extra_startbforce: Tuple[float, ...] = ()
-    extra_endbforce: Tuple[float, ...] = ()
-    extra_bdforce: Tuple[float, ...] = ()
+    # FBC dynamic loading increments, per vtype (init_fbc/update_fbc,
+    # imd_main_3d.c:1192-1291; tags extra_dforce/extra_endforce and the
+    # BEND b-variants, imd_param.c:907-998)
+    fbc_dforces: Tuple[Tuple[float, float, float], ...] = ()
+    fbc_endforces: Tuple[Tuple[float, float, float], ...] = ()
+    fbc_bforces: Tuple[Tuple[float, float, float], ...] = ()
+    fbc_bdforces: Tuple[Tuple[float, float, float], ...] = ()
+    fbc_endbforces: Tuple[Tuple[float, float, float], ...] = ()
+    # ZAPP total-momentum zeroing (imd_main_3d.c:1401-1520)
+    zapp_threshold: float = 0.0
+    # BEND bending moments (imd_main_3d.c:1521-1780)
+    bend_nmoments: int = 0
+    bend_axes: Tuple[Tuple[float, float, float], ...] = ()
+    bend_origin_vtype: Tuple[int, ...] = ()
+    bend_force_vtype: Tuple[int, ...] = ()
+    # RIGID superparticles: (member vtypes, restriction mask) per group
+    # (imd_param.c:818-844, imd_integrate.c:866-920)
+    rigid_groups: Tuple[Tuple[Tuple[int, ...],
+                              Tuple[int, int, int]], ...] = ()
     ramp_y0min: float = 0.0
     ramp_y0max: float = 0.0
     ramp_y1min: float = 0.0
@@ -806,16 +833,73 @@ class SimConfig:
         c.total_types = int(g("total_types", 0))
         c.masses = as_tuple("masses", (1.0,) * c.ntypes)
         c.types = tuple(int(t) for t in as_tuple("types", range(c.vtypes)))
-        # per-vtype restriction vectors arrive as repeated 'restrictionvector'
-        # tags in the reference; here we accept a flat list of 3*vtypes values
-        rv = as_tuple("restrictionvector")
+        def per_vtype(key, default=(0.0, 0.0, 0.0)):
+            """Reference format: repeated indexed lines '<vtype> x y z'
+            (getparam DIM+1 + index assignment, imd_param.c:907-1092);
+            one flat list of 3*vtypes values is accepted as a legacy
+            convenience form."""
+            v = g(key)
+            if not v:
+                return ()
+            lines = (v if isinstance(v[0], (list, tuple))
+                     else [list(v) if isinstance(v, list) else [v]])
+            if len(lines) == 1 and len(lines[0]) != 4:
+                flat = lines[0]
+                return tuple(tuple(map(float, flat[i:i + 3]))
+                             for i in range(0, len(flat), 3))
+            out = {}
+            for ln in lines:
+                if len(ln) != 4:
+                    raise ValueError(f"{key} expects '<vtype> x y z', "
+                                     f"got {ln!r}")
+                out[int(ln[0])] = tuple(map(float, ln[1:4]))
+            return tuple(out.get(i, default)
+                         for i in range(max(out) + 1))
+
+        rv = per_vtype("restrictionvector", default=(1.0, 1.0, 1.0))
         if rv:
-            c.restrictions = tuple(tuple(map(float, rv[i:i + 3]))
-                                   for i in range(0, len(rv), 3))
-        ef = as_tuple("extra_startforce") or as_tuple("extf")
+            c.restrictions = rv
+        ef = per_vtype("extra_startforce") or per_vtype("extf")
         if ef:
-            c.fbc_forces = tuple(tuple(map(float, ef[i:i + 3]))
-                                 for i in range(0, len(ef), 3))
+            c.fbc_forces = ef
+        c.fbc_dforces = per_vtype("extra_dforce")
+        c.fbc_endforces = per_vtype("extra_endforce")
+        c.fbc_bforces = per_vtype("extra_startbforce")
+        c.fbc_bdforces = per_vtype("extra_bdforce")
+        c.fbc_endbforces = per_vtype("extra_endbforce")
+        # BEND moments: indexed '<moment> ...' lines (imd_param.c:1042-75)
+        c.bend_nmoments = int(g("bend_nmoments", 0))
+        if c.bend_nmoments > 0:
+            ax, ov, fv = {}, {}, {}
+            for ln in g("bend_axis", []):
+                a = [float(x) for x in ln[1:4]]
+                n = math.sqrt(sum(x * x for x in a)) or 1.0
+                ax[int(ln[0])] = tuple(x / n for x in a)
+            for ln in g("bend_vtype_of_origin", []):
+                ov[int(ln[0])] = int(ln[1])
+            for ln in g("bend_vtype_of_force", []):
+                fv[int(ln[0])] = int(ln[1])
+            nm = c.bend_nmoments
+            c.bend_axes = tuple(ax.get(j, (0.0, 0.0, 1.0))
+                                for j in range(nm))
+            c.bend_origin_vtype = tuple(ov.get(j, -1) for j in range(nm))
+            c.bend_force_vtype = tuple(fv.get(j, -1) for j in range(nm))
+            if -1 in c.bend_origin_vtype or -1 in c.bend_force_vtype:
+                raise ValueError("bend_nmoments requires a "
+                                 "bend_vtype_of_origin and "
+                                 "bend_vtype_of_force line per moment")
+        # RIGID groups: 'rigid v1 .. vk rx ry rz' (imd_param.c:818-844)
+        groups = []
+        for ln in g("rigid", []):
+            v = [int(x) for x in ln]
+            if len(v) < 4:
+                raise ValueError("rigid expects at least one vtype plus "
+                                 "a 3-component restriction mask")
+            groups.append((tuple(v[:-3]), tuple(v[-3:])))
+        c.rigid_groups = tuple(groups)
+        seen = [v for vs, _ in c.rigid_groups for v in vs]
+        if len(seen) != len(set(seen)):
+            raise ValueError("Intersecting superparticles")
         # box
         c.box_x = _vec3(g("box_x"), c.box_x)
         c.box_y = _vec3(g("box_y"), c.box_y)

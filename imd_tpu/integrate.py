@@ -50,6 +50,45 @@ class IntegratorParams(struct.PyTreeNode):
     # per-vtype tables (padded to vtypes); zeros when unused
     restrictions: Optional[jnp.ndarray] = None   # [vtypes, 3] 0/1 mask
     fbc_forces: Optional[jnp.ndarray] = None     # [vtypes, 3]
+    # BEND per-vtype bending forces, recomputed every step from the
+    # moment geometry (update_bend, imd_main_3d.c:1672-1780); added on
+    # top of fbc_forces like the reference (integrate.c:182-188)
+    bend_forces: Optional[jnp.ndarray] = None    # [vtypes, 3]
+    # RIGID superparticle tables (imd_integrate.c:866-920): members of a
+    # group share the group's mass-weighted net force along the group's
+    # restricted directions
+    superatom: Optional[jnp.ndarray] = None      # [vtypes] int, -1=free
+    supermass: Optional[jnp.ndarray] = None      # [nsuper]
+    superrestrictions: Optional[jnp.ndarray] = None  # [nsuper, 3] 0/1
+
+
+def _apply_rigid(scene: Scene, params: IntegratorParams,
+                 F: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """RIGID superparticles: Σ(F_i + fbc[vt_i]) over each group
+    (calc_superforces, imd_main_3d.c:1881-1930) replaces the member
+    force as superforce·m_i/M along the group-restricted components
+    (imd_integrate.c:904-918).  Matches the reference in that plain
+    per-atom FBC is disabled when RIGID is active (the
+    `#if defined(FBC) && !defined(RIGID)` guard, integrate.c:173):
+    fbc only enters through the group sum."""
+    vt = jnp.clip(scene.vtype, 0, params.superatom.shape[0] - 1)
+    sa = params.superatom[vt]                       # [..., cap]
+    nsuper = params.supermass.shape[0]
+    member = (sa >= 0) & (m[..., 0] > 0)
+    onehot = (jax.nn.one_hot(jnp.clip(sa, 0), nsuper, dtype=F.dtype)
+              * member[..., None].astype(F.dtype))
+    Fg = F
+    if params.fbc_forces is not None:
+        vtf = jnp.clip(scene.vtype, 0, params.fbc_forces.shape[0] - 1)
+        Fg = Fg + params.fbc_forces[vtf] * m
+    superforce = jnp.einsum("...s,...c->sc", onehot, Fg,
+                            precision=jax.lax.Precision.HIGHEST)
+    sac = jnp.clip(sa, 0)
+    relmass = scene.mass / jnp.maximum(params.supermass[sac], 1e-30)
+    Fsuper = superforce[sac] * relmass[..., None]
+    use = (member[..., None]
+           & (params.superrestrictions[sac] > 0))
+    return jnp.where(use, Fsuper, F)
 
 
 def _apply_force_mods(scene: Scene, params: IntegratorParams,
@@ -57,9 +96,14 @@ def _apply_force_mods(scene: Scene, params: IntegratorParams,
     """FBC extra forces, viscous damping, PDECAY ramp, restriction masks."""
     F = scene.force
     m = scene.fmask()[..., None]
-    if params.fbc_forces is not None:
+    if params.superatom is not None:
+        F = _apply_rigid(scene, params, F, m)
+    elif params.fbc_forces is not None:
         vt = jnp.clip(scene.vtype, 0, params.fbc_forces.shape[0] - 1)
         F = F + params.fbc_forces[vt] * m
+    if params.bend_forces is not None:
+        vt = jnp.clip(scene.vtype, 0, params.bend_forces.shape[0] - 1)
+        F = F + params.bend_forces[vt] * m
     if params.viscous_friction is not None:
         # viscous: F -= p * friction / dt (integrate.c:201-206)
         sfric = params.viscous_friction / params.timestep
@@ -615,6 +659,61 @@ def sllod(scene: Scene, params: IntegratorParams, nactive, eta,
 # ---------------------------------------------------------------------------
 # velocity initialization (imd_maxwell.c:45)
 # ---------------------------------------------------------------------------
+
+def zapp(scene: Scene, restrictions: Optional[jnp.ndarray],
+         threshold) -> Scene:
+    """ZAPP total-momentum zeroing (zapp(), imd_main_3d.c:1466-1520):
+    when the per-active-DOF mean momentum exceeds ``zapp_threshold``,
+    subtract it from every atom along its unrestricted directions.  The
+    component-wise active counts follow init_zapp (imd_main_3d.c:1402),
+    the reference's MPI_Allreduce pair is a plain masked sum here."""
+    m = scene.fmask()[..., None]
+    if restrictions is not None:
+        vt = jnp.clip(scene.vtype, 0, restrictions.shape[0] - 1)
+        rest = restrictions[vt] * m
+    else:
+        rest = jnp.broadcast_to(m, scene.mom.shape)
+    axes = tuple(range(scene.mom.ndim - 1))
+    total = jnp.sum(scene.mom * m, axis=axes)
+    nact = jnp.sum(rest, axis=axes)
+    pmean = jnp.where(nact > 0, total / jnp.maximum(nact, 1.0), 0.0)
+    do = jnp.sum(pmean * pmean) >= jnp.asarray(threshold,
+                                               pmean.dtype) ** 2
+    return scene.replace(mom=jnp.where(do, scene.mom - pmean * rest,
+                                       scene.mom))
+
+
+def bend_force_table(scene: Scene, origin_vt: jnp.ndarray,
+                     force_vt: jnp.ndarray, axes_mom: jnp.ndarray,
+                     n_origin: jnp.ndarray, n_force: jnp.ndarray,
+                     bforce_mag: jnp.ndarray, vtypes: int) -> jnp.ndarray:
+    """Per-vtype bending-moment force table (update_bend,
+    imd_main_3d.c:1672-1780): for each moment the force direction is
+    ``unit(cog_force − cog_origin) × bend_axis`` scaled by the magnitude
+    of the moment's b-FBC force; group atom counts are captured at init
+    (init_bend, imd_main_3d.c:1528) and stay fixed like the reference's.
+
+    origin_vt/force_vt [nmom] int; axes_mom [nmom,3] unit vectors;
+    n_origin/n_force [nmom] counts; bforce_mag [nmom].
+    """
+    m = scene.fmask()
+    vt = scene.vtype
+    w_o = ((vt[..., None] == origin_vt) * m[..., None]).astype(
+        scene.pos.dtype)
+    w_f = ((vt[..., None] == force_vt) * m[..., None]).astype(
+        scene.pos.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    com_o = (jnp.einsum("...m,...c->mc", w_o, scene.pos, precision=hi)
+             / jnp.maximum(n_origin, 1.0)[:, None])
+    com_f = (jnp.einsum("...m,...c->mc", w_f, scene.pos, precision=hi)
+             / jnp.maximum(n_force, 1.0)[:, None])
+    bv = com_f - com_o
+    bv = bv / jnp.maximum(jnp.linalg.norm(bv, axis=1, keepdims=True),
+                          1e-30)
+    tf = jnp.cross(bv, axes_mom) * bforce_mag[:, None]   # [nmom, 3]
+    table = jnp.zeros((vtypes, 3), scene.pos.dtype)
+    return table.at[force_vt].set(tf)
+
 
 def maxwell(scene: Scene, temperature, key: jax.Array,
             restrictions: Optional[jnp.ndarray] = None,

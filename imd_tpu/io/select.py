@@ -64,6 +64,14 @@ class SelectWriters:
         self.inv_h = np.linalg.inv(self.box_h)
         self.pbc = tuple(int(b) for b in pbc)
         self._path = path_fn
+        # trajectory-level observers share the cadence driver (io/traj.py)
+        self.nmol = self.dsf = None
+        if cfg.nmoldyn_int > 0 or cfg.dsf_int > 0:
+            from imd_tpu.io.traj import DsfWriter, NmoldynWriter
+            if cfg.nmoldyn_int > 0:
+                self.nmol = NmoldynWriter(cfg, box_h, pbc, path_fn)
+            if cfg.dsf_int > 0:
+                self.dsf = DsfWriter(cfg, box_h, path_fn)
         # id-indexed reference/accumulator state (grown on demand)
         self.ort_ref = None          # [maxid+1, 3]
         self.epot_ref = None         # [maxid+1]
@@ -74,6 +82,12 @@ class SelectWriters:
         self.av_cnt = 0
 
     # -- activation -----------------------------------------------------
+    @classmethod
+    def wanted(cls, cfg) -> bool:
+        """Does this config activate any host-side per-atom observer?"""
+        return (cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0
+                or cfg.nmoldyn_int > 0 or cfg.dsf_int > 0)
+
     @property
     def avpos_on(self) -> bool:
         return self.cfg.avpos_int > 0
@@ -88,7 +102,8 @@ class SelectWriters:
 
     @property
     def active(self) -> bool:
-        return self.avpos_on or self.dsp_on or self.dem_on
+        return (self.avpos_on or self.dsp_on or self.dem_on
+                or self.nmol is not None or self.dsf is not None)
 
     def intervals(self):
         out = []
@@ -100,6 +115,10 @@ class SelectWriters:
             out.append(self.cfg.dsp_int)
         if self.dem_on:
             out.append(self.cfg.dem_int)
+        if self.nmol is not None:
+            out.append(self.cfg.nmoldyn_int)
+        if self.dsf is not None:
+            out.append(self.cfg.dsf_int)
         return out
 
     def special_steps(self):
@@ -155,6 +174,9 @@ class SelectWriters:
         if self.avpos_on and int(c.avpos_start) <= gstep:
             f = f or self._flat(scene)
             self._avpos_reset(f)
+        if self.nmol is not None:
+            f = f or self._flat(scene)
+            self.nmol.init(f)
 
     def _capture_ort_ref(self, f):
         ids = f["id"].astype(int)
@@ -237,6 +259,12 @@ class SelectWriters:
         if (self.dem_on and gstep % c.dem_int == 0
                 and self.epot_ref is not None):
             self._write_dem(flat(), gstep)
+
+        # trajectory observers (imd_main_3d.c:783-787)
+        if self.nmol is not None and gstep % c.nmoldyn_int == 0:
+            self.nmol.step(flat(), gstep)
+        if self.dsf is not None and gstep % c.dsf_int == 0:
+            self.dsf.step(scene, flat(), gstep)
 
     # -- writers ----------------------------------------------------------
     def _write_avp(self, f, nr: int):

@@ -55,6 +55,19 @@ class SimState(struct.PyTreeNode):
     vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
 
 
+def _clamp_block(b: int, cur: int, intervals, specials=()) -> int:
+    """Shrink a dispatch block so it ends exactly on the next due I/O
+    step: the next multiple of ANY active interval, or a one-off
+    capture step.  The reference checks cadences every step
+    (imd_main_3d.c:623-793); we dispatch jitted blocks, so with
+    non-commensurate intervals (e.g. eng_int 10 + nmoldyn_int 4) a
+    fixed min(intervals) block would silently skip boundaries that are
+    not multiples of the smallest interval."""
+    cands = [i - cur % i for i in intervals if i > 0]
+    cands += [s - cur for s in specials if s > cur]
+    return min([b] + cands) if cands else b
+
+
 def _initial_stats(dtype):
     z = jnp.zeros((), dtype)
     return integrate.StepStats(tot_kin_energy=z, fnorm=z, pnorm=z, pxf=z,
@@ -493,8 +506,109 @@ class Simulation:
         return pair_fn(scene, self.pair, self.cfg.ntypes,
                        count_neighbors=count_neighbors)
 
-    def integrator_params(self, temperature: jnp.ndarray) -> integrate.IntegratorParams:
+    def _per_vtype_table(self, rows):
+        if not rows:
+            return None
+        r = np.zeros((self.cfg.vtypes, 3), np.float64)
+        for i, v in enumerate(rows[:self.cfg.vtypes]):
+            r[i] = v
+        return jnp.asarray(r, self.dtype)
+
+    def _fbc_ramp(self):
+        """Dynamic-loading FBC increment per step (init_fbc,
+        imd_main_3d.c:1222-1240): df = (end − begin)/(steps_max −
+        steps_min) for non-relaxing ensembles.  Returns a [vtypes,3]
+        per-step increment or None."""
         cfg = self.cfg
+        if self.ensemble in ("mik", "glok", "cg"):
+            return None           # RELAX path: stepwise host increments
+        end = self._per_vtype_table(cfg.fbc_endforces)
+        if end is None:
+            return None
+        begin = self._fbc()
+        if begin is None:
+            begin = jnp.zeros_like(end)
+        steps_diff = max(cfg.maxsteps - cfg.startstep, 1)
+        return (end - begin) / steps_diff
+
+    def _rigid_tables(self):
+        """superatom / supermass / superrestrictions from the parsed
+        rigid groups (imd_param.c:818-844).  supermass is the total
+        mass of the group's atoms in the initial scene."""
+        cfg = self.cfg
+        if not cfg.rigid_groups:
+            return None, None, None
+        sa = -np.ones(cfg.vtypes, np.int32)
+        restr = np.zeros((len(cfg.rigid_groups), 3), np.float64)
+        for s, (vts, rmask) in enumerate(cfg.rigid_groups):
+            for v in vts:
+                if v >= cfg.vtypes:
+                    raise ValueError(
+                        "Atom type in superparticle does not exist")
+                sa[v] = s
+            restr[s] = rmask
+        flat = self.scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        vt = np.asarray(flat["vtype"])[mask]
+        ms = np.asarray(flat["mass"])[mask]
+        group = sa[np.clip(vt, 0, cfg.vtypes - 1)]
+        smass = np.zeros(len(cfg.rigid_groups))
+        np.add.at(smass, group[group >= 0], ms[group >= 0])
+        return (jnp.asarray(sa), jnp.asarray(smass, self.dtype),
+                jnp.asarray(restr, self.dtype))
+
+    def _bend_static(self):
+        """Static bend-moment tables: vtype ids, unit axes, group atom
+        counts captured from the initial scene (init_bend,
+        imd_main_3d.c:1528-1670) and the per-moment b-FBC magnitude."""
+        cfg = self.cfg
+        if cfg.bend_nmoments <= 0:
+            return None
+        flat = self.scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        vt = np.asarray(flat["vtype"])[mask]
+        n_o = np.array([np.sum(vt == v) for v in cfg.bend_origin_vtype],
+                       np.float64)
+        n_f = np.array([np.sum(vt == v) for v in cfg.bend_force_vtype],
+                       np.float64)
+        if np.any(n_o == 0):
+            raise ValueError("bending moment defined without atoms at "
+                             "origin")
+        if np.any(n_f == 0):
+            raise ValueError("bending moment defined without atoms to "
+                             "apply force to")
+        bf_begin = self._per_vtype_table(cfg.fbc_bforces)
+        if bf_begin is None:
+            bf_begin = jnp.zeros((cfg.vtypes, 3), self.dtype)
+        bf_df = None
+        bf_end = self._per_vtype_table(cfg.fbc_endbforces)
+        if bf_end is not None and self.ensemble not in ("mik", "glok",
+                                                        "cg"):
+            # b-FBC dynamic loading (init_bfbc, imd_main_3d.c:1328-1340)
+            bf_df = (bf_end - bf_begin) / max(cfg.maxsteps
+                                              - cfg.startstep, 1)
+        return dict(
+            origin_vt=jnp.asarray(cfg.bend_origin_vtype, jnp.int32),
+            force_vt=jnp.asarray(cfg.bend_force_vtype, jnp.int32),
+            axes_mom=jnp.asarray(cfg.bend_axes, self.dtype),
+            n_origin=jnp.asarray(n_o, self.dtype),
+            n_force=jnp.asarray(n_f, self.dtype),
+            bf_begin=bf_begin, bf_df=bf_df)
+
+    def integrator_params(self, temperature: jnp.ndarray, step=None,
+                          rigid=None) -> integrate.IntegratorParams:
+        cfg = self.cfg
+        fbc = self._fbc()
+        fbc_df = self._fbc_ramp()
+        if fbc_df is not None and step is not None:
+            # linear dynamic loading (update_fbc, imd_main_3d.c:1280-88)
+            t = (step - cfg.startstep).astype(self.dtype)
+            fbc = (jnp.zeros_like(fbc_df) if fbc is None else fbc) \
+                + fbc_df * t
+        # rigid tables are host-derived from the initial scene; callers
+        # inside a trace must pass them in (computed in make_step_fn)
+        superatom, supermass, superrestr = (
+            rigid if rigid is not None else self._rigid_tables())
         return integrate.IntegratorParams(
             timestep=jnp.asarray(cfg.timestep, self.dtype),
             temperature=jnp.asarray(temperature, self.dtype),
@@ -505,7 +619,10 @@ class Simulation:
             ramp_start=jnp.asarray(cfg.ramp_start, self.dtype),
             ramp_end=jnp.asarray(cfg.ramp_end, self.dtype),
             restrictions=self._restrictions(),
-            fbc_forces=self._fbc(),
+            fbc_forces=fbc,
+            superatom=superatom,
+            supermass=supermass,
+            superrestrictions=superrestr,
         )
 
     def _ramp_temperature(self, step):
@@ -521,6 +638,8 @@ class Simulation:
         cfg = self.cfg
         nactive = integrate.count_active_dof(self.scene, self._restrictions())
         pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
+        bend = self._bend_static()
+        rigid = self._rigid_tables()
 
         if cfg.ttm.enabled:
             ttm_mod = self.ttm_mod
@@ -564,7 +683,20 @@ class Simulation:
             if self.nrb_state is not None:
                 scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
             temp = self._ramp_temperature(state.step)
-            params = self.integrator_params(temp)
+            params = self.integrator_params(temp, state.step, rigid)
+            if bend is not None:
+                # per-step bending-force directions (update_bend,
+                # imd_main_3d.c:615)
+                bfv = bend["bf_begin"]
+                if bend["bf_df"] is not None:
+                    bfv = bfv + bend["bf_df"] * (
+                        state.step - cfg.startstep).astype(self.dtype)
+                mag = jnp.linalg.norm(bfv[bend["force_vt"]], axis=1)
+                params = params.replace(
+                    bend_forces=integrate.bend_force_table(
+                        scene, bend["origin_vt"], bend["force_vt"],
+                        bend["axes_mom"], bend["n_origin"],
+                        bend["n_force"], mag, cfg.vtypes))
             eta = state.eta
             new_fdtd, new_cstate, new_vstate = (state.fdtd, state.cstate,
                                                 state.vstate)
@@ -721,6 +853,10 @@ class Simulation:
                     jnp.asarray(cfg.hc_heatcurr, self.dtype))
             else:
                 raise NotImplementedError(self.ensemble)
+            if cfg.zapp_threshold > 0:
+                # total-momentum zeroing (zapp(), imd_main_3d.c:611)
+                scene = integrate.zapp(scene, params.restrictions,
+                                       cfg.zapp_threshold)
             if cfg.shock_mode in (3, 4):
                 scene = integrate.shock_mirrors(
                     scene, cfg.shock_mode, state.step.astype(self.dtype),
@@ -875,6 +1011,9 @@ class Simulation:
             return False
         if self._restrictions() is not None or self._fbc() is not None:
             return False
+        if (cfg.zapp_threshold > 0 or cfg.bend_nmoments > 0
+                or cfg.rigid_groups or cfg.fbc_endforces):
+            return False
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
         if self.ensemble == "nve":
@@ -1005,8 +1144,8 @@ class Simulation:
         step_fn = self.make_step_fn()
         # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
         sel = None
-        if cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0:
-            from imd_tpu.io.select import SelectWriters
+        from imd_tpu.io.select import SelectWriters
+        if SelectWriters.wanted(cfg):
             sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
                                  cfg.pic_int, cfg.ttm_int, cfg.socket_int,
@@ -1054,17 +1193,8 @@ class Simulation:
         while done < steps:
             prev_state = state
             b = min(block, steps - done)
-            if sel is not None:
-                # land a block boundary exactly on one-off capture steps
-                # (update_ort_ref / reset_Epot_step / avpos window edges),
-                # then realign to the interval lattice so periodic I/O
-                # steps are still hit after an off-lattice clamp
-                cur = int(state.step)
-                ahead = [s - cur for s in sel.special_steps() if s > cur]
-                if ahead:
-                    b = min(b, min(ahead))
-                if cur % block:
-                    b = min(b, block - cur % block)
+            b = _clamp_block(b, int(state.step), intervals,
+                             sel.special_steps() if sel else ())
             with timers.section("main"):
                 state = run_block(state, b)
                 jax.block_until_ready(state.scene.pos)
@@ -1203,8 +1333,8 @@ class Simulation:
                      if i > 0]
         # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
         sel = None
-        if cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0:
-            from imd_tpu.io.select import SelectWriters
+        from imd_tpu.io.select import SelectWriters
+        if SelectWriters.wanted(cfg):
             sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
             intervals += sel.intervals()
         if block <= 0:
@@ -1334,14 +1464,8 @@ class Simulation:
         while done < steps:
             prev_carry = carry
             b = min(block, steps - done)
-            if sel is not None:
-                # one-off capture steps + lattice realignment (see run())
-                cur = self.step_count + done
-                ahead = [s - cur for s in sel.special_steps() if s > cur]
-                if ahead:
-                    b = min(b, min(ahead))
-                if cur % block:
-                    b = min(b, block - cur % block)
+            b = _clamp_block(b, self.step_count + done, intervals,
+                             sel.special_steps() if sel else ())
             with timers.section("main"):
                 carry = run_block(carry, b)
                 jax.block_until_ready(carry[0].xi)

@@ -206,3 +206,70 @@ def test_select_observers(tmp_path):
     dem = np.loadtxt(tmp_path / "selw.6.dem")     # type x y z dpot
     assert dem.shape == (n, 5)
     assert np.all(dem[:, 4] >= 0) and np.isfinite(dem[:, 4]).all()
+
+
+def test_nmoldyn_dsf_observers(tmp_path):
+    """nMoldyn trajectory + DSF Fourier sampling fire from a param file
+    (write_nmoldyn imd_io.c:3664, write_dsf imd_io.c:3749, hooks
+    imd_main_3d.c:783-787)."""
+    from imd_tpu.io.traj import read_dsf, read_nmoldyn
+    sim, st = _run(tmp_path,
+                   "ensemble nve\nmaxsteps 10\n"
+                   "nmoldyn_int 5\nnmoldyn_veloc 1\n"
+                   "dsf_int 5\ndsf_nk 2\ndsf_weight 2.0\n"
+                   "dsf_k 0 0 0 1 0 0 3\n"
+                   "dsf_k 1 1 0 0 1 0 2\n",
+                   "traj")
+    n = int(sim.scene.n_atoms())
+
+    hdr, times, frames = read_nmoldyn(tmp_path / "traj.nmoldyn")
+    assert hdr["ntypes"] == 1 and hdr["orth"] == 1 and hdr["veloc"] == 1
+    assert hdr["nt"].tolist() == [n]
+    np.testing.assert_allclose(hdr["box"], [6 * 4.05, 4 * 4.05, 4 * 4.05],
+                               rtol=1e-6)
+    assert frames.shape == (2, n, 6)
+    np.testing.assert_allclose(times, [0.0, 0.5], atol=1e-7)  # count*int*dt
+    # the last frame is exactly the final state (unwrap offsets ~0 over
+    # 10 thermal steps), ordered by atom id
+    flat = sim.scene.flatten_atoms()
+    mask = np.asarray(flat["mask"])
+    ids = np.asarray(flat["id"])[mask].astype(int)
+    pos = np.asarray(flat["pos"])[mask]
+    vel = np.asarray(flat["mom"])[mask] / np.asarray(flat["mass"])[mask, None]
+    np.testing.assert_allclose(frames[1][ids, :3], pos, atol=1e-5)
+    np.testing.assert_allclose(frames[1][ids, 3:], vel, atol=1e-5)
+
+    hdr2, dsf = read_dsf(tmp_path / "traj.dsf")
+    assert hdr2["rays"] == [([0, 0, 0], [1, 0, 0], 3),
+                            ([1, 1, 0], [0, 1, 0], 2)]
+    nk = 4 + 3
+    assert dsf.shape == (2, 2 * nk)
+    # k = 0 term: sum of normalized weights = 1 exactly
+    np.testing.assert_allclose(dsf[:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(dsf[:, 1], 0.0, atol=1e-6)
+    # recompute the final frame directly from the final scene
+    inv_h = np.linalg.inv(np.asarray(sim.box.h, np.float64))
+    frac = pos @ inv_h
+    w = np.full(n, 1.0 / (2.0 * n)) * 2.0     # normalized dsf_weight
+    got = []
+    for m0, mdir, kmax in hdr2["rays"]:
+        for j in range(kmax + 1):
+            ph = 2 * np.pi * (frac @ (np.asarray(m0) + j * np.asarray(mdir)))
+            got += [np.sum(w * np.cos(ph)), np.sum(w * np.sin(ph))]
+    np.testing.assert_allclose(dsf[1], got, atol=5e-5)
+
+
+def test_noncommensurate_io_intervals(tmp_path):
+    """Dispatch blocks must land on every interval's multiples, not just
+    the smallest interval's lattice (reference checks cadences per step,
+    imd_main_3d.c:623-793): eng_int 10 + dsp_int 4 must still produce
+    the step-10 .eng row."""
+    sim, st = _run(tmp_path,
+                   "ensemble nve\nmaxsteps 20\neng_int 10\n"
+                   "dsp_int 4\nmin_dsp2 1e-12\n",
+                   "cadence")
+    eng = np.loadtxt(tmp_path / "cadence.eng", ndmin=2)
+    assert eng.shape[0] == 2, eng          # rows at steps 10 AND 20
+    names = {q.name for q in tmp_path.iterdir()}
+    assert {"cadence.4.dsp", "cadence.8.dsp", "cadence.12.dsp",
+            "cadence.16.dsp", "cadence.20.dsp"} <= names
