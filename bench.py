@@ -3,7 +3,10 @@
 Reports the same metric as the reference's end-of-run summary
 (imd.c:387-392: "cpuseconds per step and atom" and its inverse), as one
 JSON line.  The baseline target (BASELINE.json north_star) is 5e8
-atom-steps/sec/chip for 1M-atom EAM-Al (+TTM once coupled here).
+atom-steps/sec on a v5e-8 slice for 1M-atom EAM-Al (+TTM once coupled
+here); this harness runs on the ONE available chip, so the reported
+metric is per-chip and vs_baseline compares against the per-chip share
+of the target (5e8 / 8 chips = 6.25e7).
 
 Engines:
   pallas (default) - blocked VMEM kernels + fast-Horner potentials
@@ -255,12 +258,14 @@ def main():
 
     atom_steps_per_sec = n_atoms * args.steps / dt
     sec_per_step_atom = dt / (args.steps * n_atoms)
-    baseline = 5e8
+    # north star: 5e8 on a v5e-8 (8 chips); this is a single-chip
+    # harness, so compare the per-chip metric to the per-chip share
+    baseline_per_chip = 5e8 / 8
     print(json.dumps({
         "metric": "atom-steps/sec/chip (EAM-Al MD step)",
         "value": atom_steps_per_sec,
         "unit": "atom-steps/s",
-        "vs_baseline": atom_steps_per_sec / baseline,
+        "vs_baseline": atom_steps_per_sec / baseline_per_chip,
         "detail": {
             "n_atoms": n_atoms,
             "steps": args.steps,
