@@ -78,6 +78,9 @@ def main(argv=None):
     for phase in range(1, n_phases + 1):
         cfg = SimConfig.from_params(parse_param_text(text, phase=phase))
         cfg.simulation_phase = phase
+        # completeness checks with the reference's messages
+        # (check_parameters_complete, imd_param.c:3746)
+        cfg.validate()
         if args.restart is not None and phase == 1:
             # the reference tries the plain `%d` name first and falls
             # back to the zero-padded `%05d` form (imd_param.c:4178/4184)

@@ -1248,7 +1248,146 @@ class SimConfig:
     def from_file(cls, path: str, phase: int = 1) -> "SimConfig":
         cfg = cls.from_params(read_param_file(path, phase))
         cfg.simulation_phase = phase
+        cfg.validate()
         return cfg
+
+    def validate(self) -> "SimConfig":
+        """Completeness/sanity checks after reading a parameter file
+        (check_parameters_complete, imd_param.c:3746-4070).  Raises
+        ValueError with the reference's messages for fatal gaps, warns
+        and repairs where the reference does, fills the same defaults
+        (endtemp, correl_ts, stadium2, avpos/atdist windows).  Called
+        from ``from_file`` — the same point in the startup sequence as
+        the reference's call (read_parameters, imd_param.c:4166).
+
+        Deviation: a missing ``ensemble`` tag defaults to nve instead
+        of the reference's hard error (programmatic configs rely on
+        the default); unknown ensemble names still fail in
+        Simulation._select_integrator."""
+        err = []
+        if not self.ensemble:
+            err.append("missing or unknown ensemble parameter.")
+        if self.timestep == 0.0:
+            err.append("timestep is missing or zero.")
+        if self.ntypes == 0:
+            err.append("ntypes is missing or zero.")
+        # BEND moment geometry (imd_param.c:3771-3802)
+        if self.bend_nmoments > 0:
+            if self.bend_nmoments > 6:
+                err.append("currently only 6 bending moments are "
+                           "supported")
+            for k in range(min(self.bend_nmoments, len(self.bend_axes))):
+                if sum(a * a for a in self.bend_axes[k]) == 0.0:
+                    err.append("definition of bending moment without "
+                               "axis")
+            mags = [self.fbc_bforces, self.fbc_bdforces,
+                    self.fbc_endbforces]
+            for vt in self.bend_force_vtype:
+                if not any(vt < len(t) and sum(x * x for x in t[vt]) > 0
+                           for t in mags):
+                    err.append("definition of bending moment without "
+                               "force")
+        # per-vtype machinery needs total_types (imd_param.c:3815-3829)
+        uses_vtypes = (self.rigid_groups or self.bend_nmoments > 0
+                       or self.fbc_forces or self.fbc_endforces
+                       or self.deform_shift or self.deform_shear)
+        if uses_vtypes and self.total_types == 0:
+            err.append("FBC, RIGID, and DEFORM require parameter "
+                       "total_types to be set")
+        if self.total_types and self.total_types < self.ntypes:
+            err.append("total_types must not be smaller than ntypes")
+        # thermostatted ensembles need a temperature (TEMPCONTROL,
+        # imd_param.c:3834)
+        if (self.ensemble in ("nvt", "ber", "and", "lang")
+                and self.starttemp == 0.0):
+            err.append("starttemp is missing or zero.")
+        if self.endtemp == 0.0:
+            self.endtemp = self.starttemp       # end_temp default (3838)
+        # correlation/MSQD cadence (imd_param.c:3842-3856)
+        if self.correl_int > 0 or self.msqd_ntypes > 0 or self.msqd_vtypes:
+            if self.correl_ts == 0:
+                if self.eng_int > 0:
+                    self.correl_ts = self.eng_int
+                else:
+                    err.append("correl_ts is missing or zero.")
+        if self.correl_int > 0:
+            if self.correl_rmax == 0:
+                err.append("correl_rmax is missing or zero.")
+            if self.correl_tmax == 0:
+                err.append("correl_tmax is zero.")
+        if self.ensemble == "nvx":
+            if self.hc_int == 0:
+                err.append("hc_int is zero.")
+            if self.hc_nlayers == 0:
+                err.append("hc_nlayers is zero.")
+        if self.ensemble == "ftg":
+            if self.nslices < 2:
+                err.append("nslices is missing or less than 2.")
+            if self.tleft == 0.0:
+                err.append("Tleft is missing or zero.")
+            if self.tright == 0.0:
+                err.append("Tright is missing or zero.")
+        # legacy laser rescale (imd_param.c:3875-3900)
+        L = self.laser
+        if L.rescale_mode:
+            nz = [d != 0.0 for d in L.dir]
+            if sum(nz) != 1:
+                err.append("Laser incidence only along one coordinate "
+                           "axis." if any(nz) else
+                           "Parameter laser_dir (laser incidence "
+                           "direction) missing.")
+            if not 0 <= L.rescale_mode <= 4:
+                err.append("Parameter laser_rescale_mode must be a "
+                           "positive integer < 5 !")
+            if L.tem_mode != (0, 0) and not (0 <= L.tem_mode[0] <= 1):
+                err.append("Laser TEM Mode has to be either "
+                           "Gauss-Laguerre (0) or Gauss-Hermite (1).")
+        T = self.ttm
+        if T.enabled:
+            if T.fd_update_steps <= 0:
+                warnings.warn("Ignoring illegal value of "
+                              "fd_update_steps, using 1")
+                T.fd_update_steps = 1
+            if T.init_t_el < 0:
+                warnings.warn("Ignoring illegal value of init_t_el, "
+                              "using lattice temp")
+                T.init_t_el = 0.0
+            if T.fix_t_el and T.init_t_el == 0.0:
+                err.append("You need to specify init_t_el for enabled "
+                           "fix_t_el!")
+            if T.fd_nx <= 0:
+                err.append("You must specify ttmdimx")
+        if self.tmm.enabled or self.fdtd.enabled:
+            I0 = self.tmm.I0 if self.tmm.enabled else self.fdtd.I0
+            lam = (self.tmm.lambda_m if self.tmm.enabled
+                   else self.fdtd.lambda_m)
+            if I0 == 0.0:
+                err.append("You must specify peak intensity I0 in "
+                           "W/m^2")
+            if lam == 0.0:
+                err.append("You must specify lambda in meters")
+        # (UNIAX is a library-level model here, not param-file-driven,
+        # so the reference's uniax_r_cut check has no trigger)
+        # FRAC/FTG stadium default: half box (imd_param.c:4004-4009)
+        if (self.ensemble in ("frac", "ftg")
+                and self.stadium2[0] == 0.0 and self.stadium2[1] == 0.0):
+            self.stadium2 = (self.box_x[0] / 2.0, self.box_y[1] / 2.0,
+                             self.stadium2[2])
+        if self.avpos_int > 0 and self.avpos_end == 0:
+            self.avpos_end = self.maxsteps      # imd_param.c:4014
+        if self.atdist_int > 0 and self.atdist_end == 0:
+            self.atdist_end = self.maxsteps
+        # ADA/Nye prerequisites (imd_param.c:4052-4070)
+        if self.ada_write_int > 0:
+            if self.ada_nbr_r2cut == 0.0 and self.ada_latticeConst == 0.0:
+                err.append('Nearest neighbor cutoff distance '
+                           '"ada_nbr_rcut" or lattice constant '
+                           '"ada_latticeConst" is missing or zero in '
+                           'the parameter file')
+        if err:
+            raise ValueError("parameter file incomplete: "
+                             + " / ".join(err))
+        return self
 
     def box(self):
         """Return the 3x3 box matrix (rows = box vectors)."""

@@ -164,3 +164,32 @@ def test_fbc_linear_ramp(tmp_path):
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(pN.fbc_forces[1]),
                                [0.4, 0, 0], rtol=1e-6)
+
+
+def test_quasi_2d_slab(tmp_path):
+    """A 2-D system runs as a thin 3-D slab (the TWOD build's use case;
+    MIGRATION.md §2): one-cell-thick grid along z, z motion frozen by
+    restrictions, NVE conserves energy and atoms never leave the
+    plane."""
+    p = tmp_path / "q2d.imd"
+    p.write_text(BASE.format(out=str(tmp_path / "q2d")).replace(
+        "box_param 5 4 4", "box_param 6 6 2") +
+        "maxsteps 40\nstarttemp 0.02\neng_int 10\n"
+        "total_types 1\nrestrictionvector 0 1 1 0\n")
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float64,
+                                     engine="xla")
+    f0 = sim.scene.flatten_atoms()
+    m0 = np.asarray(f0["mask"])
+    z0 = np.sort(np.asarray(f0["pos"])[m0][:, 2])
+    sim.run()
+    f = sim.scene.flatten_atoms()
+    m = np.asarray(f["mask"])
+    # frozen z: the z coordinates are exactly the initial plane set
+    np.testing.assert_array_equal(np.sort(np.asarray(f["pos"])[m][:, 2]),
+                                  z0)
+    assert np.all(np.asarray(f["mom"])[m][:, 2] == 0.0)
+    eng = np.loadtxt(tmp_path / "q2d.eng", ndmin=2)
+    # cols: time Epot/atom T ...; with z frozen n_active = 2N, so
+    # Ekin/atom = T * n_active / (2N) = T
+    etot = eng[:, 1] + eng[:, 2]
+    assert np.abs(etot - etot[0]).max() < 1e-4 * abs(etot[0])

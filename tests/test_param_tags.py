@@ -70,3 +70,39 @@ def test_unsupported_tag_warns_unknown_tag_warns():
         warnings.simplefilter("always")
         SimConfig.from_params(parse_param_text("totally_bogus_tag 1\n"))
     assert any("unknown parameter tag" in str(x.message) for x in w)
+
+
+def test_validate_completeness_checks():
+    """check_parameters_complete analog (imd_param.c:3746-4070): fatal
+    gaps raise with the reference's messages; defaults are filled."""
+    def v(txt):
+        return SimConfig.from_params(parse_param_text(txt)).validate()
+
+    with pytest.raises(ValueError, match="timestep is missing"):
+        v("ensemble nve\nntypes 1\n")
+    with pytest.raises(ValueError, match="starttemp is missing"):
+        v("ensemble nvt\ntimestep 0.1\nntypes 1\n")
+    with pytest.raises(ValueError, match="total_types"):
+        v("ensemble nve\ntimestep 0.1\nntypes 1\n"
+          "extra_startforce 0 0 0 1\n")
+    with pytest.raises(ValueError, match="without axis"):
+        v("ensemble nve\ntimestep 0.1\nntypes 1\ntotal_types 3\n"
+          "bend_nmoments 1\nbend_axis 0 0 0 0\n"
+          "bend_vtype_of_origin 0 1\nbend_vtype_of_force 0 2\n"
+          "extra_startbforce 2 0 0 1\n")
+    with pytest.raises(ValueError, match="init_t_el"):
+        v("ensemble ttm\ntimestep 0.1\nntypes 1\nttmdimx 8\n"
+          "fix_t_el 1\nfd_min_atoms 4\n")
+    with pytest.raises(ValueError, match="I0"):
+        v("ensemble ttm\ntimestep 0.1\nntypes 1\nttmdimx 8\n"
+          "fd_min_atoms 4\ntmm_threshold 1e-6\nlambda 8e-7\n")
+    with pytest.raises(ValueError, match="hc_int"):
+        v("ensemble nvx\ntimestep 0.1\nntypes 1\nstarttemp 0.1\n"
+          "hc_nlayers 4\n")
+    # default fills
+    c = v("ensemble nve\ntimestep 0.1\nntypes 1\nstarttemp 0.05\n"
+          "maxsteps 100\navpos_int 10\n")
+    assert c.endtemp == 0.05 and c.avpos_end == 100
+    c = v("ensemble nve\ntimestep 0.1\nntypes 1\neng_int 7\n"
+          "correl_int 5\ncorrel_rmax 3\ncorrel_tmax 10\n")
+    assert c.correl_ts == 7
