@@ -1175,6 +1175,15 @@ class Simulation:
                                  nvt=(self.ensemble == "nvt"),
                                  ttm=cfg.ttm.enabled,
                                  append=cfg.simulation_phase > 1)
+        # indenter/wall force log (write_fext every eng_int,
+        # imd_main_3d.c:732 + imd_io.c:2846)
+        ind = None
+        if self.extpot0 is not None and cfg.eng_int > 0:
+            from imd_tpu.io.ind import IndWriter
+            ind = IndWriter(self._path(cfg.outfiles + ".ind"),
+                            cfg.ep_nind, cfg.ep_n, self.box.h,
+                            relax=self.ensemble in ("mik", "glok", "cg"),
+                            append=cfg.simulation_phase > 1)
         # socket steering server (init_socket, socket_io.c; polled every
         # socket_int steps like check_socket in the main loop)
         sock = None
@@ -1220,6 +1229,21 @@ class Simulation:
             gstep = int(state.step)
             if cfg.eng_int > 0 and gstep % cfg.eng_int == 0:
                 self._write_eng(state, nactive)
+                if ind is not None:
+                    # instantaneous indenter diagnostics at the write
+                    # step (the reference accumulates them inside the
+                    # force pass and flushes here, write_fext)
+                    from imd_tpu.models import extpot as extpot_mod
+                    _, _, diag = extpot_mod.extpot_forces(state.scene,
+                                                          state.ep)
+                    area = extpot_mod.contact_area(diag["bbox"])
+                    trow = (gstep if self.ensemble in
+                            ("mik", "glok", "cg")
+                            else (gstep - 1) * cfg.timestep)
+                    ind.write(trow, np.asarray(state.ep.pos),
+                              np.asarray(diag["fext"]),
+                              np.asarray(area),
+                              np.asarray(diag["n_contact"]))
             if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                 self.write_checkpoint(state, gstep // cfg.checkpt_int)
             if (cfg.ttm.enabled and cfg.ttm_int > 0

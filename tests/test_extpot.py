@@ -124,3 +124,48 @@ ep_dir      0  0 0 -1
     # the indenter did push on the sample: kinetic energy rose above
     # the tiny thermal start
     assert float(state.stats.tot_kin_energy) > 0
+
+
+def test_ind_file(tmp_path):
+    """.ind indenter log fires every eng_int (write_fext imd_io.c:2900,
+    hook imd_main_3d.c:732): header + per-indenter x y z f area
+    n_contact rows, with nonzero contact once the indenter engages."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+    param = """
+coordname   _fcc
+outfiles    {out}
+box_param   5 5 5
+box_unit    1.38
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    60
+starttemp   0.005
+eng_int     20
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+seed        3
+ep_n        1
+ep_nind     1
+ep_key      0
+ep_a        5.0
+ep_rcut     1.5
+ep_pos      0  3.45 3.45 7.5
+ep_vel      0  0 0 -2.0
+ep_dir      0  0 0 -1
+""".format(out=str(tmp_path / "indf"))
+    cfg = SimConfig.from_params(parse_param_text(param))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    sim.run()
+    rows = np.loadtxt(tmp_path / "indf.ind", ndmin=2)
+    assert rows.shape == (3, 7)      # time x y z f area n_contact
+    # indenter z descends at 2.0/unit time
+    np.testing.assert_allclose(rows[:, 3],
+                               7.5 - 2.0 * (rows[:, 0] + 0.004),
+                               rtol=1e-6)
+    # by the last write the indenter (rcut 1.5, z ~7) touches the top
+    # fcc layer (z ~6.9): nonzero force, contact count, and patch area
+    assert rows[-1, 4] > 0 and rows[-1, 6] >= 1 and rows[-1, 5] >= 0
