@@ -188,7 +188,10 @@ def update_fd_flat(grid: TTMGrid, params: TTMParams, x, mom3, mass, mask,
     # one-hot matmul reductions: scatter-add segment sums over ~10^6
     # atom slots onto ~10^1 columns measured 62 ms/step on v5e; the same
     # contraction as a [M, nx] one-hot matmul rides the MXU in ~1 ms.
-    # HIGHEST precision: counts and momenta must not round through bf16.
+    # Per-operand precision: the one-hot operand is EXACT in bf16 (0/1
+    # entries), so DEFAULT there costs nothing while HIGHEST keeps the
+    # value operand (counts/momenta) from rounding through bf16 — the
+    # same numbers as full HIGHEST at half the MXU pass count.
     onehot = (seg[:, None]
               == jnp.arange(nx + 1, dtype=jnp.int32)[None]).astype(dtype)
 
@@ -201,7 +204,8 @@ def update_fd_flat(grid: TTMGrid, params: TTMParams, x, mom3, mass, mask,
     fields = jnp.stack([fm, num_neighs.astype(dtype) * fm, mx, my, mz,
                         from_right, from_left], axis=1)
     sums = jnp.einsum("mk,mf->kf", onehot, fields,
-                      precision=jax.lax.Precision.HIGHEST)[:nx]
+                      precision=(jax.lax.Precision.DEFAULT,
+                                 jax.lax.Precision.HIGHEST))[:nx]
     natoms = sums[:, 0].astype(jnp.int32)
     totneighs = sums[:, 1]
     mom_sum = sums[:, 2:5]
@@ -213,11 +217,13 @@ def update_fd_flat(grid: TTMGrid, params: TTMParams, x, mom3, mass, mask,
     # md_temp: sum m (v - vcom)^2 / (3 N); vcom broadcast back to atoms
     # through the same one-hot (an MXU matmul, not a gather)
     vcom_atom = jnp.matmul(onehot[:, :nx], vcom,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=(jax.lax.Precision.DEFAULT,
+                                      jax.lax.Precision.HIGHEST))
     inv_mass = 1.0 / jnp.maximum(mass, 1e-30)
     dv2 = sum((mom3[k] * inv_mass - vcom_atom[:, k]) ** 2 for k in range(3))
     mdt = jnp.einsum("mk,m->k", onehot, dv2 * fm * fm * mass,
-                     precision=jax.lax.Precision.HIGHEST)[:nx]
+                     precision=(jax.lax.Precision.DEFAULT,
+                                jax.lax.Precision.HIGHEST))[:nx]
     md_temp = jnp.where(natoms > 0, mdt / (3.0 * jnp.maximum(natoms, 1)), 0.0)
 
     # ambient density from neighbor counts (imd_ttm.c:418)
@@ -755,12 +761,15 @@ def gather_atom_coupling_flat(grid: TTMGrid, fdi_flat, extra=None):
               == jnp.arange(nx, dtype=jnp.int32)[None]
               ).astype(grid.xi.dtype)
     xi_a = jnp.matmul(onehot, grid.xi[:, None],
-                      precision=jax.lax.Precision.HIGHEST)[:, 0]
+                      precision=(jax.lax.Precision.DEFAULT,
+                                 jax.lax.Precision.HIGHEST))[:, 0]
     vcom_a = jnp.matmul(onehot, grid.vcom,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=(jax.lax.Precision.DEFAULT,
+                                   jax.lax.Precision.HIGHEST))
     if extra is not None:
         extra_a = jnp.matmul(onehot, extra[:, None],
-                             precision=jax.lax.Precision.HIGHEST)[:, 0]
+                             precision=(jax.lax.Precision.DEFAULT,
+                                        jax.lax.Precision.HIGHEST))[:, 0]
         return xi_a, vcom_a, extra_a
     return xi_a, vcom_a
 

@@ -345,12 +345,15 @@ def eam_kernels_win_split(xi, mask, eam, grid,
         insf = inside.astype(dtype)
         pg, rg = _horner_g2(r2, pair_c, rho_c)
         grad = (pg + (dfi[:, None, :] + dfj[None, :, :]) * rg) * insf
-        return {"fx_i": -jnp.sum(grad * dx, 1),
-                "fy_i": -jnp.sum(grad * dy, 1),
-                "fz_i": -jnp.sum(grad * dz, 1),
-                "fx_j": jnp.sum(grad * dx, 0),
-                "fy_j": jnp.sum(grad * dy, 0),
-                "fz_j": jnp.sum(grad * dz, 0)}
+        # single product per component (don't rely on Mosaic CSE for
+        # the repeated grad*dx inside the two directional sums)
+        gdx, gdy, gdz = grad * dx, grad * dy, grad * dz
+        return {"fx_i": -jnp.sum(gdx, 1),
+                "fy_i": -jnp.sum(gdy, 1),
+                "fz_i": -jnp.sum(gdz, 1),
+                "fx_j": jnp.sum(gdx, 0),
+                "fy_j": jnp.sum(gdy, 0),
+                "fz_j": jnp.sum(gdz, 0)}
 
     def kern_f(occ_ref, *refs):
         wins, rest = refs[:nw], refs[nw:]
@@ -585,12 +588,13 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
         g_ji = _mt_eval(r2, rho_cs, w, "g")
         grad = (pg + dfi[:, None, :] * g_ij
                 + dfj[None, :, :] * g_ji) * insf
-        return {"fx_i": -jnp.sum(grad * dx, 1),
-                "fy_i": -jnp.sum(grad * dy, 1),
-                "fz_i": -jnp.sum(grad * dz, 1),
-                "fx_j": jnp.sum(grad * dx, 0),
-                "fy_j": jnp.sum(grad * dy, 0),
-                "fz_j": jnp.sum(grad * dz, 0)}
+        gdx, gdy, gdz = grad * dx, grad * dy, grad * dz
+        return {"fx_i": -jnp.sum(gdx, 1),
+                "fy_i": -jnp.sum(gdy, 1),
+                "fz_i": -jnp.sum(gdz, 1),
+                "fx_j": jnp.sum(gdx, 0),
+                "fy_j": jnp.sum(gdy, 0),
+                "fz_j": jnp.sum(gdz, 0)}
 
     def kern_f(occ_ref, *refs):
         wins, rest = refs[:nw], refs[nw:]
