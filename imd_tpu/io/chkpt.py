@@ -143,6 +143,22 @@ def read_chkpt(path: str) -> ChkptData:
                      have_vel=n_vel > 0)
 
 
+def data_column(d: "ChkptData", name: str):
+    """Extra-data column by #C header name (None when absent).
+
+    ``d.data`` holds the trailing n_data columns (Epot first); the
+    reference appends observer state there (e.g. the DISLOC reference
+    positions x_ref y_ref z_ref Epot_ref, imd_io.c:3300-3311)."""
+    if d.columns is None or d.data is None or d.data.ndim != 2:
+        return None
+    try:
+        j = d.columns.index(name)
+    except ValueError:
+        return None
+    k = j - (len(d.columns) - d.data.shape[1])
+    return d.data[:, k] if 0 <= k < d.data.shape[1] else None
+
+
 def write_chkpt(path: str, d: ChkptData, binary: bool = False,
                 double: bool = False, comment: str = ""):
     n_data = d.data.shape[1] if d.data.ndim == 2 else 1

@@ -34,6 +34,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def min_image(d, box_h, inv_h, pbc):
+    """Minimum-image convention for displacement rows ``d`` (shared by
+    the .avp/.dsp unwrap here and the nMoldyn trajectory unwrap in
+    io/traj.py; rows of box_h are the box vectors, pos = frac @ h)."""
+    frac = d @ inv_h
+    for a in range(3):
+        if pbc[a]:
+            frac[:, a] -= np.rint(frac[:, a])
+    return frac @ box_h
+
+
 def _header(f, kind: str, n_data: int, box_h, pbc):
     f.write(f"#F A {'1 1 1' if kind == 'avp' else '0 1 0'} 3 0 {n_data}\n")
     cols = {"avp": "number type mass x y z Epot_av",
@@ -106,19 +117,27 @@ class SelectWriters:
                 or self.nmol is not None or self.dsf is not None)
 
     def intervals(self):
+        """Cadence list for the dispatch-block clamp.  Entries are either
+        a plain interval (fires on absolute multiples) or an
+        ``(interval, phase)`` pair: AVPOS fires on the
+        ``(steps - avpos_start)`` lattice (imd_main_3d.c:629-639), so
+        with a start that is not a multiple of the interval the due
+        steps are NOT absolute multiples and a plain-interval clamp
+        would never land on them."""
+        c = self.cfg
         out = []
         if self.avpos_on:
-            out.append(self.cfg.avpos_int)
-            if self.cfg.avpos_res > 0:
-                out.append(self.cfg.avpos_res)
+            out.append((c.avpos_int, c.avpos_start % c.avpos_int))
+            if c.avpos_res > 0:
+                out.append((c.avpos_res, c.avpos_start % c.avpos_res))
         if self.dsp_on:
-            out.append(self.cfg.dsp_int)
+            out.append(c.dsp_int)
         if self.dem_on:
-            out.append(self.cfg.dem_int)
+            out.append(c.dem_int)
         if self.nmol is not None:
-            out.append(self.cfg.nmoldyn_int)
+            out.append(c.nmoldyn_int)
         if self.dsf is not None:
-            out.append(self.cfg.dsf_int)
+            out.append(c.dsf_int)
         return out
 
     def special_steps(self):
@@ -140,23 +159,18 @@ class SelectWriters:
         return {k: np.asarray(v)[mask] for k, v in flat.items()
                 if k != "mask"}
 
-    def _ensure(self, arr, n, width=None):
+    def _ensure(self, arr, n, width=None, fill=0.0):
         shape = (n,) if width is None else (n, width)
         if arr is None:
-            return np.zeros(shape)
+            return np.full(shape, fill)
         if len(arr) < n:
-            out = np.zeros(shape)
+            out = np.full(shape, fill)
             out[:len(arr)] = arr
             return out
         return arr
 
     def _min_image(self, d):
-        # rows of box_h are the box vectors (pos = frac @ h, geometry.Box)
-        frac = d @ self.inv_h
-        for a in range(3):
-            if self.pbc[a]:
-                frac[:, a] -= np.rint(frac[:, a])
-        return frac @ self.box_h
+        return min_image(d, self.box_h, self.inv_h, self.pbc)
 
     # -- cadence driver ---------------------------------------------------
     def init_refs(self, scene, gstep: int = 0):
@@ -164,10 +178,25 @@ class SelectWriters:
         steps == 0 before the loop)."""
         c = self.cfg
         f = None
-        if self.dsp_on and int(c.update_ort_ref) <= gstep:
+        # skip when a reference is already present (loaded from the
+        # restart checkpoint's x_ref/Epot_ref columns, or captured by an
+        # earlier phase): recapturing here would silently rebase .dsp/.dem
+        # to the restart snapshot (the reference persists ORT_REF through
+        # the config file, imd_io.c:3300/3530, and only recaptures at
+        # steps == up_ort_ref)
+        if (self.dsp_on and self.ort_ref is None
+                and int(c.update_ort_ref) <= gstep):
+            if gstep > int(c.update_ort_ref):
+                import warnings
+                warnings.warn(
+                    "DSP reference positions not found in the restart "
+                    "checkpoint (no x_ref columns); capturing the "
+                    f"step-{gstep} state as the reference — .dsp "
+                    "displacements are measured from the restart "
+                    "snapshot, not the original configuration")
             f = f or self._flat(scene)
             self._capture_ort_ref(f)
-        if (self.dem_on and c.calc_Epot_ref
+        if (self.dem_on and c.calc_Epot_ref and self.epot_ref is None
                 and int(c.reset_Epot_step) <= gstep):
             f = f or self._flat(scene)
             self._capture_epot_ref(f)
@@ -178,16 +207,32 @@ class SelectWriters:
             f = f or self._flat(scene)
             self.nmol.init(f)
 
+    def preload_refs(self, ids, ort=None, epot=None):
+        """Seed the DISLOC references from a restart checkpoint's
+        x_ref/y_ref/z_ref/Epot_ref columns (imd_io.c:3300, read at
+        imd_io_3d.c:409) so .dsp/.dem keep measuring against the
+        original configuration across restarts."""
+        ids = np.asarray(ids, int)
+        n = ids.max() + 1 if len(ids) else 0
+        if ort is not None:
+            self.ort_ref = self._ensure(None, n, 3, fill=np.nan)
+            self.ort_ref[ids] = np.asarray(ort)
+        if epot is not None:
+            self.epot_ref = self._ensure(None, n, fill=np.nan)
+            self.epot_ref[ids] = np.asarray(epot)
+
     def _capture_ort_ref(self, f):
         ids = f["id"].astype(int)
         n = ids.max() + 1 if len(ids) else 0
-        self.ort_ref = self._ensure(None, n, 3)
+        # NaN marks ids with no captured reference (non-contiguous ids,
+        # atoms created later): writers substitute per-atom defaults
+        self.ort_ref = self._ensure(None, n, 3, fill=np.nan)
         self.ort_ref[ids] = f["pos"]
 
     def _capture_epot_ref(self, f):
         ids = f["id"].astype(int)
         n = ids.max() + 1 if len(ids) else 0
-        self.epot_ref = self._ensure(None, n)
+        self.epot_ref = self._ensure(None, n, fill=np.nan)
         self.epot_ref[ids] = f["epot"]
 
     def _avpos_reset(self, f):
@@ -221,6 +266,16 @@ class SelectWriters:
         """Fire every observer whose cadence matches ``gstep``."""
         if not self.active:
             return
+        # track the live box (NPT barostats / HOMDEF deformation change
+        # it after construction; min-image and wrap must use the current
+        # vectors)
+        h = np.asarray(scene.grid.box.h, np.float64)
+        if not np.array_equal(h, self.box_h):
+            self.box_h = h
+            self.inv_h = np.linalg.inv(h)
+            if self.nmol is not None:   # keep the trajectory unwrap in
+                self.nmol.box_h = self.box_h      # step with the live box
+                self.nmol.inv_h = self.inv_h
         c = self.cfg
         f = None
 
@@ -287,8 +342,13 @@ class SelectWriters:
 
     def _write_dsp(self, f, nr: int):
         ids = f["id"].astype(int)
-        ref = self.ort_ref[ids] if len(self.ort_ref) > ids.max() \
-            else np.zeros_like(f["pos"])
+        # atoms without a captured reference (created after the capture,
+        # restart-grown ids) measure zero displacement instead of
+        # poisoning the whole frame
+        ref = self._ensure(self.ort_ref, ids.max() + 1, 3,
+                           fill=np.nan)[ids]
+        miss = np.isnan(ref[:, 0])
+        ref[miss] = f["pos"][miss]
         d = self._min_image(f["pos"] - ref)
         sel = np.einsum("ij,ij->i", d, d) > self.cfg.min_dsp2
         with open(self._path(f"{self.cfg.outfiles}.{nr}.dsp"), "w") as out:
@@ -300,8 +360,10 @@ class SelectWriters:
 
     def _write_dem(self, f, nr: int):
         ids = f["id"].astype(int)
-        ref = self.epot_ref[ids] if len(self.epot_ref) > ids.max() \
-            else np.zeros_like(f["epot"])
+        ref = self._ensure(self.epot_ref, ids.max() + 1,
+                           fill=np.nan)[ids]
+        miss = np.isnan(ref)
+        ref[miss] = f["epot"][miss]
         dpot = np.abs(f["epot"] - ref)
         sel = dpot > self.cfg.min_dpot
         with open(self._path(f"{self.cfg.outfiles}.{nr}.dem"), "w") as out:

@@ -94,12 +94,9 @@ class NmoldynWriter:
         self._grow(n)
         # track wrap offsets: the minimum-image delta is the physical
         # displacement; the raw delta minus it is the wrap jump
+        from imd_tpu.io.select import min_image
         d_raw = f["pos"] - self.prev[ids]
-        frac = d_raw @ self.inv_h
-        for a in range(3):
-            if self.pbc[a]:
-                frac[:, a] -= np.rint(frac[:, a])
-        d_mi = frac @ self.box_h
+        d_mi = min_image(d_raw, self.box_h, self.inv_h, self.pbc)
         self.offs[ids] += d_raw - d_mi       # REF_POS += i*box analog
         self.prev[ids] = f["pos"]
 

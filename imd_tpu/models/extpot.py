@@ -158,8 +158,11 @@ def extpot_forces(scene: Scene, ep: ExtPotParams):
     return force, epot, diag
 
 
-def contact_area(bbox: jnp.ndarray) -> jnp.ndarray:
-    """Elliptic contact-patch area pi/4 dx dy from the bounding box."""
+def contact_area(bbox: jnp.ndarray, ep_key: int = 0) -> jnp.ndarray:
+    """Contact-patch area from the bounding box: elliptic pi/4 dx dy for
+    the spherical indenters (ep_key <= 1), plain rectangular dx dy for
+    the flat ep_key 2 (imd_io.c:2930-2933)."""
     dx = jnp.maximum(bbox[..., 1] - bbox[..., 0], 0.0)
     dy = jnp.maximum(bbox[..., 3] - bbox[..., 2], 0.0)
-    return math.pi / 4.0 * dx * dy
+    fac = math.pi / 4.0 if ep_key <= 1 else 1.0
+    return fac * dx * dy

@@ -55,15 +55,31 @@ class SimState(struct.PyTreeNode):
     vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
 
 
+def _iv_pair(iv):
+    """Normalize an interval spec to (interval, phase): observers that
+    fire on an offset lattice (AVPOS: (steps - avpos_start) % int == 0,
+    imd_main_3d.c:629-639) pass (interval, phase) tuples."""
+    return iv if isinstance(iv, tuple) else (int(iv), 0)
+
+
+def _iv_due(gstep: int, iv) -> bool:
+    i, ph = _iv_pair(iv)
+    return i > 0 and (gstep - ph) % i == 0
+
+
 def _clamp_block(b: int, cur: int, intervals, specials=()) -> int:
     """Shrink a dispatch block so it ends exactly on the next due I/O
-    step: the next multiple of ANY active interval, or a one-off
-    capture step.  The reference checks cadences every step
-    (imd_main_3d.c:623-793); we dispatch jitted blocks, so with
-    non-commensurate intervals (e.g. eng_int 10 + nmoldyn_int 4) a
+    step: the next multiple of ANY active interval (on its phase
+    lattice), or a one-off capture step.  The reference checks cadences
+    every step (imd_main_3d.c:623-793); we dispatch jitted blocks, so
+    with non-commensurate intervals (e.g. eng_int 10 + nmoldyn_int 4) a
     fixed min(intervals) block would silently skip boundaries that are
     not multiples of the smallest interval."""
-    cands = [i - cur % i for i in intervals if i > 0]
+    cands = []
+    for iv in intervals:
+        i, ph = _iv_pair(iv)
+        if i > 0:
+            cands.append(i - (cur - ph) % i)
     cands += [s - cur for s in specials if s > cur]
     return min([b] + cands) if cands else b
 
@@ -84,6 +100,10 @@ class Simulation:
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
+        # DISLOC references loaded from a restart checkpoint's
+        # x_ref/Epot_ref columns (seeded into SelectWriters at run())
+        self._disloc_ref = None
+        self._sel = None
         # fast: cells-last force engine + Chebyshev-compiled potentials
         # (gather-free; ~1e-5 deviation from exact table interpolation).
         # fast=False keeps the reference-exact table path (validation mode).
@@ -215,6 +235,18 @@ class Simulation:
             if cfg.itrname:
                 itr = read_itr(self._path(cfg.itrname))
             pos, vel, typ, number = d.pos, d.vel, d.type, d.number
+            # DISLOC observer references ride the checkpoint as extra
+            # columns (x_ref y_ref z_ref Epot_ref, imd_io.c:3300) so
+            # .dsp/.dem survive restarts without rebasing
+            from imd_tpu.io.chkpt import data_column
+            xr = [data_column(d, n) for n in ("x_ref", "y_ref", "z_ref")]
+            er = data_column(d, "Epot_ref")
+            if all(c is not None for c in xr) or er is not None:
+                self._disloc_ref = (
+                    number,
+                    np.stack(xr, axis=1)
+                    if all(c is not None for c in xr) else None,
+                    er)
             mass = d.mass
             box_x = itr.get("box_x", d.box_x if d.box_x is not None
                             else cfg.box_x)
@@ -1147,13 +1179,17 @@ class Simulation:
         from imd_tpu.io.select import SelectWriters
         if SelectWriters.wanted(cfg):
             sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
+            if self._disloc_ref is not None:
+                sel.preload_refs(*self._disloc_ref)
+        self._sel = sel
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
                                  cfg.pic_int, cfg.ttm_int, cfg.socket_int,
                                  cfg.lb_frequency) if i > 0]
         if sel is not None:
             intervals += sel.intervals()
         if block <= 0:
-            block = min([steps] + intervals) if intervals else min(steps, 100)
+            block = (min([steps] + [_iv_pair(i)[0] for i in intervals])
+                     if intervals else min(steps, 100))
             block = max(block, 1)
 
         def make_run_block(fn):
@@ -1236,10 +1272,14 @@ class Simulation:
                     from imd_tpu.models import extpot as extpot_mod
                     _, _, diag = extpot_mod.extpot_forces(state.scene,
                                                           state.ep)
-                    area = extpot_mod.contact_area(diag["bbox"])
-                    trow = (gstep if self.ensemble in
-                            ("mik", "glok", "cg")
-                            else (gstep - 1) * cfg.timestep)
+                    area = extpot_mod.contact_area(diag["bbox"],
+                                                   cfg.ep_key)
+                    # time column: steps*timestep; relax ensembles log
+                    # the raw step count only under quasistatic stepping
+                    # (ep_max_int > 0), imd_io.c:2943-2949
+                    relax_col = (self.ensemble in ("mik", "glok", "cg")
+                                 and cfg.ep_max_int > 0)
+                    trow = gstep if relax_col else gstep * cfg.timestep
                     ind.write(trow, np.asarray(state.ep.pos),
                               np.asarray(diag["fext"]),
                               np.asarray(area),
@@ -1360,9 +1400,13 @@ class Simulation:
         from imd_tpu.io.select import SelectWriters
         if SelectWriters.wanted(cfg):
             sel = SelectWriters(cfg, self.box.h, self.box.pbc, self._path)
+            if self._disloc_ref is not None:
+                sel.preload_refs(*self._disloc_ref)
             intervals += sel.intervals()
+        self._sel = sel
         if block <= 0:
-            block = min([steps] + intervals) if intervals else min(steps, 100)
+            block = (min([steps] + [_iv_pair(i)[0] for i in intervals])
+                     if intervals else min(steps, 100))
             block = max(block, 1)
 
         from imd_tpu.ops.fused_step import (cl_to_scene, make_filter_apply,
@@ -1532,7 +1576,7 @@ class Simulation:
             done += b
             gstep = self.step_count + done
             sel_due = sel is not None and (
-                any(gstep % i == 0 for i in sel.intervals())
+                any(_iv_due(gstep, i) for i in sel.intervals())
                 or gstep in sel.special_steps())
             io_due = sel_due or any(i > 0 and gstep % i == 0
                                     for i in intervals)
@@ -1649,13 +1693,34 @@ class Simulation:
         flat = state.scene.flatten_atoms()
         mask = np.asarray(flat["mask"])
         mass = np.asarray(flat["mass"])[mask]
+        pos = np.asarray(flat["pos"])[mask]
+        epot = np.asarray(flat["epot"])[mask]
+        data = epot[:, None]
+        columns = None
+        sel = getattr(self, "_sel", None)
+        if sel is not None and (sel.ort_ref is not None
+                                or sel.epot_ref is not None):
+            # persist the DISLOC references like the reference's extra
+            # config columns (imd_io.c:3300-3311): uncaptured ids fall
+            # back to their current state (zero displacement on reload)
+            ids = np.asarray(flat["id"])[mask].astype(int)
+            n = ids.max() + 1 if len(ids) else 0
+            oref = sel._ensure(sel.ort_ref, n, 3, fill=np.nan)[ids]
+            m = np.isnan(oref[:, 0])
+            oref[m] = pos[m]
+            eref = sel._ensure(sel.epot_ref, n, fill=np.nan)[ids]
+            eref[np.isnan(eref)] = epot[np.isnan(eref)]
+            data = np.concatenate([data, oref, eref[:, None]], axis=1)
+            columns = ("number type mass x y z vx vy vz Epot "
+                       "x_ref y_ref z_ref Epot_ref").split()
         d = ChkptData(
             number=np.asarray(flat["id"])[mask],
             type=np.asarray(flat["vtype"])[mask],
             mass=mass,
-            pos=np.asarray(flat["pos"])[mask],
+            pos=pos,
             vel=np.asarray(flat["mom"])[mask] / mass[:, None],
-            data=np.asarray(flat["epot"])[mask][:, None],
+            data=data,
+            columns=columns,
             box_x=np.asarray(self.box.h)[0],
             box_y=np.asarray(self.box.h)[1],
             box_z=np.asarray(self.box.h)[2],

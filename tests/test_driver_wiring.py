@@ -273,3 +273,59 @@ def test_noncommensurate_io_intervals(tmp_path):
     names = {q.name for q in tmp_path.iterdir()}
     assert {"cadence.4.dsp", "cadence.8.dsp", "cadence.12.dsp",
             "cadence.16.dsp", "cadence.20.dsp"} <= names
+
+
+def test_avpos_offset_start(tmp_path):
+    """AVPOS fires on the (steps - avpos_start) lattice
+    (imd_main_3d.c:629-639): with avpos_start 5 and avpos_int 10 the
+    writes land at steps 15 and 25, which are NOT multiples of 10 —
+    the dispatch-block clamp must honor the phase offset."""
+    sim, st = _run(tmp_path,
+                   "ensemble nve\nmaxsteps 26\n"
+                   "avpos_int 10\navpos_res 5\navpos_start 5\n",
+                   "avoff")
+    names = {q.name for q in tmp_path.iterdir()}
+    assert "avoff.1.avp" in names and "avoff.2.avp" in names, names
+    n = int(sim.scene.n_atoms())
+    avp = np.loadtxt(tmp_path / "avoff.2.avp")
+    assert avp.shape == (n, 7)
+
+
+def test_dsp_reference_survives_restart(tmp_path):
+    """.dsp displacements keep measuring against the ORIGINAL reference
+    after a checkpoint/restart: the x_ref/Epot_ref columns ride the
+    .chkpt (imd_io.c:3300, read back at imd_io_3d.c:409) instead of
+    silently rebasing to the restart snapshot."""
+    sim, st = _run(tmp_path,
+                   "ensemble nve\nmaxsteps 10\ncheckpt_int 10\n"
+                   "dsp_int 5\nmin_dsp2 -1.0\nupdate_ort_ref 0\n"
+                   "dem_int 5\ncalc_Epot_ref 1\nmin_dpot -1.0\n",
+                   "dref")
+    ref0 = sim._sel.ort_ref.copy()
+    # the checkpoint carries the reference columns
+    from imd_tpu.io.chkpt import data_column, read_chkpt
+    d = read_chkpt(str(tmp_path / "dref.00001.chkpt"))
+    assert data_column(d, "x_ref") is not None
+    assert data_column(d, "Epot_ref") is not None
+
+    # restart: phase continues 10 more steps from the checkpoint
+    p = tmp_path / "dref.imd"
+    txt = p.read_text().replace("maxsteps 10", "maxsteps 20")
+    p.write_text(txt)
+    from imd_tpu.config import SimConfig, parse_param_text
+    cfg = SimConfig.from_params(parse_param_text(txt))
+    cfg.coordname = "dref.00001.chkpt"
+    cfg.itrname = "dref.00001.itr"
+    sim2 = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float32,
+                      engine="xla")
+    sim2.run()
+    ids = np.nonzero(~np.isnan(ref0[:, 0]))[0]
+    np.testing.assert_allclose(sim2._sel.ort_ref[ids], ref0[ids],
+                               rtol=0, atol=1e-5)
+    # displacements in the post-restart .dsp are measured from step 0,
+    # not from the restart snapshot: they keep growing
+    d15 = np.loadtxt(tmp_path / "dref.15.dsp")
+    d5 = np.loadtxt(tmp_path / "dref.5.dsp")
+    assert (np.linalg.norm(d15[:, 4:7], axis=1).mean()
+            > np.linalg.norm(d5[:, 4:7], axis=1).mean() * 0.5)
+    assert np.linalg.norm(d15[:, 4:7], axis=1).max() > 0

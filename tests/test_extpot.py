@@ -162,9 +162,10 @@ ep_dir      0  0 0 -1
     sim.run()
     rows = np.loadtxt(tmp_path / "indf.ind", ndmin=2)
     assert rows.shape == (3, 7)      # time x y z f area n_contact
-    # indenter z descends at 2.0/unit time
-    np.testing.assert_allclose(rows[:, 3],
-                               7.5 - 2.0 * (rows[:, 0] + 0.004),
+    # indenter z descends at 2.0/unit time; the time column is
+    # steps*timestep (write_fext imd_io.c:2949), aligned with the
+    # logged (post-move) indenter position
+    np.testing.assert_allclose(rows[:, 3], 7.5 - 2.0 * rows[:, 0],
                                rtol=1e-6)
     # by the last write the indenter (rcut 1.5, z ~7) touches the top
     # fcc layer (z ~6.9): nonzero force, contact count, and patch area
