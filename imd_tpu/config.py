@@ -150,7 +150,8 @@ _SUB_PREFIXES = ("laser_", "ttm", "fd_", "tmm", "nrb_", "filter_",
                  "ep_", "lj_", "pic_", "socket_")
 
 # tags consumed under a different name or by a subsystem dataclass
-_KNOWN_ODD = {"simulation", "lambda", "I0", "Sc", "bw", "srcx",
+_KNOWN_ODD = {"lindef_int", "presstens_ext",
+              "simulation", "lambda", "I0", "Sc", "bw", "srcx",
               "srcw", "ttmdimx", "ttmdimy", "ttmdimz",
               "init_t_el", "fix_t_el", "elecpress", "vlatdim",
               "vlatbuffer", "wide_range", "eos_dir", "atomic_z",
@@ -542,6 +543,10 @@ class SimConfig:
     use_current_temp: int = 0
     bulk_module: float = 0.0
     shear_module: float = 0.0
+    # external stress target for relax_pressure (xx yy zz yz zx xy,
+    # imd_param.c:2449)
+    presstens_ext: Tuple[float, float, float, float, float, float] = (
+        0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     # analysis windows (imd_cna.c / imd_ada.c / io ATDIST/DIFFPAT /
     # imd_correl.c; analysis.py is the consumer)
     cna_int: int = 0
@@ -867,6 +872,11 @@ class SimConfig:
         c.fbc_bforces = per_vtype("extra_startbforce")
         c.fbc_bdforces = per_vtype("extra_bdforce")
         c.fbc_endbforces = per_vtype("extra_endbforce")
+        # DEFORM group tables: indexed '<vtype> x y z' lines
+        # (imd_param.c:787-840)
+        c.deform_shift = list(per_vtype("deform_shift"))
+        c.deform_shear = list(per_vtype("deform_shear"))
+        c.deform_base = list(per_vtype("deform_base"))
         # BEND moments: indexed '<moment> ...' lines (imd_param.c:1042-75)
         c.bend_nmoments = int(g("bend_nmoments", 0))
         if c.bend_nmoments > 0:
@@ -1029,6 +1039,22 @@ class SimConfig:
                   "filter_int", "flush_int", "parallel_output", "binary_output"):
             if g(k) is not None:
                 setattr(c, k, int(g(k)))
+        # HOMDEF pressure relaxation / homogeneous strain
+        # (lin_deform + relax_pressure, imd_deform.c:33/127)
+        if g("lindef_int") is not None:
+            c.lindef_interval = int(g("lindef_int"))
+        rm = g("relax_mode")
+        if rm is not None:
+            modes = {"full": 0, "axial": 1, "iso": 2}
+            c.relax_mode = modes.get(str(rm).lower())
+            if c.relax_mode is None:
+                raise ValueError(f"Unknown relax_mode {rm}"
+                                 " (full|axial|iso, imd_param.c:1562)")
+        pe = g("presstens_ext")
+        if pe is not None:
+            vv = pe if isinstance(pe, list) else [pe]
+            c.presstens_ext = tuple(float(x) for x in (
+                list(vv) + [0.0] * 6)[:6])
         dd = g("dist_dim")
         if dd is not None:
             c.dist_dim = tuple(int(x) for x in (dd if isinstance(dd, list) else [dd] * 3))
@@ -1201,7 +1227,9 @@ class SimConfig:
                     "center", "xi", "box_x", "box_y", "box_z",
                     "box_param", "masses", "laser", "ttm", "tmm", "fdtd",
                     "nrb", "filter", "relax", "dist_flags",
-                    "lj_epsilon", "lj_sigma", "r_cut"}
+                    "lj_epsilon", "lj_sigma", "r_cut",
+                    "relax_mode", "presstens_ext",
+                    "deform_shift", "deform_shear", "deform_base"}
         for f in dataclasses.fields(cls):
             name = f.name
             if name in _already or name not in p:

@@ -60,6 +60,42 @@ def deform_sample(scene: Scene, deform_shift, deform_size,
     return scene.replace(pos=pos)
 
 
+def relax_pressure_tensor(scene: Scene, presstens, presstens_ext,
+                          bulk_module, shear_module, relax_mode: int,
+                          relax_dirs, relax_rate) -> Scene:
+    """Stress-tensor pressure relaxation (relax_pressure with
+    STRESS_TENS, imd_deform.c:140-176): strain the box toward an
+    external stress target every step, scaled by relax_rate.
+
+    ``presstens`` [6] xx yy zz yz zx xy EXTENSIVE sums (the per-step
+    accumulators); divided by the box volume here like the reference's
+    tot_presstens/volume.  relax_mode: 0=full (deviatoric + shear
+    components via the shear modulus), 1=axial (diagonal only, masked by
+    relax_dirs), 2=iso (hydrostatic only)."""
+    dtype = scene.pos.dtype
+    vol = scene.grid.box.volume
+    ext = jnp.asarray(presstens_ext, dtype)
+    pt = presstens / vol - ext
+    dirs = jnp.asarray(relax_dirs, dtype)
+    pp = jnp.sum(pt[:3] * dirs) / jnp.maximum(jnp.sum(dirs), 1.0)
+    b = 1.0 / jnp.maximum(jnp.asarray(bulk_module, dtype), 1e-30)
+    g = 1.0 / jnp.maximum(jnp.asarray(shear_module, dtype), 1e-30)
+    if relax_mode in (0, 1):          # full / axial: deviatoric diagonal
+        diag = pp * b + (pt[:3] - pp) * g
+    else:                             # iso
+        diag = jnp.full((3,), pp * b, dtype)
+    if relax_mode == 1:               # axial: strain only relax_dirs
+        diag = diag * dirs
+    if relax_mode == 0:               # full: shear components too
+        yz, zx, xy = pt[3] * g, pt[4] * g, pt[5] * g
+    else:
+        yz = zx = xy = jnp.zeros((), dtype)
+    dxr = jnp.stack([diag[0], xy, zx])
+    dyr = jnp.stack([xy, diag[1], yz])
+    dzr = jnp.stack([zx, yz, diag[2]])
+    return lin_deform(scene, dxr, dyr, dzr, relax_rate)
+
+
 def relax_pressure(scene: Scene, ekin2, virial, pressure_target,
                    bulk_module, relax_rate=1.0) -> Scene:
     """One isotropic box-rescale step toward the target pressure

@@ -50,6 +50,11 @@ class SimState(struct.PyTreeNode):
     gamma: Optional[jnp.ndarray] = None   # FRAC scalar / FTG [nslices]
     ep: Optional["object"] = None         # ExtPotParams (moving indenters)
     fire: Optional["object"] = None       # FireState (ensemble glok)
+    # quasistatic RELAX loading offsets (update_fbc, imd_main_3d.c:1243):
+    # incremented on the host at relaxation events, traced leaves so the
+    # jitted step needs no retrace per increment
+    fbc_offset: Optional[jnp.ndarray] = None    # [vtypes, 3]
+    bfbc_offset: Optional[jnp.ndarray] = None   # [vtypes, 3] bend forces
     fdtd: Optional["object"] = None       # FDTDState (Maxwell laser source)
     cstate: Optional["object"] = None     # ColradGridState (plasma kinetics)
     vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
@@ -512,6 +517,9 @@ class Simulation:
     # the jitted step
     # ------------------------------------------------------------------
     def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
+        # HOMDEF pressure relaxation consumes the stress tensor every
+        # step (relax_pressure, imd_deform.c:140)
+        ns = True if self.cfg.relax_rate > 0 else None
         if getattr(self, "use_pallas", False):
             from imd_tpu.ops.forces_pallas import (
                 compute_eam_forces_pallas, compute_eam_forces_pallas_mt,
@@ -520,11 +528,13 @@ class Simulation:
                 if self.cfg.ntypes > 1:
                     return compute_eam_forces_pallas_mt(
                         scene, self.eam_run, self.cfg.ntypes,
-                        count_neighbors=count_neighbors)
+                        count_neighbors=count_neighbors, need_stress=ns)
                 return compute_eam_forces_pallas(
-                    scene, self.eam_run, count_neighbors=count_neighbors)
+                    scene, self.eam_run, count_neighbors=count_neighbors,
+                    need_stress=ns)
             return compute_pair_forces_pallas(
-                scene, self.pair_run, count_neighbors=count_neighbors)
+                scene, self.pair_run, count_neighbors=count_neighbors,
+                need_stress=ns)
         if self.fast:
             from imd_tpu.ops import forces_fast as fm
             eam_fn, pair_fn = (fm.compute_eam_forces_fast,
@@ -562,6 +572,128 @@ class Simulation:
             begin = jnp.zeros_like(end)
         steps_diff = max(cfg.maxsteps - cfg.startstep, 1)
         return (end - begin) / steps_diff
+
+    def _relax_drivers(self):
+        """Active quasistatic loading drivers for relax ensembles
+        (the RELAX protocol, imd_main_3d.c:208-330 + update_fbc 1243):
+        each maps name -> per-event wait cap in steps (0 = only fire on
+        relaxation)."""
+        cfg = self.cfg
+        if self.ensemble not in ("mik", "glok", "cg"):
+            return {}
+        d = {}
+        if cfg.fbc_dforces and any(any(x != 0 for x in r)
+                                   for r in cfg.fbc_dforces):
+            d["fbc"] = cfg.max_fbc_int
+        if (cfg.bend_nmoments > 0 and cfg.fbc_bdforces
+                and any(any(x != 0 for x in r) for r in cfg.fbc_bdforces)):
+            # the reference's bend branch also waits on max_fbc_int
+            # (imd_main_3d.c:1362)
+            d["bend"] = cfg.max_fbc_int
+        if self.extpot0 is not None and cfg.ep_max_int > 0:
+            d["extpot"] = cfg.ep_max_int
+        if cfg.max_deform_int > 0 and cfg.deform_shift:
+            d["deform"] = cfg.max_deform_int
+        if (cfg.lindef_interval > 0
+                and any(any(x != 0 for x in r) for r in
+                        (cfg.lindef_x, cfg.lindef_y, cfg.lindef_z))):
+            d["lindef"] = cfg.lindef_interval
+        return d
+
+    def _deform_tables(self):
+        """deform_shift/shear/base as [vtypes,3] arrays (imd_param.c
+        deform_shift family; deform_sample imd_deform.c:232)."""
+        cfg = self.cfg
+        shift = self._per_vtype_table(cfg.deform_shift)
+        shear = self._per_vtype_table(cfg.deform_shear)
+        base = self._per_vtype_table(cfg.deform_base)
+        sd = None
+        if shear is not None:
+            sd = jnp.asarray(
+                [1 if any(x != 0 for x in r) else 0
+                 for r in (list(cfg.deform_shear)
+                           + [(0.0, 0.0, 0.0)] * cfg.vtypes)[
+                     :cfg.vtypes]], jnp.int32)
+        return shift, shear, base, sd
+
+    def _apply_loading_event(self, state: SimState, names):
+        """Apply one quasistatic loading increment per driver in
+        ``names`` and return the updated state (host-side, traced-leaf
+        updates only: no retrace)."""
+        cfg = self.cfg
+        from imd_tpu.models import deform as deform_mod
+        from imd_tpu.models import extpot as extpot_mod
+        from imd_tpu.scene import rebin
+        if "fbc" in names and state.fbc_offset is not None:
+            df = self._per_vtype_table(cfg.fbc_dforces)
+            state = state.replace(fbc_offset=state.fbc_offset + df)
+        if "bend" in names and state.bfbc_offset is not None:
+            df = self._per_vtype_table(cfg.fbc_bdforces)
+            state = state.replace(bfbc_offset=state.bfbc_offset + df)
+        if "extpot" in names and state.ep is not None:
+            state = state.replace(ep=extpot_mod.move_extpot(
+                state.ep, jnp.asarray(1.0, self.dtype)))
+        if "deform" in names:
+            shift, shear, base, sd = self._deform_tables()
+            sc = deform_mod.deform_sample(
+                state.scene, shift, jnp.asarray(cfg.deform_size,
+                                                self.dtype),
+                shear_def=sd, deform_shear=shear, deform_base=base)
+            state = state.replace(scene=rebin(sc))
+        if "lindef" in names:
+            sc = deform_mod.lin_deform(
+                state.scene, cfg.lindef_x, cfg.lindef_y, cfg.lindef_z,
+                jnp.asarray(cfg.lindef_size, self.dtype))
+            state = state.replace(scene=rebin(sc))
+        # reset the relaxation machinery like reset_glok/reset_cg
+        # (imd_main_3d.c:1111): fresh FIRE state, zeroed momenta handled
+        # by FIRE's own uphill reset on the next step
+        if state.fire is not None:
+            from imd_tpu import relax as relax_mod
+            state = state.replace(fire=relax_mod.fire_init(
+                jnp.asarray(cfg.timestep, self.dtype), self.fire_cfg))
+        return state
+
+    def _write_ss(self, state: SimState, sscount: int, ssdef,
+                  nactive: float):
+        """One quasistatic event record: .ssdef row + .ss config snapshot
+        (write_ssdef imd_io.c:2665, write_ssconfig imd_io.c:210)."""
+        cfg = self.cfg
+        flat = state.scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        vt = np.asarray(flat["vtype"])[mask]
+        force = np.asarray(flat["force"])[mask]
+        vt_force = np.zeros((cfg.vtypes, 3))
+        np.add.at(vt_force, np.clip(vt, 0, cfg.vtypes - 1), force)
+        fbc = self._fbc()
+        fbc = None if fbc is None else np.asarray(fbc)
+        if state.fbc_offset is not None:
+            fbc = (np.asarray(state.fbc_offset) if fbc is None
+                   else fbc + np.asarray(state.fbc_offset))
+        # pressure columns are intensive (tot_presstens/volume,
+        # imd_io.c:2755-2762)
+        vol = float(np.asarray(state.scene.grid.box.volume))
+        ssdef.write(int(state.step), int(state.step),
+                    float(state.epot_total), float(state.stats.fnorm),
+                    np.asarray(state.scene.grid.box.h), fbc,
+                    np.asarray(state.presstens) / max(vol, 1e-30),
+                    vt_force)
+        mass = np.asarray(flat["mass"])[mask]
+        d = ChkptData(
+            number=np.asarray(flat["id"])[mask],
+            type=vt, mass=mass,
+            pos=np.asarray(flat["pos"])[mask],
+            vel=np.asarray(flat["mom"])[mask] / mass[:, None],
+            data=np.asarray(flat["epot"])[mask][:, None],
+            box_x=np.asarray(state.scene.grid.box.h)[0],
+            box_y=np.asarray(state.scene.grid.box.h)[1],
+            box_z=np.asarray(state.scene.grid.box.h)[2])
+        base = self._path(f"{cfg.outfiles}.{sscount:05d}")
+        write_chkpt(base + ".ss", d,
+                    binary=bool(self.cfg.binary_output))
+        write_itr(base + ".ssitr", checkpoint=sscount,
+                  startstep=int(state.step) + 1,
+                  box_x=d.box_x, box_y=d.box_y, box_z=d.box_z)
 
     def _rigid_tables(self):
         """superatom / supermass / superrestrictions from the parsed
@@ -628,7 +760,7 @@ class Simulation:
             bf_begin=bf_begin, bf_df=bf_df)
 
     def integrator_params(self, temperature: jnp.ndarray, step=None,
-                          rigid=None) -> integrate.IntegratorParams:
+                          rigid=None, fbc_offset=None) -> integrate.IntegratorParams:
         cfg = self.cfg
         fbc = self._fbc()
         fbc_df = self._fbc_ramp()
@@ -637,6 +769,11 @@ class Simulation:
             t = (step - cfg.startstep).astype(self.dtype)
             fbc = (jnp.zeros_like(fbc_df) if fbc is None else fbc) \
                 + fbc_df * t
+        if fbc_offset is not None:
+            # quasistatic RELAX increments accumulated at relaxation
+            # events (update_fbc, imd_main_3d.c:1255-1270)
+            fbc = (jnp.zeros_like(fbc_offset) if fbc is None else fbc) \
+                + fbc_offset
         # rigid tables are host-derived from the initial scene; callers
         # inside a trace must pass them in (computed in make_step_fn)
         superatom, supermass, superrestr = (
@@ -709,13 +846,20 @@ class Simulation:
                 f_ep, e_ep, _ = extpot_mod.extpot_forces(scene, ep)
                 scene = scene.replace(force=scene.force + f_ep,
                                       epot=scene.epot + e_ep)
-                ep = extpot_mod.move_extpot(
-                    ep, jnp.asarray(cfg.timestep, self.dtype))
+                if not (self.ensemble in ("mik", "glok", "cg")
+                        and cfg.ep_max_int > 0):
+                    # dynamic indenter motion; in quasistatic RELAX mode
+                    # (ep_max_int > 0) the indenter only steps at
+                    # relaxation events, by move_extpot(1.0) on the host
+                    # (imd_main_3d.c:210-231)
+                    ep = extpot_mod.move_extpot(
+                        ep, jnp.asarray(cfg.timestep, self.dtype))
             nrb_mask = None
             if self.nrb_state is not None:
                 scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
             temp = self._ramp_temperature(state.step)
-            params = self.integrator_params(temp, state.step, rigid)
+            params = self.integrator_params(temp, state.step, rigid,
+                                            fbc_offset=state.fbc_offset)
             if bend is not None:
                 # per-step bending-force directions (update_bend,
                 # imd_main_3d.c:615)
@@ -723,6 +867,9 @@ class Simulation:
                 if bend["bf_df"] is not None:
                     bfv = bfv + bend["bf_df"] * (
                         state.step - cfg.startstep).astype(self.dtype)
+                if state.bfbc_offset is not None:
+                    # quasistatic bend increments (imd_main_3d.c:1362)
+                    bfv = bfv + state.bfbc_offset
                 mag = jnp.linalg.norm(bfv[bend["force_vt"]], axis=1)
                 params = params.replace(
                     bend_forces=integrate.bend_force_table(
@@ -907,6 +1054,19 @@ class Simulation:
             if self.ensemble in ("lang", "and") and state.rng is not None:
                 new_rng = key
             new_fire = fire if self.ensemble == "glok" else state.fire
+            if cfg.relax_rate > 0 and cfg.bulk_module > 0:
+                # HOMDEF pressure relaxation toward presstens_ext EVERY
+                # step (main loop hook imd_main_3d.c:800,
+                # relax_pressure imd_deform.c:127): box.h is a traced
+                # Scene leaf, so the per-step rescale stays inside jit
+                from imd_tpu.models.deform import relax_pressure_tensor
+                scene = relax_pressure_tensor(
+                    scene, res.presstens,
+                    jnp.asarray(cfg.presstens_ext, self.dtype),
+                    cfg.bulk_module,
+                    cfg.shear_module if cfg.shear_module > 0
+                    else cfg.bulk_module,
+                    cfg.relax_mode, cfg.relax_dirs, cfg.relax_rate)
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
@@ -914,7 +1074,9 @@ class Simulation:
                             xi=new_xi, ekin_old=new_ekin, rng=new_rng,
                             gamma=gamma, ep=ep, fire=new_fire,
                             fdtd=new_fdtd, cstate=new_cstate,
-                            vstate=new_vstate)
+                            vstate=new_vstate,
+                            fbc_offset=state.fbc_offset,
+                            bfbc_offset=state.bfbc_offset)
 
         return step_fn
 
@@ -997,6 +1159,12 @@ class Simulation:
         elif self.cfg.ensemble == "ftg":
             gamma = jnp.full((self.cfg.nslices,), self.cfg.gamma_damp,
                              self.dtype)
+        fbc_offset = bfbc_offset = None
+        drv = self._relax_drivers()
+        if "fbc" in drv:
+            fbc_offset = jnp.zeros((self.cfg.vtypes, 3), self.dtype)
+        if "bend" in drv:
+            bfbc_offset = jnp.zeros((self.cfg.vtypes, 3), self.dtype)
         return SimState(scene=self.scene,
                         step=jnp.asarray(self.step_count, jnp.int32),
                         eta=jnp.asarray(self.cfg.eta, self.dtype),
@@ -1007,7 +1175,8 @@ class Simulation:
                         ttm_grid=ttm_grid, fdi=fdi,
                         xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma,
                         ep=self.extpot0, fire=fire, fdtd=fdtd_state,
-                        cstate=cstate, vstate=vstate)
+                        cstate=cstate, vstate=vstate,
+                        fbc_offset=fbc_offset, bfbc_offset=bfbc_offset)
 
     # ------------------------------------------------------------------
     # host loop with I/O
@@ -1044,7 +1213,13 @@ class Simulation:
         if self._restrictions() is not None or self._fbc() is not None:
             return False
         if (cfg.zapp_threshold > 0 or cfg.bend_nmoments > 0
-                or cfg.rigid_groups or cfg.fbc_endforces):
+                or cfg.rigid_groups or cfg.fbc_endforces
+                or cfg.fbc_dforces or cfg.fbc_bdforces):
+            return False
+        if (cfg.relax_rate > 0 or cfg.lindef_interval > 0
+                or cfg.max_deform_int > 0 or cfg.ep_max_int > 0):
+            # HOMDEF/DEFORM deformation drivers and quasistatic loading
+            # run through the general step
             return False
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
@@ -1090,6 +1265,15 @@ class Simulation:
         cfg = self.cfg
         steps = cfg.maxsteps if steps is None else steps
         R = cfg.relax
+        if self._relax_drivers():
+            import warnings
+            warnings.warn(
+                "quasistatic loading drivers (extra_dforce/ep_max_int/"
+                "max_deform_int/lindef_int) are wired for the glok/mik "
+                "relax ensembles; `ensemble cg` relaxes without applying "
+                "loading increments (update_fbc ENS_CG branch, "
+                "imd_main_3d.c:1254) — use ensemble glok for quasistatic "
+                "loading")
         block = cfg.eng_int if cfg.eng_int > 0 else min(steps, 50)
         block = max(1, min(block, steps))
         # cg_mode != 0 selects the reference's ACG/steepest-descent
@@ -1233,6 +1417,28 @@ class Simulation:
         if sel is not None:
             sel.init_refs(state.scene, self.step_count)
         epot_prev = None
+        # quasistatic / dynamic loading drivers (RELAX protocol +
+        # HOMDEF/DEFORM lattices)
+        relax_drivers = self._relax_drivers()
+        relax_waits = {k: 0 for k in relax_drivers}
+        ssdef = None
+        sscount = 0
+        if relax_drivers:
+            # event granularity is the dispatch block: cap it by the
+            # smallest wait cap so ep_int/fbc_int-style counters
+            # (imd_main_3d.c:228/1269) fire close to the reference step
+            caps = [c for c in relax_drivers.values() if c > 0]
+            if caps:
+                block = max(1, min(block, min(caps)))
+        dyn_deform = set()
+        if cfg.lindef_interval > 0 and any(
+                any(x != 0 for x in r)
+                for r in (cfg.lindef_x, cfg.lindef_y, cfg.lindef_z)):
+            dyn_deform.add("lindef")
+            intervals.append(cfg.lindef_interval)
+        if cfg.max_deform_int > 0 and cfg.deform_shift:
+            dyn_deform.add("deform")
+            intervals.append(cfg.max_deform_int)
         done = 0
         grow_tries = 0
         while done < steps:
@@ -1330,20 +1536,74 @@ class Simulation:
                 from imd_tpu.io import socket_io
                 if socket_io.poll(sock, self, state):
                     break
+            # dynamic (non-relax) deformation drivers fire on their
+            # step lattices (HOMDEF/DEFORM without RELAX,
+            # imd_main_3d.c:296-333)
+            if not relax_drivers:
+                if ("lindef" in dyn_deform
+                        and gstep % cfg.lindef_interval == 0):
+                    from imd_tpu.models import deform as deform_mod
+                    from imd_tpu.scene import rebin as _rebin
+                    state = state.replace(scene=_rebin(
+                        deform_mod.lin_deform(
+                            state.scene, cfg.lindef_x, cfg.lindef_y,
+                            cfg.lindef_z,
+                            jnp.asarray(cfg.lindef_size, self.dtype))))
+                if ("deform" in dyn_deform
+                        and gstep % cfg.max_deform_int == 0):
+                    from imd_tpu.models import deform as deform_mod
+                    from imd_tpu.scene import rebin as _rebin
+                    shift, shear, base, sd = self._deform_tables()
+                    state = state.replace(scene=_rebin(
+                        deform_mod.deform_sample(
+                            state.scene, shift,
+                            jnp.asarray(cfg.deform_size, self.dtype),
+                            shear_def=sd, deform_shear=shear,
+                            deform_base=base)))
             # quasistatic convergence (check_relaxed, main_3d.c:1787)
             R = cfg.relax
+            relaxed = False
             if (self.ensemble in ("glok", "mik")
                     and (R.fnorm_threshold > 0 or R.ekin_threshold > 0
                          or R.delta_epot_threshold > 0)):
                 from imd_tpu.relax import check_relaxed
                 ep_now = float(state.epot_total)
-                if epot_prev is not None and bool(check_relaxed(
-                        state.stats, ep_now, epot_prev, nactive,
-                        R.fnorm_threshold, R.ekin_threshold,
-                        R.delta_epot_threshold)):
+                relaxed = epot_prev is not None and bool(check_relaxed(
+                    state.stats, ep_now, epot_prev, nactive,
+                    R.fnorm_threshold, R.ekin_threshold,
+                    R.delta_epot_threshold))
+                if relaxed and not relax_drivers:
                     print(f"# relaxed at step {gstep}", flush=True)
                     break
                 epot_prev = ep_now
+            if relax_drivers:
+                # quasistatic RELAX loading: on relaxation (or a
+                # driver's wait cap, which ticks regardless of whether
+                # convergence thresholds are configured) apply one
+                # loading increment, log .ssdef + .ss snapshot, reset
+                # the relaxation machinery, and CONTINUE
+                # (imd_main_3d.c:208-330, update_fbc 1243-1270)
+                for k in relax_waits:
+                    relax_waits[k] += b
+                due = [k for k, cap in relax_drivers.items()
+                       if relaxed or (cap > 0 and relax_waits[k] > cap)]
+                if due:
+                    if ssdef is None:
+                        from imd_tpu.io.ssdef import SsdefWriter
+                        restr = self._restrictions()
+                        ssdef = SsdefWriter(
+                            self._path(cfg.outfiles + ".ssdef"),
+                            cfg.vtypes,
+                            np.asarray(restr) if restr is not None
+                            else None,
+                            append=cfg.simulation_phase > 1)
+                    self._write_ss(state, sscount, ssdef, nactive)
+                    sscount += 1
+                    state = self._apply_loading_event(state, due)
+                    for k in due:
+                        relax_waits[k] = 0
+                    epot_prev = None
+                    continue
             # graceful-stop machinery (check_write/check_stop/
             # check_walltime, imd_main_3d.c:1938-1992): an (empty) `write`
             # file triggers an immediate checkpoint, a `stop` file or the

@@ -193,3 +193,97 @@ def test_quasi_2d_slab(tmp_path):
     # Ekin/atom = T * n_active / (2N) = T
     etot = eng[:, 1] + eng[:, 2]
     assert np.abs(etot - etot[0]).max() < 1e-4 * abs(etot[0])
+
+
+def test_fbc_quasistatic_loading(tmp_path):
+    """RELAX FBC protocol (update_fbc, imd_main_3d.c:1243-1270): in a
+    relax ensemble with extra_dforce, relaxation events (or the
+    max_fbc_int wait cap) increment the FBC force, write .ssdef/.ss,
+    reset the relaxer, and CONTINUE to maxsteps instead of stopping at
+    the first convergence."""
+    sim = _sim(tmp_path,
+               "ensemble glok\nmaxsteps 120\ntotal_types 2\n"
+               "restrictionvector 1 0 0 0\n"
+               "extra_dforce 1 0.02 0 0\n"
+               "max_fbc_int 25\nfnorm_threshold 50.0\neng_int 20\n",
+               "qfbc")
+    st = sim.run()
+    # ran to maxsteps (loading continues past relaxation events)
+    assert int(st.step) == 120
+    # at least two loading increments fired (cap 25 over 120 steps)
+    off = np.asarray(st.fbc_offset)
+    assert off[1, 0] >= 2 * 0.02 - 1e-6, off
+    # .ssdef rows + numbered .ss snapshots exist
+    rows = (tmp_path / "qfbc.ssdef").read_text().strip().splitlines()
+    assert rows[0].startswith("#C step nfc Epot fnorm")
+    assert len(rows) >= 3
+    names = {q.name for q in tmp_path.iterdir()}
+    assert "qfbc.00000.ss" in names and "qfbc.00000.ssitr" in names
+    # the .ssdef logs the reaction force on the held vtype
+    assert "tot_force[1].x" in rows[0]
+
+
+def test_lindef_dynamic_strain(tmp_path):
+    """HOMDEF homogeneous strain every lindef_int steps in a dynamic
+    ensemble (lin_deform, imd_deform.c:33; hook imd_main_3d.c:296):
+    box_x grows by lindef_size per event; atoms follow affinely."""
+    sim = _sim(tmp_path,
+               "maxsteps 40\nlindef_int 10\nlindef_size 0.002\n"
+               "lindef_x 1 0 0\nstarttemp 0.002\n", "lde")
+    bx0 = float(np.asarray(sim.box.h)[0, 0])
+    st = sim.run()
+    bx = float(np.asarray(st.scene.grid.box.h)[0, 0])
+    # 4 events at +0.2% each
+    np.testing.assert_allclose(bx, bx0 * 1.002 ** 4, rtol=1e-5)
+    assert int(st.scene.overflow) == 0
+    assert int(st.scene.n_atoms()) == int(sim.scene.n_atoms())
+
+
+def test_relax_pressure_toward_target(tmp_path):
+    """HOMDEF per-step pressure relaxation (relax_pressure,
+    imd_deform.c:127, hook main_3d.c:800): with relax_rate and a bulk
+    modulus the box rescales toward presstens_ext = 0 every step; the
+    residual pressure shrinks."""
+    sim = _sim(tmp_path,
+               "maxsteps 60\nrelax_rate 0.3\nbulk_module 0.7\n"
+               "shear_module 0.3\nrelax_mode iso\nstarttemp 0.0005\n"
+               "eng_int 30\n", "rpx")
+    st0 = sim.run(steps=2)
+    vol0 = float(np.asarray(st0.scene.grid.box.volume))
+    p0 = float((2.0 / 3.0 * float(st0.stats.tot_kin_energy)
+                + float(st0.virial) / 3.0) / vol0)
+    st = sim.run(steps=58)
+    vol = float(np.asarray(st.scene.grid.box.volume))
+    p1 = float((2.0 / 3.0 * float(st.stats.tot_kin_energy)
+                + float(st.virial) / 3.0) / vol)
+    assert abs(p1) < abs(p0)
+    assert vol != vol0
+
+
+def test_deform_sample_dynamic(tmp_path):
+    """DEFORM group shifts every max_deform_int steps in a dynamic
+    ensemble (deform_sample, imd_deform.c:232; hook main_3d.c:307-333
+    without RELAX): the flagged vtype moves by deform_size*shift per
+    event."""
+    sim = _sim(tmp_path,
+               "maxsteps 20\ntotal_types 2\nstarttemp 0\n"
+               "restrictionvector 1 0 0 0\n"
+               "deform_shift 1 0.05 0 0\n"
+               "max_deform_int 10\ndeform_size 1.0\n", "dsam")
+    flat0 = sim.scene.flatten_atoms()
+    m0 = np.asarray(flat0["mask"])
+    vt0 = np.asarray(flat0["vtype"])[m0]
+    ids0 = np.asarray(flat0["id"])[m0]
+    x0 = np.asarray(flat0["pos"])[m0][:, 0]
+    st = sim.run()
+    flat = st.scene.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    ids = np.asarray(flat["id"])[m]
+    x1 = np.asarray(flat["pos"])[m][:, 0]
+    # match by atom id
+    o0 = np.argsort(ids0)
+    o1 = np.argsort(ids)
+    sel = vt0[o0] == 1
+    # vtype 1 is fully restricted (no dynamics): its x motion is purely
+    # the two deform events of +0.05 each
+    np.testing.assert_allclose((x1[o1] - x0[o0])[sel], 0.10, atol=1e-5)
