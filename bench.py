@@ -267,6 +267,10 @@ def main():
         "unit": "atom-steps/s",
         "vs_baseline": atom_steps_per_sec / baseline_per_chip,
         "detail": {
+            "baseline": baseline_per_chip,
+            "baseline_basis": "per-chip share of the 5e8 v5e-8 slice "
+                              "target (5e8 / 8 chips); single-chip "
+                              "harness, see BASELINE.md",
             "n_atoms": n_atoms,
             "steps": args.steps,
             "wall_s": dt,
