@@ -275,7 +275,20 @@ def make_fdtd_params_2d(cfg, ttm_params, ny: int, fd_dy_a: float,
     # E0 scaling for 2-D: x2 (wave splits) / sqrt(6) (TMZ+TEZ modes share)
     e0 = math.sqrt(2.0 * cfg.I0 * IMP0) * 2.0 / math.sqrt(6.0)
     bw = max(cfg.pml, 5)
+    # the soft source only injects on transverse rows bw < j < ny-1-bw
+    # (imd_fdtd.c:95); a PML wider than the grid silently zeroes the
+    # laser — fail loudly instead
+    if ny - 2 - bw <= bw + 1:
+        raise ValueError(
+            f"FDTD-2D transverse grid too narrow: ttmdimy={ny} leaves no "
+            f"source band inside the {bw}-cell PML (need ttmdimy > "
+            f"{2 * bw + 3}); widen ttmdimy or reduce bw")
     srcx = max(int(round(cfg.srcx / ttm_params.fd_h_x)), bw + 10)
+    if srcx >= nx - 1:
+        raise ValueError(
+            f"FDTD-2D source column {srcx} outside the grid (ttmdimx="
+            f"{nx}); widen ttmdimx (source needs bw+10 = {bw + 10} cells "
+            "of lead-in, imd_fdtd.c:83)")
     srcw_cells = max(cfg.srcw / fd_dy_a, 1.0)
     return FDTDParams(
         nx=nx, fd_dx_m=dx_m, dt_s=dt, sc=sc, bw=bw, srcx=srcx, e0=e0,
@@ -285,6 +298,24 @@ def make_fdtd_params_2d(cfg, ttm_params, ny: int, fd_dy_a: float,
         ny=ny, fd_dy_m=dy_m, srcy=ny // 2, srcw_cells=srcw_cells,
         sigma_y=jnp.asarray(_pml_profile(nx, bw, dx_m), dtype),
         sigma_x=jnp.asarray(_pml_profile(ny, bw, dy_m), dtype))
+
+
+def make_fdtd_params_2d_from3d(cfg, p3, dtype=jnp.float32) -> FDTDParams:
+    """2-D FDTD on a thin-slab TTM-3D grid (global_fd_dim.z == 1).
+
+    The reference's FDTD2D mode runs on the ``l1[i][j][1]`` layout of the
+    3-D TTM swap-in with one z plane (imd_fdtd.c:14 "Bedingung:
+    global_fd_dim.z = 1"); this adapter maps a ``TTM3DParams`` onto the
+    1-D-TTM shim make_fdtd_params_2d expects.
+    """
+    import types as _t
+    if p3.dims[2] != 1:
+        raise ValueError("2-D FDTD requires a TTM grid with fd_nz == 1 "
+                         f"(imd_fdtd.c:14); got dims {p3.dims}")
+    shim = _t.SimpleNamespace(fd_h_x=p3.fd_h[0], nx=p3.dims[0],
+                              fd_min_atoms=p3.fd_min_atoms)
+    return make_fdtd_params_2d(cfg, shim, ny=p3.dims[1],
+                               fd_dy_a=p3.fd_h[1], dtype=dtype)
 
 
 def make_state_2d(params: FDTDParams, dtype=jnp.float32) -> FDTDState2D:

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from imd_tpu import units
 from imd_tpu.models import widerange as wr
 from imd_tpu.models.eos import FEGEos
 from imd_tpu.models.ttm import RHOMIN, TE_MIN_EV
@@ -354,6 +355,66 @@ def calc_ttm(grid, scene, params, eos, num_neighs, fdi_prev, dt, t,
     ne = _ne(grid, params)
     U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
     return grid.replace(U=U), fdi
+
+
+def calc_ttm_fdtd(grid, fdtd_state, scene, params, eos, fdtd_params,
+                  num_neighs, fdi_prev, dt, t, first_step=False):
+    """calc_ttm with the 2-D FDTD Maxwell solver as the laser source.
+
+    The reference's experimental FDTD2D mode (imd_fdtd.c:313-560, gated
+    on ``global_fd_dim.z == 1``, imd_fdtd.c:14) on the thin-slab 3-D TTM
+    grid: an outer loop of Maxwell steps at the light-CFL timestep, each
+    followed by an inner loop of diffusion substeps (the same coupled
+    schedule as the 1-D path, imd_ttm_3D.c:110-180).  Signature matches
+    ttm.calc_ttm_fdtd so the driver dispatch is uniform.
+    Returns (grid, fdi, fdtd_state).
+    """
+    from imd_tpu.models import fdtd as fdtd_mod
+
+    if params.dims[2] != 1:
+        raise ValueError("2-D FDTD coupling requires fd_nz == 1")
+    first = jnp.asarray(first_step)
+    grid, fdi = update_fd(grid, scene, params, num_neighs, first)
+    grid = do_adv(grid, params, eos, fdi, fdi_prev, first)
+    grid = cell_activation(grid, params, eos)
+    grid = fill_mesh(grid, params, eos, True)
+
+    n_fdtd = fdtd_mod.fdtd_substeps_per_md(
+        fdtd_params, float(jax.core.concrete_or_error(
+            None, dt, "the FDTD outer loop needs a static MD timestep")))
+    sub_total, clamped = cfl_substeps(grid, params, dt, first)
+    grid = grid.replace(cfl_overflow=grid.cfl_overflow | clamped)
+    n_diff = jnp.maximum((sub_total + n_fdtd - 1) // n_fdtd, 1)
+    tau = jnp.asarray(dt, grid.temp.dtype) \
+        / (n_fdtd * n_diff).astype(grid.temp.dtype)
+
+    dl = fdtd_mod.fit_dl(grid, params)[..., 0]          # [6, nx, ny]
+    active2 = (grid.natoms >= params.fd_min_atoms)[..., 0]
+    t_si0 = t * units.IMD_TIME_S
+    laser_active = fdtd_mod.laser_on(fdtd_params, t_si0)
+
+    def outer(i, carry):
+        g, fs = carry
+        t_si = t_si0 + i * fdtd_params.dt_s
+        fs = jax.lax.cond(
+            laser_active,
+            lambda s: fdtd_mod.step_2d(s, fdtd_params, dl, active2, t_si),
+            lambda s: s, fs)
+        g = g.replace(source=fs.source[..., None])
+
+        def inner(k, gg):
+            gg = diff_step(gg, params, tau, n_fdtd * n_diff, laser_active)
+            return fill_mesh(gg, params, eos, laser_active)
+
+        g = jax.lax.fori_loop(0, n_diff, inner, g)
+        return (g, fs)
+
+    grid, fdtd_state = jax.lax.fori_loop(0, n_fdtd, outer,
+                                         (grid, fdtd_state))
+    act = active_mask(grid, params)
+    ne = _ne(grid, params)
+    U = jnp.where(act, eos.u_from_te(grid.dens, ne, grid.temp), grid.U)
+    return grid.replace(U=U), fdi, fdtd_state
 
 
 def electron_pressure_force(grid, params, eos):

@@ -424,15 +424,24 @@ class Simulation:
         # FDTD Maxwell laser solver (init_fdtd, imd.c:252; do_fdtd
         # dispatch imd_main_3d.c:526-532).  1-D grid only from the driver.
         if self.cfg.fdtd.enabled and self.cfg.ttm.enabled:
-            if self.ttm_3d:
-                raise NotImplementedError(
-                    "FDTD driver coupling requires the 1-D TTM grid")
             if self.tmm_params is not None:
                 raise ValueError("enable either TMM or FDTD, not both")
             from imd_tpu.models import fdtd as fdtd_mod
             self.fdtd_mod = fdtd_mod
-            self.fdtd_params = fdtd_mod.make_fdtd_params(
-                self.cfg.fdtd, self.ttm_params, self.dtype)
+            if self.ttm_3d:
+                # the reference's experimental FDTD2D mode: 2-D Maxwell
+                # on a thin-slab 3-D TTM grid (imd_fdtd.c:14 requires
+                # global_fd_dim.z == 1)
+                if self.cfg.ttm.fd_nz != 1:
+                    raise NotImplementedError(
+                        "2-D FDTD coupling requires ttmdimz == 1 "
+                        "(imd_fdtd.c:14); full 3-D FDTD does not exist "
+                        "in the reference either")
+                self.fdtd_params = fdtd_mod.make_fdtd_params_2d_from3d(
+                    self.cfg.fdtd, self.ttm_params, self.dtype)
+            else:
+                self.fdtd_params = fdtd_mod.make_fdtd_params(
+                    self.cfg.fdtd, self.ttm_params, self.dtype)
         else:
             self.fdtd_params = None
             self.fdtd_mod = None
@@ -1102,8 +1111,9 @@ class Simulation:
                 ttm_grid = shard_ttm(self.mesh, ttm_grid)
             fdi = -jnp.ones(self.scene.type.shape, jnp.int32)
             if self.fdtd_params is not None:
-                fdtd_state = self.fdtd_mod.make_state(self.fdtd_params,
-                                                      self.dtype)
+                mk = (self.fdtd_mod.make_state_2d if self.ttm_3d
+                      else self.fdtd_mod.make_state)
+                fdtd_state = mk(self.fdtd_params, self.dtype)
             if self.colrad_tab is not None:
                 cstate = self.colrad_mod.init_grid_state(
                     self.colrad_tab, self.ttm_params.nx, self.dtype)

@@ -329,3 +329,31 @@ def test_dsp_reference_survives_restart(tmp_path):
     assert (np.linalg.norm(d15[:, 4:7], axis=1).mean()
             > np.linalg.norm(d5[:, 4:7], axis=1).mean() * 0.5)
     assert np.linalg.norm(d15[:, 4:7], axis=1).max() > 0
+
+
+def test_fdtd2d_on_ttm3d_reachable(tmp_path):
+    """The reference's experimental FDTD2D mode (imd_fdtd.c:313, gated on
+    global_fd_dim.z == 1) from a parameter file: ttmdimy > 1 + FDTD tags
+    run the 2-D Maxwell solver on the thin-slab 3-D TTM grid."""
+    from imd_tpu.models.fdtd import FDTDState2D
+    sim, st = _run(tmp_path,
+                   "ensemble ttm\nmaxsteps 1\ntimestep 0.02\n"
+                   "ttmdimx 32\nttmdimy 16\nttmdimz 1\nfd_min_atoms 1\n"
+                   "init_t_el 0.5\nbw 5\n"
+                   "Sc 0.5\nlambda 800e-9\nI0 1e16\n"
+                   "laser_t_0 1e-15\nlaser_sigma_t 1e-15\n", "fdtd2d")
+    assert isinstance(st.fdtd, FDTDState2D)
+    assert st.ttm_grid.temp.shape == (32, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(st.ttm_grid.temp)))
+    # the laser actually fired: fields propagated and energy deposited
+    assert float(jnp.max(jnp.abs(st.fdtd.ezx + st.fdtd.ezy))) > 0.0
+    assert float(st.ttm_grid.eabs) > 0.0
+
+    # too-narrow transverse grid: the empty source band must fail loudly
+    # instead of silently zeroing the laser
+    with pytest.raises(ValueError, match="transverse grid too narrow"):
+        _run(tmp_path,
+             "ensemble ttm\nmaxsteps 1\nttmdimx 32\nttmdimy 16\n"
+             "ttmdimz 1\nfd_min_atoms 1\nSc 0.5\nlambda 800e-9\n"
+             "I0 1e16\nlaser_t_0 1e-15\nlaser_sigma_t 1e-15\n",
+             "fdtd2d_narrow")

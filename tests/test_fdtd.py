@@ -217,3 +217,60 @@ def test_coupled_ttm_fdtd_heats_electrons():
         dt=jnp.float64(1.0), t=jnp.float64(t_peak))
     assert np.isfinite(float(jnp.max(grid.temp)))
     assert float(jnp.max(grid.temp)) > te0
+
+
+def test_coupled_ttm3d_fdtd2d_heats_electrons():
+    """The reference's experimental FDTD2D mode: 2-D Maxwell on a
+    thin-slab 3-D TTM grid (imd_fdtd.c:14 requires global_fd_dim.z == 1).
+    The coupled schedule must deposit laser energy into T_e."""
+    import numpy as np
+    from imd_tpu import integrate
+    from imd_tpu.config import FDTDConfig, TTMConfig
+    from imd_tpu.models import ttm3d as ttm_mod
+    from imd_tpu.models.eos import FEGEos
+    from imd_tpu.ops.geometry import (Box, choose_grid, measured_capacity,
+                                      with_capacity)
+    from imd_tpu.scene import make_scene
+    from imd_tpu.utils.generate import fcc
+
+    pos, typ, diag = fcc((12, 8, 2), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    gg = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos))
+    gg = with_capacity(gg, measured_capacity(gg, pos))
+    scene = make_scene(gg, pos, mass=np.full(len(pos), 26.9815),
+                       dtype=jnp.float64)
+    scene = integrate.maxwell(scene, 0.026, jax.random.PRNGKey(0))
+
+    tcfg = TTMConfig(enabled=True, fd_nx=48, fd_ny=16, fd_nz=1,
+                     fd_min_atoms=1)
+    tp = ttm_mod.make_params(tcfg, box, 5.0, dtype=jnp.float64)
+    assert tp.dims == (48, 16, 1)
+    grid = ttm_mod.make_grid(tp, dtype=jnp.float64)
+    eos = FEGEos()
+    # PML bw=5 leaves a populated transverse band (ny=16 > 2*bw+1);
+    # srcx clamps to bw+10=15 < nx
+    fcfg = FDTDConfig(enabled=True, mode=2, Sc=0.7, pml=5,
+                      srcx=15 * tp.fd_h[0], srcw=4 * tp.fd_h[1],
+                      lambda_m=800e-9, I0=1e17, t0_s=6e-15,
+                      sigma_t_s=3e-15)
+    fp = F.make_fdtd_params_2d_from3d(fcfg, tp, jnp.float64)
+    fstate = F.make_state_2d(fp, jnp.float64)
+
+    nn = jnp.full(scene.pos.shape[:-1], 12, jnp.int32)
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+
+    first = jax.jit(lambda g, fs, fdi, t: ttm_mod.calc_ttm_fdtd(
+        g, fs, scene, tp, eos, fp, nn, fdi, 0.1, t, first_step=True))
+    step = jax.jit(lambda g, fs, fdi, t: ttm_mod.calc_ttm_fdtd(
+        g, fs, scene, tp, eos, fp, nn, fdi, 0.1, t, first_step=False))
+
+    # laser far in the past: no heating, but the full schedule runs
+    grid, fdi, fstate = first(grid, fstate, fdi0, jnp.float64(-1e6))
+    te0 = float(jnp.max(grid.temp))
+    assert te0 < 0.1
+    t_peak = fp.t0_s / units.IMD_TIME_S
+    grid, fdi, fstate = step(grid, fstate, fdi, jnp.float64(t_peak))
+    assert np.isfinite(float(jnp.max(grid.temp)))
+    assert float(jnp.max(grid.temp)) > te0
+    assert float(grid.eabs) > 0.0
