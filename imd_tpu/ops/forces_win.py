@@ -53,6 +53,13 @@ from imd_tpu.ops.forces_pallas import (NOF, SENTINEL_DEAD, _assemble,
 
 B = 128  # default lane-block size (one vreg row)
 
+# i-side sentinel ladder for halo cells in the sharded local mode:
+# distinct per-slot far coordinates, so halo lanes generate no pairs at
+# all — 5e6 is disjoint from every j-side value class (real coords
+# ~box, dead slots 1e6, invalid-neighbor push 3e6+box, 3e6+1e6).
+LADDER0 = 5.0e6
+LADDER_STEP = 1.0e3
+
 
 class WinLayout:
     """Static window/slice plan for a given cell grid (host-side)."""
@@ -124,8 +131,14 @@ class WinLayout:
         return tab
 
 
-def _phase_masks(layout, i):
-    """Lane-phase wrap masks for block i: (z==0, z==gz-1, y==0, y==gy-1)."""
+def _phase_masks(layout, i, dead_from=None):
+    """Lane-phase wrap masks for block i: (z==0, z==gz-1, y==0, y==gy-1).
+
+    ``dead_from`` overrides the i-side deadness threshold (default: the
+    junk tail past nc).  The sharded local mode passes the OWNED cell
+    count so the +x halo plane is dead as i (its pairs belong to the
+    neighbor device) while staying live on the j side.
+    """
     gx, gy, gz = layout.dims
     bb = layout.block
     c = i * bb + jax.lax.broadcasted_iota(jnp.int32, (1, bb), 1)
@@ -135,7 +148,7 @@ def _phase_masks(layout, i):
     z = jax.lax.rem(c, gzi)
     y = jax.lax.rem(jax.lax.div(c, gzi), jnp.asarray(gy, jnp.int32))
     return (z == 0, z == gz - 1, y == 0, y == gy - 1,
-            c >= layout.nc)
+            c >= (layout.nc if dead_from is None else dead_from))
 
 
 def _view(layout, wins, comp, plan, masks):
@@ -195,13 +208,26 @@ def _view1(layout, wins, plan, masks):
 def eam_kernels_win_split(xi, mask, eam, grid,
                           count_neighbors: bool = False,
                           neigh_r2: float = 0.0, block: int = B,
-                          passes: str = "rf"):
+                          passes: str = "rf",
+                          owned_nc: int | None = None, dF_in=None):
     """Forces-only split EAM on in-kernel windowed neighbor views.
 
     ``xi`` [cap, 3, NC] sentinel-filled cells-last positions (dead slots
     pushed to SENTINEL_DEAD, as prep_neighbors does), ``mask`` [cap, NC].
     Returns cells-last (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]) —
     the same contract as eam_kernels_cl_split.
+
+    Sharded local mode (parallel/fused_shard): ``owned_nc`` marks cells
+    past it (the +x halo plane of the device-local extended domain) as
+    dead on the *i* side — replaced in-kernel by the per-slot sentinel
+    ladder, so every global pair is swept exactly once, on the device
+    owning its i-cell — while the j side keeps their real (halo)
+    positions.  In this mode the outputs are RAW extended partial sums
+    (no alive-mask multiply): the caller folds the halo tail back over
+    ICI, then masks.  ``passes`` then runs the two kernels separately
+    around the rho/dF halo exchanges: "r" = host-density pass only,
+    "f" with ``dF_in`` (the halo-extended embedding derivative) = force
+    pass only.
     """
     layout = WinLayout(grid, block=block)
     dims = grid.dims
@@ -238,7 +264,13 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     def xi_self(wins, masks):
         dead = masks[4]
         w0 = layout.widx[0]
-        return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+        if owned_nc is None:
+            return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+                    for c in range(3)]
+        # local mode: halo/junk i-lanes get the per-slot ladder
+        lad = LADDER0 + LADDER_STEP * jax.lax.broadcasted_iota(
+            dtype, (cap, layout.block), 0)
+        return [jnp.where(dead, lad, wins[w0][:, c, :])
                 for c in range(3)]
 
     # ---------------- kernel R: host density (+ neighbor count) ----------
@@ -281,7 +313,7 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
         @pl.when(occ_ref[i] > 0)
         def _body():
-            masks = _phase_masks(layout, i)
+            masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             o = sweep_r(xi3, xi3, tri_mask(cap))
             for k, name in enumerate(keys_r):
@@ -312,25 +344,35 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
     shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
 
-    outs = pl.pallas_call(
-        kern_r, grid=(nblk,),
-        in_specs=[spec_occ] + spec_w + [spec_s],
-        out_specs=[spec_o] * nkr + [spec_oj] * nkr,
-        out_shape=[shp] * nkr + [shpj] * nkr,
-        interpret=interp,
-    )(occ, *([xp] * nw), stab)
-    outs = [o[..., :nc] for o in outs]
-    acc = {name: _assemble(dims, outs[k], outs[nkr + k])
-           for k, name in enumerate(keys_r)}
-    rho_t = acc["rho"]
     maskf = mask.astype(dtype)
-    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
-    if passes == "r":          # profiling: R pass only
-        return jnp.zeros_like(xi), rho_t * maskf, nneigh * maskf
+    if "r" in passes:
+        outs = pl.pallas_call(
+            kern_r, grid=(nblk,),
+            in_specs=[spec_occ] + spec_w + [spec_s],
+            out_specs=[spec_o] * nkr + [spec_oj] * nkr,
+            out_shape=[shp] * nkr + [shpj] * nkr,
+            interpret=interp,
+        )(occ, *([xp] * nw), stab)
+        outs = [o[..., :nc] for o in outs]
+        acc = {name: _assemble(dims, outs[k], outs[nkr + k])
+               for k, name in enumerate(keys_r)}
+        rho_t = acc["rho"]
+        nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+        if owned_nc is None:
+            rho_t, nneigh = rho_t * maskf, nneigh * maskf
+        if passes == "r":      # R pass only (profiling / sharded stage)
+            return jnp.zeros_like(xi), rho_t, nneigh
+    else:
+        rho_t = nneigh = jnp.zeros((cap, nc), dtype)
 
-    # embedding derivative (XLA elementwise), then windowed dF views
-    _, emb_g = eam.embed.interp(0, rho_t)
-    dF = 0.5 * emb_g * maskf
+    # embedding derivative (XLA elementwise), then windowed dF views;
+    # the sharded caller injects the halo-extended dF instead (the rho
+    # fold + copy_dF halo exchanges happen between the two passes)
+    if dF_in is None:
+        _, emb_g = eam.embed.interp(0, rho_t)
+        dF = 0.5 * emb_g * maskf
+    else:
+        dF = dF_in
     dFp = layout.pad_flat(dF)                      # [cap, L]
 
     # ---------------- kernel F: combined pair+embedding forces -----------
@@ -371,7 +413,7 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
         @pl.when(occ_ref[i] > 0)
         def _body():
-            masks = _phase_masks(layout, i)
+            masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             dfi = dwins[layout.widx[0]][...]
             o = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
@@ -406,8 +448,10 @@ def eam_kernels_win_split(xi, mask, eam, grid,
     fx = _assemble(dims, outs2[0], outs2[3])
     fy = _assemble(dims, outs2[1], outs2[4])
     fz = _assemble(dims, outs2[2], outs2[5])
-    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
-    return F, rho_t * maskf, nneigh * maskf
+    F = jnp.stack([fx, fy, fz], axis=1)
+    if owned_nc is None:
+        F = F * maskf[:, None, :]
+    return F, rho_t, nneigh
 
 
 def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,

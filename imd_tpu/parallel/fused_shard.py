@@ -63,12 +63,17 @@ def shardable(grid, mesh) -> bool:
 
 def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
                             count_neighbors: bool = False,
-                            block: int = 128):
+                            block: int = 128, engine: str = "win"):
     """Returns forces(xi, alive) -> (F, rho, nneigh) on global cells-last
     arrays ([cap,3,NC], [cap,NC]), computed SPMD over ``mesh``'s x axis.
 
     Matches eam_kernels_cl_split's contract (masked outputs); drop-in
     for the fused step's force stage.
+
+    ``engine`` picks the per-device sweep: "win" (default) runs the
+    production in-kernel windowed views on the local extended domain
+    (forces_win with owned_nc — no roll materialization, same kernels
+    as the single-chip hot loop), "split" the roll-based R/F split.
     """
     if not shardable(grid, mesh):
         raise ValueError("mesh must decompose x only, with dims[0] "
@@ -115,8 +120,41 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
         else:
             halo = jnp.where(idx == px - 1, SENTINEL_CELL, halo)
         xi_ext = jnp.concatenate([xi_loc, halo], axis=-1)
-        xi_i = jnp.concatenate([xi_loc, ladder], axis=-1)
 
+        def fold(a):
+            part = jax.lax.ppermute(a[..., ncl:], xname, perm_fold)
+            return a[..., :ncl].at[..., :gyz].add(part)
+
+        maskf = alive_loc.astype(dtype)
+
+        if engine == "win":
+            # production windowed sweep on the local extended domain:
+            # owned_nc deadens the halo plane on the i side in-kernel
+            # (sentinel ladder), outputs come back as raw extended
+            # partials for the ppermute folds
+            from imd_tpu.ops.forces_win import eam_kernels_win_split
+            alive_ext = jnp.concatenate(
+                [alive_loc, jnp.zeros_like(alive_loc[..., :gyz])],
+                axis=-1)
+            _, rho_e, nn_e = eam_kernels_win_split(
+                xi_ext, alive_ext, eam_run, lgrid,
+                count_neighbors=count_neighbors, block=block,
+                passes="r", owned_nc=ncl)
+            rho = fold(rho_e) * maskf
+            nn = fold(nn_e) * maskf if count_neighbors \
+                else jnp.zeros_like(rho)
+            _, emb_g = eam_run.embed.interp(0, rho)
+            dF = 0.5 * emb_g * maskf
+            dF_halo = jax.lax.ppermute(dF[..., :gyz], xname,
+                                       perm_gather)
+            dF_ext = jnp.concatenate([dF, dF_halo], axis=-1)
+            F_e, _, _ = eam_kernels_win_split(
+                xi_ext, alive_ext, eam_run, lgrid,
+                count_neighbors=False, block=block,
+                passes="f", owned_nc=ncl, dF_in=dF_ext)
+            return fold(F_e) * maskf[:, None, :], rho, nn
+
+        xi_i = jnp.concatenate([xi_loc, ladder], axis=-1)
         nbrs = []
         for k, off in enumerate(HALF_OFFSETS):
             xj = _roll_cells(xi_ext, ldims, off) + stab[k][None]
@@ -124,11 +162,6 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
             nbrs.append(xj)
         nbr = jnp.stack(nbrs)
 
-        def fold(a):
-            part = jax.lax.ppermute(a[..., ncl:], xname, perm_fold)
-            return a[..., :ncl].at[..., :gyz].add(part)
-
-        maskf = alive_loc.astype(dtype)
         rho_e, nn_e = eam_r_pass(xi_i, nbr, eam_run, lgrid,
                                  count_neighbors=count_neighbors,
                                  block=block)
