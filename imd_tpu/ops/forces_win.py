@@ -456,7 +456,9 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
 def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
                              count_neighbors: bool = False,
-                             neigh_r2: float = 0.0, block: int = B):
+                             neigh_r2: float = 0.0, block: int = B,
+                             passes: str = "rf",
+                             owned_nc: int | None = None, dF_in=None):
     """Multi-type windowed split EAM (alloys without roll
     materialization).
 
@@ -467,6 +469,11 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     imd_forces_nbl.c:468-470/843-872).  The per-slot types ride the
     same streamed window blocks as the dF views.  Returns cells-last
     (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]).
+
+    ``owned_nc``/``passes``/``dF_in`` implement the sharded local mode
+    exactly as in eam_kernels_win_split (raw extended outputs; the
+    caller folds halos and does the per-type embedding select between
+    the two passes).
     """
     from imd_tpu.ops.forces_pallas import _mt_eval
 
@@ -505,7 +512,12 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     def xi_self(wins, masks):
         dead = masks[4]
         w0 = layout.widx[0]
-        return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+        if owned_nc is None:
+            return [jnp.where(dead, SENTINEL_DEAD, wins[w0][:, c, :])
+                    for c in range(3)]
+        lad = LADDER0 + LADDER_STEP * jax.lax.broadcasted_iota(
+            dtype, (cap, layout.block), 0)
+        return [jnp.where(dead, lad, wins[w0][:, c, :])
                 for c in range(3)]
 
     def weights(ti_f, tj_f):
@@ -555,7 +567,7 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
 
         @pl.when(occ_ref[i] > 0)
         def _body():
-            masks = _phase_masks(layout, i)
+            masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             ti_f = twins[layout.widx[0]][...]
             o = sweep_r(xi3, ti_f, xi3, ti_f, tri_mask(cap))
@@ -592,27 +604,38 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     shp = jax.ShapeDtypeStruct((cap, ncp), dtype)
     shpj = jax.ShapeDtypeStruct((NOF, cap, ncp), dtype)
 
-    outs = pl.pallas_call(
-        kern_r, grid=(nblk,),
-        in_specs=[spec_occ] + spec_w + spec_dw + [spec_s],
-        out_specs=[spec_o] * nkr + [spec_oj] * nkr,
-        out_shape=[shp] * nkr + [shpj] * nkr,
-        interpret=interp,
-    )(occ, *([xp] * nw), *([tfp] * nw), stab)
-    outs = [o[..., :nc] for o in outs]
-    acc = {name: _assemble(dims, outs[k], outs[nkr + k])
-           for k, name in enumerate(keys_r)}
-    rho_t = acc["rho"]
     maskf = mask.astype(dtype)
-    nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+    if "r" in passes:
+        outs = pl.pallas_call(
+            kern_r, grid=(nblk,),
+            in_specs=[spec_occ] + spec_w + spec_dw + [spec_s],
+            out_specs=[spec_o] * nkr + [spec_oj] * nkr,
+            out_shape=[shp] * nkr + [shpj] * nkr,
+            interpret=interp,
+        )(occ, *([xp] * nw), *([tfp] * nw), stab)
+        outs = [o[..., :nc] for o in outs]
+        acc = {name: _assemble(dims, outs[k], outs[nkr + k])
+               for k, name in enumerate(keys_r)}
+        rho_t = acc["rho"]
+        nneigh = acc["nn"] if count_neighbors else jnp.zeros_like(rho_t)
+        if owned_nc is None:
+            rho_t, nneigh = rho_t * maskf, nneigh * maskf
+        if passes == "r":      # R pass only (sharded stage)
+            return jnp.zeros_like(xi), rho_t, nneigh
+    else:
+        rho_t = nneigh = jnp.zeros((cap, nc), dtype)
 
-    # embedding derivative: per-type column select (XLA elementwise)
-    emb_g = None
-    for p in range(nt):
-        _, g = eam.embed.interp(p, jnp.maximum(rho_t, 1e-12))
-        sel = (jnp.clip(typ, 0, nt - 1) == p).astype(dtype)
-        emb_g = g * sel if emb_g is None else emb_g + g * sel
-    dF = 0.5 * emb_g * maskf
+    # embedding derivative: per-type column select (XLA elementwise);
+    # the sharded caller injects the halo-extended dF instead
+    if dF_in is None:
+        emb_g = None
+        for p in range(nt):
+            _, g = eam.embed.interp(p, jnp.maximum(rho_t, 1e-12))
+            sel = (jnp.clip(typ, 0, nt - 1) == p).astype(dtype)
+            emb_g = g * sel if emb_g is None else emb_g + g * sel
+        dF = 0.5 * emb_g * maskf
+    else:
+        dF = dF_in
     dFp = layout.pad_flat(dF)
 
     # ---------------- kernel F: combined pair+embedding forces -----------
@@ -657,7 +680,7 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
 
         @pl.when(occ_ref[i] > 0)
         def _body():
-            masks = _phase_masks(layout, i)
+            masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             ti_f = twins[layout.widx[0]][...]
             dfi = dwins[layout.widx[0]][...]
@@ -688,5 +711,7 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     fx = _assemble(dims, outs2[0], outs2[3])
     fy = _assemble(dims, outs2[1], outs2[4])
     fz = _assemble(dims, outs2[2], outs2[5])
-    F = jnp.stack([fx, fy, fz], axis=1) * maskf[:, None, :]
-    return F, rho_t * maskf, nneigh * maskf
+    F = jnp.stack([fx, fy, fz], axis=1)
+    if owned_nc is None:
+        F = F * maskf[:, None, :]
+    return F, rho_t, nneigh

@@ -119,7 +119,7 @@ def make_fused_step(template: Scene, eam_run, timestep,
         from imd_tpu.parallel.fused_shard import make_sharded_eam_forces
         sharded_forces = make_sharded_eam_forces(
             mesh, grid, eam_run, cap, dtype,
-            count_neighbors=count_neighbors, block=block)
+            count_neighbors=count_neighbors, block=block, ntypes=ntypes)
 
     # static per-offset PBC shifts/validity (cells don't move)
     shifts = []
@@ -129,11 +129,10 @@ def make_fused_step(template: Scene, eam_run, timestep,
         shifts.append(sh)
         oks.append(ok)
 
-    if ntypes > 1:
-        assert mesh is None, \
-            "multi-type fused step is single-device (GSPMD covers meshes)"
-
     def forces_cl(xi, alive, typ):
+        if sharded_forces is not None:
+            F, _, nn = sharded_forces(xi, alive, typ)
+            return F, nn
         if ntypes > 1:
             # alloy path: type-pair column select inside the windowed
             # sweep (no roll materialization, like the single-species
@@ -142,9 +141,6 @@ def make_fused_step(template: Scene, eam_run, timestep,
             F, _, nn = eam_kernels_win_split_mt(
                 xi, typ, alive, eam_run, grid, ntypes,
                 count_neighbors=count_neighbors)
-            return F, nn
-        if sharded_forces is not None:
-            F, _, nn = sharded_forces(xi, alive)
             return F, nn
         if engine == "win":
             from imd_tpu.ops.forces_win import eam_kernels_win_split
@@ -256,7 +252,7 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         from imd_tpu.parallel.fused_shard import make_sharded_eam_forces
         sharded_forces = make_sharded_eam_forces(
             mesh, grid, eam_run, template.capacity, dtype,
-            count_neighbors=True, block=block)
+            count_neighbors=True, block=block, ntypes=ntypes)
 
     shifts, oks = [], []
     for off in HALF_OFFSETS:
@@ -264,18 +260,14 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         shifts.append(sh)
         oks.append(ok)
 
-    if ntypes > 1:
-        assert mesh is None, \
-            "multi-type fused step is single-device (GSPMD covers meshes)"
-
     def _core(cl: CLState, tgrid, fdi, cs, vs, k):
-        if ntypes > 1:
+        if sharded_forces is not None:
+            F, _, nn = sharded_forces(cl.xi, cl.alive, cl.typ)
+        elif ntypes > 1:
             from imd_tpu.ops.forces_win import eam_kernels_win_split_mt
             F, _, nn = eam_kernels_win_split_mt(
                 cl.xi, cl.typ, cl.alive, eam_run, grid, ntypes,
                 count_neighbors=True)
-        elif sharded_forces is not None:
-            F, _, nn = sharded_forces(cl.xi, cl.alive)
         elif engine == "win":
             from imd_tpu.ops.forces_win import eam_kernels_win_split
             F, _, nn = eam_kernels_win_split(

@@ -63,9 +63,11 @@ def shardable(grid, mesh) -> bool:
 
 def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
                             count_neighbors: bool = False,
-                            block: int = 128, engine: str = "win"):
-    """Returns forces(xi, alive) -> (F, rho, nneigh) on global cells-last
-    arrays ([cap,3,NC], [cap,NC]), computed SPMD over ``mesh``'s x axis.
+                            block: int = 128, engine: str = "win",
+                            ntypes: int = 1):
+    """Returns forces(xi, alive[, typ]) -> (F, rho, nneigh) on global
+    cells-last arrays ([cap,3,NC], [cap,NC]), computed SPMD over
+    ``mesh``'s x axis.
 
     Matches eam_kernels_cl_split's contract (masked outputs); drop-in
     for the fused step's force stage.
@@ -74,6 +76,11 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
     production in-kernel windowed views on the local extended domain
     (forces_win with owned_nc — no roll materialization, same kernels
     as the single-chip hot loop), "split" the roll-based R/F split.
+
+    ``ntypes > 1`` (windowed engine only) shards the multi-type alloy
+    sweep: per-slot types ride the same +x halo ppermute as positions,
+    and the embedding derivative is per-type column-selected between
+    the two passes (imd_forces_nbl.c:748-783 per-sorte F(rho)).
     """
     if not shardable(grid, mesh):
         raise ValueError("mesh must decompose x only, with dims[0] "
@@ -111,7 +118,11 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
     perm_gather = [(s, (s - 1) % px) for s in range(px)]   # recv from right
     perm_fold = [(s, (s + 1) % px) for s in range(px)]     # send to right
 
-    def body(xi_loc, alive_loc, stab, oktab, hx, ladder):
+    if ntypes > 1 and engine != "win":
+        raise ValueError("sharded multi-type EAM needs the windowed "
+                         "engine")
+
+    def body(xi_loc, alive_loc, typ_loc, stab, oktab, hx, ladder):
         idx = jax.lax.axis_index(xname)
         halo = jax.lax.ppermute(xi_loc[..., :gyz], xname, perm_gather)
         if pbc_x:
@@ -126,6 +137,39 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
             return a[..., :ncl].at[..., :gyz].add(part)
 
         maskf = alive_loc.astype(dtype)
+
+        if ntypes > 1:
+            # alloy sweep: types ride the halo like positions do
+            from imd_tpu.ops.forces_win import eam_kernels_win_split_mt
+            typ_halo = jax.lax.ppermute(typ_loc[..., :gyz], xname,
+                                        perm_gather)
+            typ_ext = jnp.concatenate([typ_loc, typ_halo], axis=-1)
+            alive_ext = jnp.concatenate(
+                [alive_loc, jnp.zeros_like(alive_loc[..., :gyz])],
+                axis=-1)
+            _, rho_e, nn_e = eam_kernels_win_split_mt(
+                xi_ext, typ_ext, alive_ext, eam_run, lgrid, ntypes,
+                count_neighbors=count_neighbors, block=block,
+                passes="r", owned_nc=ncl)
+            rho = fold(rho_e) * maskf
+            nn = fold(nn_e) * maskf if count_neighbors \
+                else jnp.zeros_like(rho)
+            emb_g = None
+            for p in range(ntypes):
+                _, g = eam_run.embed.interp(
+                    p, jnp.maximum(rho, 1e-12))
+                sel = (jnp.clip(typ_loc, 0, ntypes - 1)
+                       == p).astype(dtype)
+                emb_g = g * sel if emb_g is None else emb_g + g * sel
+            dF = 0.5 * emb_g * maskf
+            dF_halo = jax.lax.ppermute(dF[..., :gyz], xname,
+                                       perm_gather)
+            dF_ext = jnp.concatenate([dF, dF_halo], axis=-1)
+            F_e, _, _ = eam_kernels_win_split_mt(
+                xi_ext, typ_ext, alive_ext, eam_run, lgrid, ntypes,
+                count_neighbors=False, block=block,
+                passes="f", owned_nc=ncl, dF_in=dF_ext)
+            return fold(F_e) * maskf[:, None, :], rho, nn
 
         if engine == "win":
             # production windowed sweep on the local extended domain:
@@ -182,11 +226,13 @@ def make_sharded_eam_forces(mesh, grid, eam_run, cap: int, dtype,
     # check_vma=False: the inner pallas_calls don't annotate varying-ness
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(cspec, mspec, rep, rep, rep, rep),
+        in_specs=(cspec, mspec, mspec, rep, rep, rep, rep),
         out_specs=(cspec, mspec, mspec), check_vma=False)
 
-    def forces(xi, alive):
-        return fn(xi, alive, stab, oktab,
+    def forces(xi, alive, typ=None):
+        if typ is None:
+            typ = jnp.zeros(alive.shape, jnp.int32)
+        return fn(xi, alive, typ, stab, oktab,
                   hx if hx is not None else jnp.zeros(3, dtype), ladder)
 
     return forces

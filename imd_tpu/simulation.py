@@ -1203,8 +1203,6 @@ class Simulation:
         if cfg.ntypes > 4:       # mt kernels are one-hot column selects
             return False
         if self.mesh is not None:
-            if cfg.ntypes != 1:  # sharded fused sweep is single-species
-                return False
             # x-only decompositions run the sharded fused hot loop
             # (shard_mapped Pallas sweeps + explicit halo permutes,
             # parallel/fused_shard.py); other mesh shapes fall back to

@@ -171,6 +171,66 @@ def test_sharded_fused_step_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_alloy_matches_unsharded():
+    """Multi-type EAM on the sharded fused hot loop: per-slot types ride
+    the +x halo permute with the positions, the embedding select happens
+    between the rho-fold and dF-out exchanges (the sharded analog of the
+    reference's per-sorte F(rho) block between send_forces(add_rho) and
+    send_cells(copy_dF), imd_forces_nbl.c:745-786)."""
+    from imd_tpu.models.potential import EAMPotential, PotTable, to_fastpoly
+    from imd_tpu.ops.fused_step import make_fused_step
+
+    scene, eam64 = _eam_scene()
+
+    def scale_cols(pt, scales):
+        tab = np.asarray(pt.table)
+        n = len(scales)
+        table = np.concatenate([tab * s for s in scales], axis=0)
+        rep = lambda a: np.concatenate([np.asarray(a)] * n)  # noqa: E731
+        return PotTable(table=jnp.asarray(table),
+                        begin=jnp.asarray(rep(pt.begin)),
+                        end=jnp.asarray(rep(pt.end)),
+                        step=jnp.asarray(rep(pt.step)),
+                        invstep=jnp.asarray(rep(pt.invstep)),
+                        length=jnp.asarray(rep(pt.length)))
+
+    from imd_tpu.models.potential import analytic_eam
+    base = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float64)
+    eam2 = EAMPotential(pair=scale_cols(base.pair, [1.0, 0.8, 0.8, 0.6]),
+                        rho=scale_cols(base.rho, [1.0, 0.9, 0.7, 0.5]),
+                        embed=scale_cols(base.embed, [1.0, 0.75]))
+    eam_run = EAMPotential(pair=to_fastpoly(eam2.pair),
+                           rho=to_fastpoly(eam2.rho),
+                           embed=to_fastpoly(eam2.embed, vcap=1e9))
+
+    rt = jax.random.bernoulli(jax.random.PRNGKey(7), 0.4,
+                              scene.type.shape).astype(jnp.int32)
+    scene = scene.replace(type=jnp.where(scene.mask, rt, -1))
+
+    mesh = make_mesh((8, 1, 1))
+    step1, cl1 = make_fused_step(scene, eam_run, 0.1, ntypes=2)
+    step8, cl8 = make_fused_step(scene, eam_run, 0.1, ntypes=2,
+                                 mesh=mesh)
+    step1 = jax.jit(step1)
+    step8 = jax.jit(step8)
+    rebins = 0
+    prev_ref = np.asarray(cl1.ref_xi)
+    for _ in range(40):
+        cl1, _ = step1(cl1)
+        cl8, _ = step8(cl8)
+        new_ref = np.asarray(cl1.ref_xi)
+        if not np.array_equal(new_ref, prev_ref):
+            rebins += 1
+        prev_ref = new_ref
+    assert rebins >= 1, "test did not exercise an in-loop rebin"
+    np.testing.assert_allclose(np.asarray(cl8.xi), np.asarray(cl1.xi),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cl8.mom), np.asarray(cl1.mom),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(cl8.typ), np.asarray(cl1.typ))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_fused_ttm_step_matches_unsharded():
     """North-star configuration end-to-end under the mesh: the fused
     TTM-coupled step with shard_mapped forces + GSPMD calc_ttm equals
