@@ -73,6 +73,17 @@ def main(argv=None):
     import os
     workdir = os.path.dirname(os.path.abspath(args.paramfile)) or "."
 
+    # NEB main variant (imd_neb.c): neb_nrep images relax as one band,
+    # replacing the per-step phase loop entirely
+    cfg0 = SimConfig.from_params(parse_param_text(text, phase=1))
+    if cfg0.neb_nrep > 1:
+        from imd_tpu.neb_driver import run_neb
+        cfg0.validate()
+        _, e, barr = run_neb(cfg0, workdir=workdir, dtype=dtype)
+        print(f"# neb done: barrier={barr:.6f} eV "
+              f"(Epot_max - Epot_0, imd_neb.c .eng log)", flush=True)
+        return 0
+
     prev_scene = None
     prev_step = 0
     for phase in range(1, n_phases + 1):
