@@ -643,6 +643,9 @@ class SimConfig:
     epitax_speed: float = 0.0
     epitax_startstep: int = 0
     epitax_ctrl: int = 0
+    # Frenkel-Ladd free-energy integration (imd_fefl.c; models/fefl.py)
+    spring_rate: Tuple[float, ...] = ()      # per-type Einstein k
+    fefl_lambda: float = 0.0                 # tag 'lambda' when FEFL active
     # bond-boost hyperdynamics (imd_bboost.c; models/bboost.py)
     bb_epscrit: float = 0.0
     bb_rcut: float = 0.0
@@ -1257,6 +1260,13 @@ class SimConfig:
             except (TypeError, ValueError):
                 warnings.warn(f"parameter tag '{name}' = {v!r} could not "
                               f"be coerced; kept default")
+
+        # FEFL reuses the `lambda` tag (imd_param.c:3071) that the laser
+        # wavelength also claims (2081, lasMD fork) — the reference
+        # disambiguates by compile flag, we by spring_rate presence (the
+        # laser config keeps its own copy either way)
+        if c.spring_rate and "fefl_lambda" not in p and "lambda" in p:
+            c.fefl_lambda = float(g("lambda", c.fefl_lambda))
 
         # ---- coverage sweep: nothing a reference param file says may be
         # silently dropped (round-1 gap: ~87 tags vanished quietly) -----

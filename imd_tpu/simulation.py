@@ -505,6 +505,17 @@ class Simulation:
             self.extpot0 = extpot_mod.make_extpot(self.cfg)
         else:
             self.extpot0 = None
+        # FEFL Einstein tether (imd_fefl.c): REF_POS = start positions
+        # (the reference reads refpos chkpt columns when present,
+        # imd_io_3d.c:410; a fresh lattice start is the standard use)
+        self.fefl_ref = None
+        if any(self.cfg.spring_rate):
+            flat = self.scene.flatten_atoms()
+            m = np.asarray(flat["mask"])
+            ids = np.asarray(flat["id"])[m]
+            ref = np.zeros((int(ids.max()) + 1, 3))
+            ref[ids] = np.asarray(flat["pos"])[m]
+            self.fefl_ref = jnp.asarray(ref, self.dtype)
         if self.cfg.nrb.enabled:
             from imd_tpu.models import nrb as nrb_mod
             nrb_file = (self._path(self.cfg.restart_base + ".nrb")
@@ -849,6 +860,12 @@ class Simulation:
             ttm_grid, fdi = state.ttm_grid, state.fdi
             res = self._compute_forces(scene, count_neighbors=cfg.ttm.enabled)
             scene = scene.replace(force=res.force, epot=res.epot)
+            if self.fefl_ref is not None:
+                # Frenkel-Ladd mixing right after the force call
+                # (imd_main_3d.c:422-423)
+                from imd_tpu.models.fefl import calc_fefl
+                scene, _ = calc_fefl(scene, self.fefl_ref,
+                                     cfg.spring_rate, cfg.fefl_lambda)
             ep = state.ep
             if ep is not None:
                 from imd_tpu.models import extpot as extpot_mod
@@ -1229,6 +1246,10 @@ class Simulation:
             # HOMDEF/DEFORM deformation drivers and quasistatic loading
             # run through the general step
             return False
+        if any(cfg.spring_rate):     # FEFL mixes forces per step
+            return False
+        if cfg.epitax_rate and any(r > 0 for r in cfg.epitax_rate):
+            return False             # EPITAX inserts atoms host-side
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
         if self.ensemble == "nve":
@@ -1402,6 +1423,9 @@ class Simulation:
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
                                  nvt=(self.ensemble == "nvt"),
                                  ttm=cfg.ttm.enabled,
+                                 extra_cols=(("harm_eng",)
+                                             if self.fefl_ref is not None
+                                             else ()),
                                  append=cfg.simulation_phase > 1)
         # indenter/wall force log (write_fext every eng_int,
         # imd_main_3d.c:732 + imd_io.c:2846)
@@ -1447,6 +1471,24 @@ class Simulation:
         if cfg.max_deform_int > 0 and cfg.deform_shift:
             dyn_deform.add("deform")
             intervals.append(cfg.max_deform_int)
+        # EPITAX beam deposition: per-type insertion events on the
+        # (steps - steps_min) % epitax_rate lattice (imd_main_3d.c:193-202)
+        epitax_st = None
+        steps_min = int(state.step)
+        if cfg.epitax_rate and any(r > 0 for r in cfg.epitax_rate):
+            from imd_tpu.models import epitax as epitax_mod
+            lvl = epitax_mod.substrate_level(self.scene)
+            epitax_st = epitax_mod.EpitaxState(
+                height=(cfg.epitax_height if cfg.epitax_height > 0
+                        else lvl),
+                speed=(cfg.epitax_speed if cfg.epitax_speed > 0 else 1.0),
+                level=lvl,
+                cutoff=(cfg.epitax_cutoff if cfg.epitax_cutoff > 0
+                        else 2.0))
+            self._epitax_rng = np.random.default_rng(cfg.seed or 0)
+            for r in cfg.epitax_rate:
+                if r > 0:
+                    intervals.append((int(r), steps_min))
         done = 0
         grow_tries = 0
         while done < steps:
@@ -1524,6 +1566,47 @@ class Simulation:
                 write_picture(
                     self._path(f"{cfg.outfiles}.{gstep // cfg.pic_int}.ppm"),
                     state.scene)
+            if epitax_st is not None and gstep >= cfg.epitax_startstep:
+                # beam deposition events (create_atom imd_epitax.c:25;
+                # past epitax_maxsteps reflected atoms are deleted
+                # instead, imd_main_3d.c:200-202)
+                from imd_tpu.models import epitax as epitax_mod
+                sc_h = state.scene
+                changed = False
+                for ty, rate in enumerate(cfg.epitax_rate):
+                    if rate <= 0 or (gstep - steps_min) % rate != 0:
+                        continue
+                    if (cfg.epitax_maxsteps > 0
+                            and gstep > cfg.epitax_maxsteps):
+                        sc_h, nd = epitax_mod.delete_top_atoms(sc_h)
+                        changed = changed or nd > 0
+                        continue
+                    mass = (cfg.epitax_mass[ty]
+                            if ty < len(cfg.epitax_mass) else 1.0)
+                    temp = (cfg.epitax_temp[ty]
+                            if ty < len(cfg.epitax_temp) else 0.0)
+                    sc_h, ok = epitax_mod.create_atom(
+                        sc_h, epitax_st, self._epitax_rng, ty, mass,
+                        temp)
+                    if not ok:
+                        # target cell full: grow the slot axis like the
+                        # overflow path (alloc_cell analog) and retry
+                        state = self._grow_cells(
+                            state.replace(scene=sc_h))
+                        step_fn = self.make_step_fn()
+                        run_block = make_run_block(step_fn)
+                        sc_h, ok = epitax_mod.create_atom(
+                            state.scene, epitax_st, self._epitax_rng,
+                            ty, mass, temp)
+                        if not ok:
+                            raise RuntimeError(
+                                "EPITAX: insertion failed after "
+                                "capacity growth")
+                    changed = True
+                if changed:
+                    state = state.replace(scene=rebin(sc_h))
+                    nactive = float(integrate.count_active_dof(
+                        state.scene, self._restrictions()))
             if sel is not None:
                 sel.step(state.scene, gstep)
             if cfg.lb_frequency > 0 and gstep % cfg.lb_frequency == 0:
@@ -1946,6 +2029,16 @@ class Simulation:
         # of the last step (positions after step-1 moves); the reference
         # labels that line (steps)*dt with steps = that iteration index
         # (write_eng_file(steps) after move_atoms, imd_main_3d.c:716)
+        extra = ()
+        if self.fefl_ref is not None:
+            # harm_eng column = tot_harm_energy/natoms (imd_io.c:2549);
+            # recomputed here at .eng cadence (sum k d^2, no 1/2 —
+            # imd_fefl.c:62 parity)
+            from imd_tpu.models.fefl import calc_fefl
+            _, harm = calc_fefl(state.scene, self.fefl_ref,
+                                self.cfg.spring_rate,
+                                self.cfg.fefl_lambda)
+            extra = (float(harm) / n,)
         self.eng.write(
             time=float(state.step - 1) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,
@@ -1955,6 +2048,7 @@ class Simulation:
             eta=float(state.eta) * self.cfg.tau_eta
             if self.ensemble == "nvt" else None,
             ttm_eng=ttm_eng,
+            extra=extra,
         )
 
     def write_checkpoint(self, state: SimState, fzhlr: int):

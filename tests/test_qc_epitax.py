@@ -146,3 +146,92 @@ def test_sio2_quartz_generator():
     r = np.linalg.norm(d, axis=-1) + np.eye(len(pos)) * 9
     sio = r[(typ[:, None] == 0) & (typ[None] == 1)].min()
     assert 1.55 < sio < 1.65                 # Si-O bond ~1.61 A
+
+
+def test_fefl_param_file_driver(tmp_path):
+    """FEFL from a parameter file: spring_rate activates the Einstein
+    mixing in the step (imd_main_3d.c:422) and .eng grows the harm_eng
+    column (imd_io.c:2266/2549, tot_harm_energy/natoms)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "fefl")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    1.5874
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    40
+starttemp   0.02
+eng_int     20
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+pbc_dirs    1 1 1
+seed        3
+spring_rate 2.5
+lambda      0.3
+"""))
+    assert cfg.spring_rate == (2.5,)
+    assert cfg.fefl_lambda == 0.3
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.fefl_ref is not None
+    sim.run()
+    eng = open(out + ".eng").read().strip().splitlines()
+    assert eng[0].split()[-1] == "harm_eng"
+    rows = [list(map(float, ln.split())) for ln in eng[1:]]
+    # thermal motion against the tether: harm energy grows from ~0
+    assert rows[-1][-1] > 0.0
+    # tether holds the crystal: no melting at this small T
+    assert rows[-1][2] < 0.1
+
+
+def test_epitax_param_file_driver(tmp_path):
+    """EPITAX from a parameter file: beam atoms deposit every
+    epitax_rate steps between epitax_startstep and epitax_maxsteps
+    (imd_main_3d.c:193-202), claiming dead slots host-side without
+    recompiling the step."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "epi")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   4 4 4
+box_unit    1.5874
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    40
+starttemp   0.01
+eng_int     40
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+pbc_dirs    1 1 0
+seed        5
+epitax_rate 10
+epitax_type 0
+epitax_mass 1.0
+epitax_temp 0.05
+epitax_cutoff 1.0
+epitax_height 5.2
+epitax_maxsteps 40
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    n0 = int(sim.scene.n_atoms())
+    state = sim.run()
+    n1 = int(state.scene.n_atoms())
+    # events at steps 10, 20, 30, 40
+    assert n1 == n0 + 4
+    # deposited atoms carry fresh ids above the substrate's
+    flat = state.scene.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    ids = np.asarray(flat["id"])[m]
+    assert ids.max() >= n0 + 3
