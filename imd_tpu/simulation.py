@@ -58,6 +58,7 @@ class SimState(struct.PyTreeNode):
     fdtd: Optional["object"] = None       # FDTDState (Maxwell laser source)
     cstate: Optional["object"] = None     # ColradGridState (plasma kinetics)
     vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
+    bb_time: Optional[jnp.ndarray] = None  # hyperdynamics boosted clock
 
 
 def _iv_pair(iv):
@@ -337,6 +338,9 @@ class Simulation:
         if int(self.scene.n_atoms()) != n:
             raise RuntimeError("phase handover lost atoms")
         self._select_engine()   # capacity may have crossed the Pallas cap
+        # FEFL/BBOOST reference state keys on the handed-over scene (the
+        # standard protocol relaxes in phase 1, tethers/boosts in phase 2)
+        self._capture_static_refs()
         # NRB neighbor ids were captured against the OLD slot layout
         if self.nrb_state is not None:
             from imd_tpu.models import nrb as nrb_mod
@@ -507,15 +511,12 @@ class Simulation:
             self.extpot0 = None
         # FEFL Einstein tether (imd_fefl.c): REF_POS = start positions
         # (the reference reads refpos chkpt columns when present,
-        # imd_io_3d.c:410; a fresh lattice start is the standard use)
+        # imd_io_3d.c:410; a fresh lattice start is the standard use).
+        # BBOOST reference bonds (do_bb_neightab, imd_bboost.c:124).
+        # Both re-capture on adopt_scene: a relax phase may precede.
         self.fefl_ref = None
-        if any(self.cfg.spring_rate):
-            flat = self.scene.flatten_atoms()
-            m = np.asarray(flat["mask"])
-            ids = np.asarray(flat["id"])[m]
-            ref = np.zeros((int(ids.max()) + 1, 3))
-            ref[ids] = np.asarray(flat["pos"])[m]
-            self.fefl_ref = jnp.asarray(ref, self.dtype)
+        self._bb_tables = None
+        self._capture_static_refs()
         if self.cfg.nrb.enabled:
             from imd_tpu.models import nrb as nrb_mod
             nrb_file = (self._path(self.cfg.restart_base + ".nrb")
@@ -532,6 +533,26 @@ class Simulation:
                     self.cfg.nrb.eps, mass, self.cfg.pbc_dirs)
         else:
             self.nrb_state = None
+
+    def _capture_static_refs(self):
+        """FEFL reference positions + BBOOST reference bond table from
+        the CURRENT scene (called again after phase handover)."""
+        cfg = self.cfg
+        if any(cfg.spring_rate):
+            flat = self.scene.flatten_atoms()
+            m = np.asarray(flat["mask"])
+            ids = np.asarray(flat["id"])[m]
+            ref = np.zeros((int(ids.max()) + 1, 3))
+            ref[ids] = np.asarray(flat["pos"])[m]
+            self.fefl_ref = jnp.asarray(ref, self.dtype)
+        if cfg.bb_epscrit > 0 and cfg.bb_rcut > 0 and cfg.bb_tot_bV > 0:
+            from imd_tpu.models import bboost as bb_mod
+            bi, bj, r0 = bb_mod.init_bboost(self.scene, cfg.bb_rcut)
+            flat = self.scene.flatten_atoms()
+            m = np.asarray(flat["mask"])
+            n_ids = int(np.asarray(flat["id"])[m].max()) + 1
+            self._bb_tables = (bi, bj,
+                               jnp.asarray(r0, self.dtype), n_ids)
 
     # ------------------------------------------------------------------
     # the jitted step
@@ -866,6 +887,16 @@ class Simulation:
                 from imd_tpu.models.fefl import calc_fefl
                 scene, _ = calc_fefl(scene, self.fefl_ref,
                                      cfg.spring_rate, cfg.fefl_lambda)
+            bb_dv = None
+            if self._bb_tables is not None:
+                # bond-boost bias on the reference bond strains
+                # (imd_bboost.c; Miron-Fichthorn envelope)
+                from imd_tpu.models import bboost as bb_mod
+                bbi, bbj, bbr0, bb_nids = self._bb_tables
+                scene, bb_dv, _ = bb_mod.bond_boost(
+                    scene, bbi, bbj, bbr0,
+                    jnp.asarray(cfg.bb_tot_bV, self.dtype),
+                    jnp.asarray(cfg.bb_epscrit, self.dtype), bb_nids)
             ep = state.ep
             if ep is not None:
                 from imd_tpu.models import extpot as extpot_mod
@@ -1093,6 +1124,12 @@ class Simulation:
                     cfg.shear_module if cfg.shear_module > 0
                     else cfg.bulk_module,
                     cfg.relax_mode, cfg.relax_dirs, cfg.relax_rate)
+            bb_time = state.bb_time
+            if bb_time is not None and bb_dv is not None:
+                # hyperdynamics clock: dt * exp(dV / k_B T) per step
+                from imd_tpu.models.bboost import boost_factor
+                bb_time = bb_time + (jnp.asarray(cfg.timestep, self.dtype)
+                                     * boost_factor(bb_dv, temp))
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
@@ -1102,7 +1139,8 @@ class Simulation:
                             fdtd=new_fdtd, cstate=new_cstate,
                             vstate=new_vstate,
                             fbc_offset=state.fbc_offset,
-                            bfbc_offset=state.bfbc_offset)
+                            bfbc_offset=state.bfbc_offset,
+                            bb_time=bb_time)
 
         return step_fn
 
@@ -1203,7 +1241,9 @@ class Simulation:
                         xi=xi, ekin_old=ekin_old, rng=rng, gamma=gamma,
                         ep=self.extpot0, fire=fire, fdtd=fdtd_state,
                         cstate=cstate, vstate=vstate,
-                        fbc_offset=fbc_offset, bfbc_offset=bfbc_offset)
+                        fbc_offset=fbc_offset, bfbc_offset=bfbc_offset,
+                        bb_time=(jnp.zeros((), self.dtype)
+                                 if self._bb_tables is not None else None))
 
     # ------------------------------------------------------------------
     # host loop with I/O
@@ -1250,6 +1290,8 @@ class Simulation:
             return False
         if cfg.epitax_rate and any(r > 0 for r in cfg.epitax_rate):
             return False             # EPITAX inserts atoms host-side
+        if self._bb_tables is not None:
+            return False             # BBOOST biases forces per step
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
         if self.ensemble == "nve":
@@ -1420,12 +1462,15 @@ class Simulation:
         nactive = float(integrate.count_active_dof(self.scene,
                                                    self._restrictions()))
         if cfg.eng_int > 0 and self.eng is None:
+            xcols = []
+            if self.fefl_ref is not None:
+                xcols.append("harm_eng")
+            if self._bb_tables is not None:
+                xcols.append("bb_boosted_time")
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
                                  nvt=(self.ensemble == "nvt"),
                                  ttm=cfg.ttm.enabled,
-                                 extra_cols=(("harm_eng",)
-                                             if self.fefl_ref is not None
-                                             else ()),
+                                 extra_cols=tuple(xcols),
                                  append=cfg.simulation_phase > 1)
         # indenter/wall force log (write_fext every eng_int,
         # imd_main_3d.c:732 + imd_io.c:2846)
@@ -2029,7 +2074,7 @@ class Simulation:
         # of the last step (positions after step-1 moves); the reference
         # labels that line (steps)*dt with steps = that iteration index
         # (write_eng_file(steps) after move_atoms, imd_main_3d.c:716)
-        extra = ()
+        extra = []
         if self.fefl_ref is not None:
             # harm_eng column = tot_harm_energy/natoms (imd_io.c:2549);
             # recomputed here at .eng cadence (sum k d^2, no 1/2 —
@@ -2038,7 +2083,9 @@ class Simulation:
             _, harm = calc_fefl(state.scene, self.fefl_ref,
                                 self.cfg.spring_rate,
                                 self.cfg.fefl_lambda)
-            extra = (float(harm) / n,)
+            extra.append(float(harm) / n)
+        if state.bb_time is not None:
+            extra.append(float(state.bb_time))
         self.eng.write(
             time=float(state.step - 1) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,

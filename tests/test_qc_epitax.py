@@ -235,3 +235,48 @@ epitax_maxsteps 40
     m = np.asarray(flat["mask"])
     ids = np.asarray(flat["id"])[m]
     assert ids.max() >= n0 + 3
+
+
+def test_bboost_param_file_driver(tmp_path):
+    """Bond-boost hyperdynamics from a parameter file: bb_* tags add the
+    Miron-Fichthorn bias to every step and the .eng bb_boosted_time
+    column advances faster than wall time (boost factor exp(dV/T) > 1
+    while all bond strains stay below bb_epscrit)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "bb")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    1.5874
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.004
+maxsteps    40
+starttemp   0.02
+eng_int     20
+lj_epsilon  1.0
+lj_sigma    1.0
+r_cut       2.5
+pbc_dirs    1 1 1
+seed        7
+bb_rcut     1.2
+bb_tot_bV   0.4
+bb_epscrit  0.25
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim._bb_tables is not None
+    # fcc nearest-neighbor bond count: 6 per atom (half pairs) at
+    # alat/sqrt(2) = 1.1224 < 1.2
+    n_atoms = 4 * 3 ** 3
+    assert int(sim._bb_tables[0].shape[0]) == 6 * n_atoms
+    state = sim.run()
+    eng = open(out + ".eng").read().strip().splitlines()
+    assert eng[0].split()[-1] == "bb_boosted_time"
+    bt = float(eng[-1].split()[-1])
+    wall = 40 * 0.004
+    assert bt > wall          # boosted clock runs ahead of MD time
+    assert float(eng[-1].split()[2]) < 0.1   # crystal intact
