@@ -643,6 +643,10 @@ class SimConfig:
     epitax_speed: float = 0.0
     epitax_startstep: int = 0
     epitax_ctrl: int = 0
+    # analytic interaction family override (models/interactions.py):
+    # '' = auto-detect from the tag group; 'tersoffmod' forces the MOD
+    # form of the shared ters_* tags (the reference uses compile flags)
+    interaction: str = ""
     # Frenkel-Ladd free-energy integration (imd_fefl.c; models/fefl.py)
     spring_rate: Tuple[float, ...] = ()      # per-type Einstein k
     fefl_lambda: float = 0.0                 # tag 'lambda' when FEFL active

@@ -1,0 +1,229 @@
+"""Runtime dispatch of the analytic interaction families from tags.
+
+The reference selects SW/TERSOFF/TERSOFFMOD/KEATING/TTBP/MEAM at
+compile time (Makefile target grammar + config.h implication rules);
+the runtime equivalent keys on which tag group the parameter file
+provides (imd_param.c: stiweb_* 2003-2070, ters_* 2189-2289, keating_*
+1952-2001, ttbp_* 1901-1950, meam_* 1663-1899) plus an optional
+``interaction`` override tag for the ters_* ambiguity (tersoff vs
+tersoffmod share the tag group; the reference distinguishes by flag).
+
+These families run the autodiff all-pairs engines (models/covalent.py,
+models/meam.py) over the flat slot arrays — correct physics for the
+small covalent systems these potentials target (the reference's own
+covalent path is a per-atom neighbor-table double loop,
+imd_forces_covalent.c); the cell/Pallas hot path stays EAM/pair.  The
+driver adapter distributes the models' TOTAL energies as per-atom
+averages into the .chkpt Epot column (documented deviation) and gets
+the exact virial from the uniform-strain derivative -dE/dlambda.
+
+TTBP is additive: its three-body term rides on top of the tabulated
+pair potential the normal cell engine computes (the reference's TTBP
+builds are PAIR+TTBP, config.h).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _first(t, default):
+    return float(t[0]) if t else float(default)
+
+
+def select_flat_interaction(cfg, dtype, pair_table=None):
+    """Returns (name, cutoff, energy_fn, additive) or None.
+
+    ``energy_fn(pos [N,3], types [N], mask [N], box) -> scalar E`` —
+    differentiable; ``additive`` marks a term that ADDS to the normal
+    tabulated-pair engine (TTBP) instead of replacing it.
+    ``pair_table`` (a PotTable) supplies MEAM's screened pair phi
+    (PAIR_INT inside the screening loop, imd_forces_meam.c:416).
+    """
+    from imd_tpu.models import covalent as cov
+
+    inter = getattr(cfg, "interaction", "").lower()
+
+    if (any((cfg.stiweb_a, cfg.stiweb_b, cfg.stiweb_p, cfg.stiweb_q,
+             cfg.stiweb_a1, cfg.stiweb_de, cfg.stiweb_ga, cfg.stiweb_la))
+            or inter == "stiweb"):
+        d = cov.SWParams()
+        P = cov.SWParams(
+            epsilon=_first(cfg.stiweb_de, d.epsilon),
+            sigma=d.sigma,
+            a=_first(cfg.stiweb_a1, d.a),
+            A=_first(cfg.stiweb_a, d.A),
+            B=_first(cfg.stiweb_b, d.B),
+            p=_first(cfg.stiweb_p, d.p),
+            q=_first(cfg.stiweb_q, d.q),
+            lam=_first(cfg.stiweb_la, d.lam),
+            gamma=_first(cfg.stiweb_ga, d.gamma))
+        cut = P.a * P.sigma
+
+        def efn(pos, types, mask, box):
+            return cov.sw_energy(pos, box, mask, P)
+        return ("stiweb", float(cut), efn, False)
+
+    if (any((cfg.keating_alpha, cfg.keating_beta, cfg.keating_d))
+            or inter == "keating"):
+        d = cov.KeatingParams()
+        kd = _first(cfg.keating_d, d.d)
+        P = cov.KeatingParams(
+            alpha=_first(cfg.keating_alpha, d.alpha),
+            beta=_first(cfg.keating_beta, d.beta),
+            d=kd,
+            r_cut=kd * (d.r_cut / d.d))
+
+        def efn(pos, types, mask, box):
+            return cov.keating_energy(pos, box, mask, P)
+        return ("keating", float(P.r_cut), efn, False)
+
+    if (any((cfg.ttbp_constant, cfg.ttbp_sp, cfg.ttbp_cut))
+            or inter == "ttbp"):
+        d = cov.TTBPParams()
+        P = cov.TTBPParams(
+            constant=_first(cfg.ttbp_constant, d.constant),
+            sp=_first(cfg.ttbp_sp, d.sp),
+            r_cut=_first(cfg.ttbp_cut, d.r_cut))
+
+        def efn(pos, types, mask, box):
+            return cov.ttbp_energy(pos, box, mask, P)
+        return ("ttbp", float(P.r_cut), efn, True)
+
+    if (any((cfg.ters_a, cfg.ters_b, cfg.ters_la, cfg.ters_mu,
+             cfg.ters_r_cut, cfg.ters_r0, cfg.ters_n, cfg.ters_c))
+            or inter in ("tersoff", "tersoffmod")):
+        mod = (inter == "tersoffmod" or bool(cfg.ters_c1)
+               or bool(cfg.ters_eta) or bool(cfg.ters_delta))
+        if mod:
+            d = cov.TersoffModParams()
+            P = cov.TersoffModParams(
+                A=_first(cfg.ters_a, d.A), B=_first(cfg.ters_b, d.B),
+                la=_first(cfg.ters_la, d.la),
+                mu=_first(cfg.ters_mu, d.mu),
+                eta=_first(cfg.ters_eta, d.eta),
+                delta=_first(cfg.ters_delta, d.delta),
+                alpha=_first(cfg.ters_alpha, d.alpha),
+                beta=int(_first(cfg.ters_beta, d.beta)),
+                c1=_first(cfg.ters_c1, d.c1), c2=_first(cfg.ters_c2, d.c2),
+                c3=_first(cfg.ters_c3, d.c3), c4=_first(cfg.ters_c4, d.c4),
+                c5=_first(cfg.ters_c5, d.c5), h=_first(cfg.ters_h, d.h),
+                r0=_first(cfg.ters_r0, d.r0),
+                r_cut=_first(cfg.ters_r_cut, d.r_cut))
+
+            def efn(pos, types, mask, box):
+                return cov.tersoffmod_energy(pos, box, mask, P)
+            return ("tersoffmod", float(P.r_cut), efn, False)
+        d = cov.TersoffParams()
+        # IMD fc window runs ter_r0..ter_r_cut -> R = mid, D = half-width
+        r_lo = _first(cfg.ters_r0, d.R - d.D)
+        r_hi = _first(cfg.ters_r_cut, d.R + d.D)
+        P = cov.TersoffParams(
+            A=_first(cfg.ters_a, d.A), B=_first(cfg.ters_b, d.B),
+            lam1=_first(cfg.ters_la, d.lam1),
+            lam2=_first(cfg.ters_mu, d.lam2),
+            beta=_first(cfg.ters_ga, d.beta),
+            n=_first(cfg.ters_n, d.n), c=_first(cfg.ters_c, d.c),
+            h=_first(cfg.ters_h, d.h),
+            d=_first(cfg.ters_d, d.d),
+            R=0.5 * (r_lo + r_hi), D=0.5 * (r_hi - r_lo))
+
+        def efn(pos, types, mask, box):
+            return cov.tersoff_energy(pos, box, mask, P)
+        return ("tersoff", float(r_hi), efn, False)
+
+    if (any((cfg.meam_t1, cfg.meam_r0, cfg.meam_beta0, cfg.meam_e,
+             cfg.meam_rcut)) or inter == "meam"):
+        from imd_tpu.models.meam import MEAMParams, meam_al_params, \
+            meam_energy
+        nt = max(cfg.ntypes, 1)
+        dflt = meam_al_params(dtype)
+
+        def per_type(t, dv):
+            if not t:
+                return jnp.full((nt,), float(dv[0]), dtype)
+            vals = list(t) + [t[-1]] * (nt - len(t))
+            return jnp.asarray(vals[:nt], dtype)
+
+        def mat(t, dv, shape):
+            v = float(t[0]) if t else float(np.asarray(dv).flat[0])
+            return jnp.full(shape, v, dtype)
+
+        P = MEAMParams(
+            t1=per_type(cfg.meam_t1, dflt.t1),
+            t2=per_type(cfg.meam_t2, dflt.t2),
+            t3=per_type(cfg.meam_t3, dflt.t3),
+            f0=per_type(cfg.meam_f0, dflt.f0),
+            r0=per_type(cfg.meam_r0, dflt.r0),
+            beta0=per_type(cfg.meam_beta0, dflt.beta0),
+            beta1=per_type(cfg.meam_beta1, dflt.beta1),
+            beta2=per_type(cfg.meam_beta2, dflt.beta2),
+            beta3=per_type(cfg.meam_beta3, dflt.beta3),
+            cmin=mat(cfg.meam_cmin, dflt.cmin, (nt, nt, nt)),
+            cmax=mat(cfg.meam_cmax, dflt.cmax, (nt, nt, nt)),
+            rcut=mat(cfg.meam_rcut, dflt.rcut, (nt, nt)),
+            deltar=mat(cfg.meam_deltar, dflt.deltar, (nt, nt)),
+            e=per_type(cfg.meam_e, dflt.e),
+            a=per_type(cfg.meam_a, dflt.a),
+            rho0=per_type(cfg.meam_rho0, dflt.rho0),
+            t_average=bool(cfg.meam_t_average))
+        cut = float(jnp.max(P.rcut))
+
+        pair_fn = None
+        if pair_table is not None:
+            pt = pair_table
+            ntp = max(cfg.ntypes, 1)
+            rc2 = pt.max_end
+
+            def pair_fn(r, ti, tj):      # noqa: F811
+                col = jnp.clip(ti * ntp + tj, 0, ntp * ntp - 1)
+                r2 = jnp.maximum(r * r, 1e-12)
+                v, _ = pt.interp(col, r2)
+                return jnp.where(r2 < rc2, v, 0.0)
+            cut = max(cut, float(np.sqrt(np.asarray(rc2).max())))
+
+        def efn(pos, types, mask, box):
+            return meam_energy(pos, types, box, mask, P,
+                               pair_fn=pair_fn)
+        return ("meam", cut, efn, False)
+
+    return None
+
+
+def flat_force_result(scene, energy_fn, ntypes: int):
+    """Evaluate a flat-interaction energy over the padded slot arrays
+    and package a ForceResult: autodiff forces, exact strain-derivative
+    virial, per-atom-average epot (the models return totals)."""
+    import jax
+
+    from imd_tpu.ops.forces import ForceResult
+    from imd_tpu.ops.geometry import Box
+
+    shape = scene.pos.shape                      # [gx,gy,gz,cap,3]
+    pos = scene.pos.reshape(-1, 3)
+    mask = scene.mask.reshape(-1)
+    types = jnp.clip(scene.type, 0, max(ntypes - 1, 0)).reshape(-1)
+    box = scene.grid.box
+    dtype = scene.pos.dtype
+
+    def etot(p, s):
+        # uniform strain: scale positions AND box vectors by 1+s (the
+        # pytree-level Box scaling keeps this differentiable; inv_h
+        # scales inversely, so fractional coordinates are invariant)
+        lam = 1.0 + s
+        box_s = box.replace(h=box.h * lam, inv_h=box.inv_h / lam)
+        return energy_fn(p * lam, types, mask, box_s)
+
+    s0 = jnp.zeros((), dtype)
+    e, (fgrad, vgrad) = jax.value_and_grad(etot, argnums=(0, 1))(pos, s0)
+    force = (-fgrad * mask[:, None].astype(dtype)).reshape(shape)
+    n_alive = jnp.maximum(jnp.sum(mask.astype(dtype)), 1.0)
+    epot = (e / n_alive) * scene.mask.astype(dtype)
+    virial = -vgrad
+    z6 = jnp.zeros((6,), dtype)
+    return ForceResult(force=force, epot=epot, virial=virial,
+                       presstens=z6,
+                       num_neighs=jnp.zeros(shape[:-1], jnp.int32)), e

@@ -156,6 +156,14 @@ class Simulation:
         cfg = self.cfg
         self.eam: Optional[EAMPotential] = None
         self.pair: Optional[PotTable] = None
+        # analytic interaction families from their tag groups (SW /
+        # Tersoff(+mod) / Keating / TTBP / MEAM — the reference's
+        # compile-time covalent variants, models/interactions.py).
+        # TTBP is additive (pair table + 3-body term); MEAM consumes the
+        # pair table INSIDE its screened phi (imd_forces_meam.c:416), so
+        # tables load first and the flat selection closes over them.
+        from imd_tpu.models.interactions import select_flat_interaction
+        self.flat_inter = select_flat_interaction(cfg, self.dtype)
         # pot_interp: table-interpolation mode for the table-driven
         # engines (reference compile flags FOURPOINT/SPLINE,
         # potaccess.h:23-35).  The Pallas engines fit polynomials from
@@ -185,9 +193,23 @@ class Simulation:
                                        list(rc), cfg.ntypes,
                                        dtype=self.dtype))
             self.cutoff = math.sqrt(self.pair.max_end)
-        else:
+        elif self.flat_inter is None:
             raise ValueError("no potential configured "
                              "(potfile / EAM files / lj_* parameters)")
+        else:
+            self.cutoff = 0.0        # standalone analytic interaction
+        if self.flat_inter is not None:
+            name, cut, _, additive = self.flat_inter
+            if self.pair is not None:
+                # re-select with the pair table (MEAM screened phi)
+                self.flat_inter = select_flat_interaction(
+                    cfg, self.dtype, pair_table=self.pair)
+                name, cut, _, additive = self.flat_inter
+            self.cutoff = max(self.cutoff, cut)
+            if not additive:
+                print(f"# interaction: {name} (autodiff all-pairs "
+                      f"engine; intended for covalent-scale systems "
+                      f"<~20000 atoms)", flush=True)
         # engine selection is finished in _select_engine() once the grid
         # capacity is known (_load_atoms)
 
@@ -197,6 +219,11 @@ class Simulation:
         cell capacity at ~32; bigger capacities (tiny boxes with few
         huge cells) use the XLA engine."""
         import jax as _jax
+        if self.flat_inter is not None and not self.flat_inter[3]:
+            # standalone analytic interaction: no table engines
+            self.use_pallas = False
+            self.eam_run = self.pair_run = None
+            return
         use_pallas = (self.engine == "pallas"
                       or (self.engine == "auto"
                           and _jax.default_backend() not in ("cpu",)
@@ -561,6 +588,20 @@ class Simulation:
         # HOMDEF pressure relaxation consumes the stress tensor every
         # step (relax_pressure, imd_deform.c:140)
         ns = True if self.cfg.relax_rate > 0 else None
+        if self.flat_inter is not None:
+            from imd_tpu.models.interactions import flat_force_result
+            name, _, efn, additive = self.flat_inter
+            res, _ = flat_force_result(scene, efn, self.cfg.ntypes)
+            if not additive:
+                return res
+            # TTBP: 3-body term on top of the tabulated pair engine
+            base = self._compute_forces_tables(scene, count_neighbors, ns)
+            return base.replace(force=base.force + res.force,
+                                epot=base.epot + res.epot,
+                                virial=base.virial + res.virial)
+        return self._compute_forces_tables(scene, count_neighbors, ns)
+
+    def _compute_forces_tables(self, scene: Scene, count_neighbors, ns):
         if getattr(self, "use_pallas", False):
             from imd_tpu.ops.forces_pallas import (
                 compute_eam_forces_pallas, compute_eam_forces_pallas_mt,
@@ -1292,6 +1333,8 @@ class Simulation:
             return False             # EPITAX inserts atoms host-side
         if self._bb_tables is not None:
             return False             # BBOOST biases forces per step
+        if self.flat_inter is not None:
+            return False             # analytic interactions: flat engine
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
         if self.ensemble == "nve":

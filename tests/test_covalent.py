@@ -131,3 +131,90 @@ def test_brenner_pair_table():
     want = 0.5 * (1 + np.cos(t)) * 1000.0 * np.exp(-3.0 * r)
     v, _ = pt.interp(0, jnp.asarray([r * r]))
     assert float(v[0]) == pytest.approx(want, rel=5e-2, abs=1e-4)
+
+
+def test_sw_param_file_driver(tmp_path):
+    """Stillinger-Weber from a parameter file: stiweb_* tags select the
+    autodiff all-pairs engine (the runtime analog of the reference's SW
+    compile flag); NVE on a silicon diamond lattice conserves energy and
+    the strain-derivative virial feeds a finite pressure column."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "sw")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _dia
+outfiles    {out}
+box_param   2 2 2
+box_unit    5.431
+ntypes      1
+masses      28.0855
+ensemble    nve
+timestep    0.02
+maxsteps    60
+starttemp   0.01
+eng_int     20
+pbc_dirs    1 1 1
+seed        2
+stiweb_a    7.049556277
+stiweb_b    0.6022245584
+stiweb_p    4.0
+stiweb_q    0.0
+stiweb_a1   1.8
+stiweb_la   21.0
+stiweb_ga   1.2
+stiweb_de   2.1683
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.flat_inter is not None and sim.flat_inter[0] == "stiweb"
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    epots = [float(r[1]) for r in eng]
+    temps = [float(r[2]) for r in eng]
+    etots = [e + 1.5 * t for e, t in zip(epots, temps)]
+    # diamond Si SW cohesive energy ~ -4.336 eV/atom near equilibrium
+    assert -4.6 < epots[0] < -4.0
+    # NVE total energy conserved
+    assert abs(etots[-1] - etots[0]) < 5e-6 * abs(etots[0])
+
+
+def test_tersoff_param_file_driver(tmp_path):
+    """Tersoff T3 from ters_* tags (runtime analog of the TERSOFF flag);
+    the bare tag group without MOD-only tags selects the T3 form."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "ters")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _dia
+outfiles    {out}
+box_param   2 2 2
+box_unit    5.432
+ntypes      1
+masses      28.0855
+ensemble    nve
+timestep    0.02
+maxsteps    40
+starttemp   0.01
+eng_int     20
+pbc_dirs    1 1 1
+seed        4
+ters_r0     2.4
+ters_r_cut  3.0
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.flat_inter is not None and sim.flat_inter[0] == "tersoff"
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    epots = [float(r[1]) for r in eng]
+    temps = [float(r[2]) for r in eng]
+    etots = [e + 1.5 * t for e, t in zip(epots, temps)]
+    # Tersoff T3 silicon cohesive energy ~ -4.63 eV/atom
+    assert -5.0 < epots[0] < -4.2
+    assert abs(etots[-1] - etots[0]) < 5e-6 * abs(etots[0])

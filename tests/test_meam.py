@@ -68,3 +68,60 @@ def test_t_average_variant_differentiable():
     e, f = meam_forces(pos, P=P)
     assert np.isfinite(float(e))
     assert bool(jnp.all(jnp.isfinite(f)))
+
+
+def test_meam_param_file_driver(tmp_path):
+    """MEAM from meam_* tags (runtime analog of the MEAM compile flag):
+    Baskes-Al parameters on an fcc lattice run NVE with conserved
+    energy through the flat autodiff engine."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "meam")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    4.05
+ntypes      1
+masses      26.9815
+ensemble    nve
+timestep    0.02
+maxsteps    40
+starttemp   0.01
+eng_int     20
+pbc_dirs    1 1 1
+seed        6
+lj_epsilon  0.35
+lj_sigma    2.62
+r_cut       4.5
+meam_t1     1.78
+meam_t2     2.21
+meam_t3     8.01
+meam_f0     1.0
+meam_r0     2.8637
+meam_beta0  2.21
+meam_beta1  2.59
+meam_beta2  6.0
+meam_beta3  2.59
+meam_cmin   0.8
+meam_cmax   2.8
+meam_rcut   4.5
+meam_deltar 0.45
+meam_e      3.353
+meam_a      1.07
+meam_rho0   12.0
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.flat_inter is not None and sim.flat_inter[0] == "meam"
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    epots = [float(r[1]) for r in eng]
+    temps = [float(r[2]) for r in eng]
+    etots = [e + 1.5 * t for e, t in zip(epots, temps)]
+    assert epots[0] < -0.5           # bound fcc Al (screened
+    # LJ pair phi + positive embedding, imd_forces_meam.c:416)
+    assert abs(etots[-1] - etots[0]) < 5e-6 * abs(etots[0])
