@@ -1247,6 +1247,14 @@ class Simulation:
                     from imd_tpu.io.ttm_io import vlat_from_ttm
                     v2 = vlat_from_ttm(ttm_file, vstate)
                     vstate = v2 if v2 is not None else vstate
+        # fused-path capacity-cap fallback: continue with the evolved
+        # TTM/aux state instead of re-initializing
+        ov = getattr(self, "_handover", None)
+        if ov:
+            ttm_grid = ov.get("ttm_grid", ttm_grid)
+            fdtd_state = ov.get("fdtd", fdtd_state)
+            cstate = ov.get("cstate", cstate)
+            vstate = ov.get("vstate", vstate)
         if self.ensemble == "glok":
             from imd_tpu import relax as relax_mod
             fire = relax_mod.fire_init(
@@ -1992,11 +2000,38 @@ class Simulation:
                 print(f"# cell overflow: growing capacity {old} -> "
                       f"{new_cap} and retrying the block", flush=True)
                 if new_cap > 32:
-                    raise RuntimeError(
-                        "cell capacity growth would exceed the Pallas "
-                        "VMEM cap (32) on the fused path — rerun with "
-                        "engine='xla' (or a larger cell_capacity) for "
-                        "this density")
+                    # the Pallas sweeps cap at cap<=32 ([cap,cap,B] VMEM
+                    # tiles); denser compression (strong ablation
+                    # shocks) falls back to the general XLA engine and
+                    # CONTINUES — the reference's alloc_cell never fails
+                    # (imd_alloc.c:551), so neither do we
+                    print("# fused-path capacity cap reached: "
+                          "continuing on the general engine "
+                          f"(capacity {old} -> {new_cap})", flush=True)
+                    sc_prev = cl_to_scene(prev_carry[0], template)
+                    sc_prev = sc_prev.replace(
+                        overflow=jnp.zeros((), jnp.int32))
+                    grown = grow_capacity(sc_prev, new_cap)
+                    self.grid = grown.grid
+                    self.scene = grown
+                    self._select_engine()     # capacity > 32 -> XLA
+                    self.step_count += done
+                    hand = {}
+                    if ttm_on:
+                        hand["ttm_grid"] = prev_carry[1]
+                        if has_colrad:
+                            hand["cstate"] = prev_carry[3]
+                        elif has_fdtd:
+                            hand["fdtd"] = prev_carry[3]
+                        if has_vlat:
+                            hand["vstate"] = prev_carry[3 + has_aux0]
+                    self._handover = hand
+                    try:
+                        return self.run(steps=steps - done, block=block,
+                                        on_interval=on_interval,
+                                        allow_fused=False)
+                    finally:
+                        self._handover = None
                 scene_prev = cl_to_scene(prev_carry[0], template)
                 scene_prev = scene_prev.replace(
                     overflow=jnp.zeros((), jnp.int32))

@@ -99,3 +99,70 @@ def test_ablation_demo_end_to_end(demo_dir):
              if not ln.startswith("#")]
     ttm_eng = [float(r[-1]) for r in lines]
     assert ttm_eng[-1] > 0.0
+
+
+def test_fused_capacity_cap_falls_back_to_general(tmp_path, capsys):
+    """When in-run compression pushes a cell past the Pallas capacity
+    cap (32), the fused loop grows the slot axis, switches to the
+    general XLA engine, and CONTINUES — the reference's alloc_cell
+    never fails (imd_alloc.c:551).  Two near-ideal-gas clusters drift
+    ballistically into one empty cell (30 + 30 atoms > cap 32)."""
+    import jax.numpy as jnp
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.io.chkpt import ChkptData, write_chkpt
+    from imd_tpu.models.potential import analytic_eam, write_pot_table
+    from imd_tpu.simulation import Simulation
+
+    eam = analytic_eam(r_cut=2.4, r0=1.2, E_c=1e-7)   # ~free particles
+    for nm, pt in (("pair", eam.pair), ("rho", eam.rho),
+                   ("embed", eam.embed)):
+        write_pot_table(pt, str(tmp_path / f"{nm}.pt"))
+
+    rng = np.random.default_rng(0)
+    L = 9.0                      # 3 cells of ~3 A at cutoff 2.4+skin
+    mid = L / 2.0
+    left = rng.uniform([0.3, 0.6, 0.6], [2.2, 2.4, 2.4], (30, 3))
+    right = rng.uniform([6.8, 0.6, 0.6], [8.7, 2.4, 2.4], (30, 3))
+    pos = np.vstack([left, right])
+    vel = np.zeros((60, 3))
+    vel[:30, 0] = +0.12          # meet in the middle cell
+    vel[30:, 0] = -0.12
+    n = 60
+    write_chkpt(str(tmp_path / "gas.chkpt"), ChkptData(
+        number=np.arange(n), type=np.zeros(n, np.int64),
+        mass=np.ones(n), pos=pos, vel=vel, data=np.zeros((n, 1)),
+        box_x=np.array([L, 0, 0]), box_y=np.array([0, L, 0]),
+        box_z=np.array([0, 0, L])))
+
+    out = str(tmp_path / "gas")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   gas.chkpt
+outfiles    {out}
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.1
+maxsteps    400
+starttemp   0
+do_maxwell  0
+eng_int     100
+pbc_dirs    1 1 1
+cell_capacity 32
+core_potential_file pair.pt
+embedding_energy_file embed.pt
+el_density_file rho.pt
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float32,
+                     engine="pallas")
+    assert sim.use_pallas and sim.grid.capacity == 32
+    st = sim.run()
+    # the run crossed the cap: fell back to the general loop, grew the
+    # capacity as far as the density demanded, finished with no loss
+    # (engine='pallas' is user-forced, so use_pallas stays set; 'auto'
+    # would re-select XLA past the cap)
+    out = capsys.readouterr().out
+    assert "fused-path capacity cap reached" in out
+    assert sim.grid.capacity >= 40
+    assert int(st.scene.n_atoms()) == n
+    assert int(st.scene.overflow) == 0
+    assert int(st.step) == 400
