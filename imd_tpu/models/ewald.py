@@ -99,6 +99,93 @@ def ewald_fourier(scene, charges, ew: EwaldParams):
     return energy, F.reshape(scene.pos.shape)
 
 
+def ewald_kspace_terms_q(scene, q_slot, ew: EwaldParams):
+    """ewald_kspace_terms with PER-ATOM charges [gx,gy,gz,cap] (the
+    Streitz-Mintmire path: q from charge equilibration, imd_sm.c)."""
+    q = (q_slot * scene.fmask()).reshape(-1)
+    pos = scene.pos.reshape(-1, 3)
+    kr = jnp.matmul(pos, ew.kvek.T,
+                    precision=jax.lax.Precision.HIGHEST)
+    c, s = jnp.cos(kr), jnp.sin(kr)
+    Sc, Ss = q @ c, q @ s
+    s2 = Sc * Sc + Ss * Ss
+    energy = jnp.sum(ew.wk * s2)
+    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))
+    F = (q[:, None] * jnp.matmul(coeff, ew.kvek,
+                                 precision=jax.lax.Precision.HIGHEST)
+         ).reshape(scene.pos.shape)
+    k2 = jnp.sum(ew.kvek * ew.kvek, -1)
+    virial = jnp.sum(ew.wk * s2 * (1.0 - k2 / (2.0 * ew.kappa ** 2)))
+    e_self = -COUL * ew.kappa / math.sqrt(math.pi) * jnp.sum(q * q)
+    e_bg = (-COUL * math.pi / (2.0 * ew.kappa ** 2 * ew.volume)
+            * jnp.sum(q) ** 2)
+    return energy + e_self + e_bg, F, virial + 3.0 * e_bg
+
+
+def coulomb_real_dense(scene, q_slot, kappa: float, r_cut: float):
+    """Real-space erfc Coulomb with per-atom charges, dense min-image
+    over the padded slots (do_forces_ewald_real with SM charges; exact
+    and MXU-shaped — SM/qeq system sizes).  Cutoff-shifted to match
+    ewald_real_table.  Returns (F, epot_per_slot, virial)."""
+    dtype = scene.pos.dtype
+    m = scene.fmask().reshape(-1)
+    q = (q_slot.reshape(-1) * m).astype(dtype)
+    pos = scene.pos.reshape(-1, 3)
+    box_diag = jnp.diag(scene.grid.box.h)
+    pbc = jnp.asarray(scene.grid.box.pbc)
+    d = pos[:, None, :] - pos[None, :, :]
+    d = d - jnp.where(pbc, box_diag * jnp.round(d / box_diag), 0.0)
+    r2 = jnp.sum(d * d, -1)
+    n = r2.shape[0]
+    valid = (~jnp.eye(n, dtype=bool)) & (m > 0)[:, None] \
+        & (m > 0)[None, :] & (r2 < r_cut * r_cut)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    qq = q[:, None] * q[None, :]
+    from scipy.special import erfc as _herfc
+    shift = float(_herfc(kappa * r_cut)) / r_cut
+    phi = COUL * qq * (jax.scipy.special.erfc(kappa * r) / r - shift)
+    phi = jnp.where(valid, phi, 0.0)
+    # dV/dr of the (constant-shifted) erfc/r term
+    dv = -COUL * qq * (jax.scipy.special.erfc(kappa * r) / r2
+                       + 2.0 * kappa / math.sqrt(math.pi)
+                       * jnp.exp(-(kappa * r) ** 2) / r)
+    dv = jnp.where(valid, dv, 0.0)
+    F = -jnp.sum((dv / r)[..., None] * d, axis=1)
+    epot = 0.5 * jnp.sum(phi, axis=1)
+    virial = -0.5 * jnp.sum(dv * r)
+    return (F.reshape(scene.pos.shape),
+            epot.reshape(scene.type.shape), virial)
+
+
+def ewald_kspace_terms(scene, charges, ew: EwaldParams):
+    """(energy, force, virial) of the reciprocal sum + self/background.
+
+    The k-space virial is the uniform-strain derivative -dE/dlambda of
+    E(lambda) = sum_k w_k(lambda) |S(k/lambda)|^2 at positions
+    lambda*r (k.r invariant, w_k ~ exp(-k^2/4kappa^2 lambda^2)/lambda):
+        W_k = sum_k w_k |S|^2 (1 - k^2 / (2 kappa^2)).
+    The neutralizing background ~ 1/V contributes W_bg = 3 E_bg; the
+    self term is strain-independent.
+    """
+    q, pos = _flat_q_pos(scene, charges)
+    kr = jnp.matmul(pos, ew.kvek.T,
+                    precision=jax.lax.Precision.HIGHEST)
+    c, s = jnp.cos(kr), jnp.sin(kr)
+    Sc, Ss = q @ c, q @ s
+    s2 = Sc * Sc + Ss * Ss
+    energy = jnp.sum(ew.wk * s2)
+    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))
+    F = (q[:, None] * jnp.matmul(coeff, ew.kvek,
+                                 precision=jax.lax.Precision.HIGHEST)
+         ).reshape(scene.pos.shape)
+    k2 = jnp.sum(ew.kvek * ew.kvek, -1)
+    virial = jnp.sum(ew.wk * s2 * (1.0 - k2 / (2.0 * ew.kappa ** 2)))
+    e_self = -COUL * ew.kappa / math.sqrt(math.pi) * jnp.sum(q * q)
+    e_bg = (-COUL * math.pi / (2.0 * ew.kappa ** 2 * ew.volume)
+            * jnp.sum(q) ** 2)
+    return energy + e_self + e_bg, F, virial + 3.0 * e_bg
+
+
 def ewald_self_energy(scene, charges, ew: EwaldParams):
     """Self + neutralizing-background terms (do_forces_ewald:103)."""
     q, _ = _flat_q_pos(scene, charges)

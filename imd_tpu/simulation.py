@@ -59,6 +59,7 @@ class SimState(struct.PyTreeNode):
     cstate: Optional["object"] = None     # ColradGridState (plasma kinetics)
     vstate: Optional["object"] = None     # VlatState (virtual lattice tail)
     bb_time: Optional[jnp.ndarray] = None  # hyperdynamics boosted clock
+    charges: Optional[jnp.ndarray] = None  # SM per-slot charges (qeq)
 
 
 def _iv_pair(iv):
@@ -139,6 +140,7 @@ class Simulation:
                 for m, s in zip(grid_dims_multiple, shape))
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
+        self._init_coulomb()
         self._select_engine()
         self._select_integrator()
         self._step_jit = None
@@ -210,8 +212,53 @@ class Simulation:
                 print(f"# interaction: {name} (autodiff all-pairs "
                       f"engine; intended for covalent-scale systems "
                       f"<~20000 atoms)", flush=True)
+        # Ewald Coulomb (imd_forces_ewald.c): per-type `charge` +
+        # ew_kappa/ew_kcut arm the k-space sum; the real-space erfc part
+        # rides the pair engine on its own table, so the cell grid must
+        # cover its reach (ew_rcut, default the potential cutoff)
+        self._coul_pending = ((any(cfg.charge) or bool(cfg.sm_chi_0))
+                              and (cfg.ew_kappa > 0 or cfg.ew_kcut > 0))
+        if self._coul_pending:
+            rc = cfg.ew_rcut if cfg.ew_rcut > 0 else self.cutoff
+            self.cutoff = max(self.cutoff, rc)
         # engine selection is finished in _select_engine() once the grid
         # capacity is known (_load_atoms)
+
+    def _init_coulomb(self):
+        """Ewald Coulomb machinery (imd_forces_ewald.c; models/ewald.py):
+        k-vector list from the (now known) box, real-space erfc table for
+        the pair engine, constant self/background energy."""
+        cfg = self.cfg
+        self.coulomb = None
+        if not getattr(self, "_coul_pending", False):
+            return
+        from imd_tpu.models import ewald as ew_mod
+        kappa = cfg.ew_kappa if cfg.ew_kappa > 0 else 0.3
+        kcut = cfg.ew_kcut if cfg.ew_kcut > 0 else 4.0 * kappa
+        rc = cfg.ew_rcut if cfg.ew_rcut > 0 else self.cutoff
+        ew = ew_mod.make_ewald(self.box.h, kappa, kcut, self.dtype)
+        charges = list(cfg.charge) + [0.0] * max(
+            cfg.ntypes - len(cfg.charge), 0)
+        rtab = ew_mod.ewald_real_table(charges[:cfg.ntypes], kappa, rc,
+                                       dtype=jnp.float64)
+        self.coulomb = {"ew": ew, "charges": tuple(charges[:cfg.ntypes]),
+                        "raw": rtab, "rc": rc}
+        if cfg.sm_chi_0 and not cfg.sm_fixed_charges:
+            # Streitz-Mintmire variable charges: per-atom q from CG
+            # electronegativity equilibration every charge_update_steps
+            # (imd_sm.c:335); the real-space part then runs the dense
+            # per-atom-charge operator instead of the type-pair table
+            chi = list(cfg.sm_chi_0) + [0.0] * max(
+                cfg.ntypes - len(cfg.sm_chi_0), 0)
+            j0 = (list(cfg.sm_J_0) + [10.0] * max(
+                cfg.ntypes - len(cfg.sm_J_0), 0)) if cfg.sm_J_0 \
+                else [10.0] * cfg.ntypes
+            self.coulomb["sm"] = (tuple(chi[:cfg.ntypes]),
+                                  tuple(j0[:cfg.ntypes]))
+        print(f"# coulomb: ewald kappa={kappa} kcut={kcut} rcut={rc} "
+              f"K={int(ew.kvek.shape[0])}"
+              + (" + SM charge equilibration"
+                 if "sm" in self.coulomb else ""), flush=True)
 
     def _select_engine(self):
         """Pick the force engine.  The Pallas blocked kernels require the
@@ -230,6 +277,16 @@ class Simulation:
                           and self.cfg.ntypes <= 4
                           and self.grid.capacity <= 32))
         self.use_pallas = use_pallas
+        if getattr(self, "coulomb", None):
+            # engine-matched representation of the erfc real-space table
+            from imd_tpu.models.potential import to_chebyshev, to_fastpoly
+            raw = self.coulomb["raw"]
+            if use_pallas:
+                self.coulomb["rtab"] = to_fastpoly(raw, vcap=50.0)
+            elif self.fast:
+                self.coulomb["rtab"] = to_chebyshev(raw)
+            else:
+                self.coulomb["rtab"] = raw
         if use_pallas:
             from imd_tpu.models.potential import eam_to_fastpoly, to_fastpoly
             if self.eam is not None:
@@ -584,7 +641,8 @@ class Simulation:
     # ------------------------------------------------------------------
     # the jitted step
     # ------------------------------------------------------------------
-    def _compute_forces(self, scene: Scene, count_neighbors: bool = False):
+    def _compute_forces(self, scene: Scene, count_neighbors: bool = False,
+                        charges=None):
         # HOMDEF pressure relaxation consumes the stress tensor every
         # step (relax_pressure, imd_deform.c:140)
         ns = True if self.cfg.relax_rate > 0 else None
@@ -599,7 +657,50 @@ class Simulation:
             return base.replace(force=base.force + res.force,
                                 epot=base.epot + res.epot,
                                 virial=base.virial + res.virial)
-        return self._compute_forces_tables(scene, count_neighbors, ns)
+        res = self._compute_forces_tables(scene, count_neighbors, ns)
+        if getattr(self, "coulomb", None):
+            res = self._add_coulomb(scene, res, charges)
+        return res
+
+    def _add_coulomb(self, scene: Scene, res, charges=None):
+        """Add the Ewald Coulomb terms (imd_forces_ewald.c): k-space on
+        the MXU + real-space erfc through the engine-matched pair table
+        (fixed per-type charges) or the dense per-atom-charge operator
+        (SM variable charges).  The k-space/self/background energy is
+        booked as a per-atom average (the reference accumulates it into
+        tot_pot_energy the same global way)."""
+        from imd_tpu.models import ewald as ew_mod
+        cb = self.coulomb
+        m = scene.fmask()
+        n_alive = jnp.maximum(jnp.sum(m), 1.0)
+        if "sm" in cb:
+            if charges is None:
+                chi, j0 = cb["sm"]
+                charges = ew_mod.sm_equilibrate(scene, chi, j0, cb["ew"])
+            e_k, F_k, w_k = ew_mod.ewald_kspace_terms_q(scene, charges,
+                                                        cb["ew"])
+            F_r, e_r, w_r = ew_mod.coulomb_real_dense(
+                scene, charges, cb["ew"].kappa, cb["rc"])
+            return res.replace(
+                force=res.force + F_r + F_k,
+                epot=res.epot + e_r + (e_k / n_alive) * m,
+                virial=res.virial + w_r + w_k)
+        if getattr(self, "use_pallas", False):
+            from imd_tpu.ops.forces_pallas import compute_pair_forces_pallas
+            rr = compute_pair_forces_pallas(scene, cb["rtab"])
+        elif self.fast:
+            from imd_tpu.ops.forces_fast import compute_pair_forces_fast
+            rr = compute_pair_forces_fast(scene, cb["rtab"],
+                                          self.cfg.ntypes)
+        else:
+            rr = forces_mod.compute_pair_forces(scene, cb["rtab"],
+                                                self.cfg.ntypes)
+        e_k, F_k, w_k = ew_mod.ewald_kspace_terms(scene, cb["charges"],
+                                                  cb["ew"])
+        return res.replace(
+            force=res.force + rr.force + F_k,
+            epot=res.epot + rr.epot + (e_k / n_alive) * m,
+            virial=res.virial + rr.virial + w_k)
 
     def _compute_forces_tables(self, scene: Scene, count_neighbors, ns):
         if getattr(self, "use_pallas", False):
@@ -920,7 +1021,22 @@ class Simulation:
             scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
             nbl_count = state.nbl_count + do_it.astype(jnp.int32)
             ttm_grid, fdi = state.ttm_grid, state.fdi
-            res = self._compute_forces(scene, count_neighbors=cfg.ttm.enabled)
+            charges = state.charges
+            if charges is not None:
+                # SM charge equilibration every charge_update_steps
+                # (imd_sm.c:335); forced after a rebin, which permutes
+                # the slot <-> charge correspondence
+                from imd_tpu.models.ewald import sm_equilibrate
+                chi, j0 = self.coulomb["sm"]
+                upd = max(cfg.charge_update_steps, 1)
+                charges = jax.lax.cond(
+                    (state.step % upd == 0) | do_it,
+                    lambda s: sm_equilibrate(s, chi, j0,
+                                             self.coulomb["ew"]),
+                    lambda s: charges, scene)
+            res = self._compute_forces(scene,
+                                       count_neighbors=cfg.ttm.enabled,
+                                       charges=charges)
             scene = scene.replace(force=res.force, epot=res.epot)
             if self.fefl_ref is not None:
                 # Frenkel-Ladd mixing right after the force call
@@ -1181,7 +1297,7 @@ class Simulation:
                             vstate=new_vstate,
                             fbc_offset=state.fbc_offset,
                             bfbc_offset=state.bfbc_offset,
-                            bb_time=bb_time)
+                            bb_time=bb_time, charges=charges)
 
         return step_fn
 
@@ -1292,7 +1408,12 @@ class Simulation:
                         cstate=cstate, vstate=vstate,
                         fbc_offset=fbc_offset, bfbc_offset=bfbc_offset,
                         bb_time=(jnp.zeros((), self.dtype)
-                                 if self._bb_tables is not None else None))
+                                 if self._bb_tables is not None else None),
+                        charges=(jnp.zeros(self.scene.type.shape,
+                                           self.dtype)
+                                 if (getattr(self, "coulomb", None)
+                                     and "sm" in self.coulomb)
+                                 else None))
 
     # ------------------------------------------------------------------
     # host loop with I/O
@@ -1343,6 +1464,8 @@ class Simulation:
             return False             # BBOOST biases forces per step
         if self.flat_inter is not None:
             return False             # analytic interactions: flat engine
+        if getattr(self, "coulomb", None):
+            return False             # Ewald terms add to every step
         if cfg.endtemp > 0 and cfg.endtemp != cfg.starttemp:
             return False
         if self.ensemble == "nve":

@@ -100,3 +100,103 @@ def test_sm_equilibration_transfers_charge():
     q_nocoul = -(np.asarray(chi)[t[m]]
                  - np.mean(np.asarray(chi)[t[m]])) / np.asarray(j0)[t[m]]
     assert not np.allclose(qn[m], q_nocoul, atol=0.02)
+
+
+def test_coulomb_param_file_driver(tmp_path):
+    """Ewald Coulomb from a parameter file (`charge` + ew_* tags, the
+    COULOMB/EWALD compile flags at runtime): a cold NaCl lattice
+    reproduces the Madelung energy and conserves energy over NVE."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    a = 5.64          # NaCl lattice constant; r0 = 2.82
+    out = str(tmp_path / "salt")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _nacl
+outfiles    {out}
+box_param   2 2 2
+box_unit    {a}
+ntypes      2
+masses      22.9898 35.453
+ensemble    nve
+timestep    0.02
+maxsteps    40
+starttemp   0.005
+eng_int     20
+pbc_dirs    1 1 1
+seed        9
+lj_epsilon  0.01 0.01 0.01
+lj_sigma    2.3 2.3 2.3
+r_cut       5.0 5.0 5.0
+charge      1.0 -1.0
+ew_kappa    0.35
+ew_rcut     5.0
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.coulomb is not None
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    epots = [float(r[1]) for r in eng]
+    temps = [float(r[2]) for r in eng]
+    etots = [e + 1.5 * t for e, t in zip(epots, temps)]
+    # Madelung: E_coul = -1.747565 COUL / r0 per ion PAIR -> half per
+    # atom = -4.462 eV (+ the small LJ well)
+    madelung_at = -1.747565 * 14.399645 / (a / 2.0) / 2.0
+    assert abs(epots[0] - madelung_at) < 0.05 * abs(madelung_at)
+    # NVE with k-space + real-space + self terms conserves energy
+    assert abs(etots[-1] - etots[0]) < 1e-5 * abs(etots[0])
+
+
+def test_sm_param_file_driver(tmp_path):
+    """Streitz-Mintmire variable charges from a parameter file
+    (sm_chi_0/sm_J_0 + ew_kappa, imd_sm.c at runtime): electronegativity
+    contrast drives charge transfer with zero total charge, and the
+    per-atom-charge Coulomb terms enter the forces each step."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    a = 5.0
+    out = str(tmp_path / "sm")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _nacl
+outfiles    {out}
+box_param   2 2 2
+box_unit    {a}
+ntypes      2
+masses      22.99 35.45
+ensemble    nve
+timestep    0.02
+maxsteps    20
+starttemp   0.005
+eng_int     10
+pbc_dirs    1 1 1
+seed        9
+lj_epsilon  0.05 0.05 0.05
+lj_sigma    2.4 2.4 2.4
+r_cut       4.8 4.8 4.8
+ew_kappa    0.4
+ew_rcut     2.4
+sm_chi_0    -2.0 2.0
+sm_J_0      12.0 12.0
+charge_update_steps 5
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.coulomb is not None and "sm" in sim.coulomb
+    st = sim.run()
+    q = np.asarray(st.charges)
+    m = np.asarray(st.scene.mask)
+    t = np.asarray(st.scene.type)
+    # charge neutrality (qeq constraint) and electronegativity-driven
+    # transfer: low-chi type positive, high-chi type negative
+    assert abs(q[m].sum()) < 1e-6 * np.abs(q[m]).max()
+    assert q[m & (t == 0)].mean() > 0.05
+    assert q[m & (t == 1)].mean() < -0.05
+    # energies stay finite and bound
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    assert all(np.isfinite(float(r[1])) for r in eng)
