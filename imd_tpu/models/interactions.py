@@ -193,6 +193,38 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
     return None
 
 
+def make_adp_interaction(cfg, eam, u_tab, w_tab):
+    """ADP (Mishin EAM + dipole/quadrupole distortions) as a flat
+    interaction: phi/rho/F come from the loaded EAM tables, u/w from
+    the adp_upotfile/adp_wpotfile tables (imd_forces_nbl.c:891-930;
+    setup_potentials).  Returns the (name, cutoff, efn, additive)
+    tuple of select_flat_interaction.  Single-species column 0 (the
+    reference's ADP sites are type-pair indexed the same way; alloys
+    can extend the closure with one-hot selects)."""
+    import math
+
+    from imd_tpu.models.adp import ADPFuncs, adp_energy
+
+    r_cut = math.sqrt(float(np.asarray(eam.pair.end).max()))
+
+    def of(tab, col=0):
+        def f(r):
+            v, _ = tab.interp(col, jnp.maximum(r * r, 1e-12))
+            return jnp.where(r * r < tab.max_end, v, 0.0)
+        return f
+
+    def embed(rho_t):
+        v, _ = eam.embed.interp(0, jnp.maximum(rho_t, 1e-12))
+        return v
+
+    funcs = ADPFuncs(phi=of(eam.pair), rho=of(eam.rho), embed=embed,
+                     u=of(u_tab), w=of(w_tab), r_cut=r_cut)
+
+    def efn(pos, types, mask, box):
+        return adp_energy(pos, box, mask, funcs)
+    return ("adp", r_cut, efn, False)
+
+
 def flat_force_result(scene, energy_fn, ntypes: int):
     """Evaluate a flat-interaction energy over the padded slot arrays
     and package a ForceResult: autodiff forces, exact strain-derivative

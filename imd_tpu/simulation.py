@@ -183,6 +183,18 @@ class Simulation:
                                     rho=_mode(eam.rho),
                                     embed=_mode(eam.embed, radial=False))
             self.cutoff = math.sqrt(self.eam.cutoff2)
+            if cfg.adp_upotfile and cfg.adp_wpotfile:
+                # ADP: EAM + dipole/quadrupole distortion tables run as
+                # a flat autodiff interaction (models/interactions.py)
+                from imd_tpu.models.interactions import \
+                    make_adp_interaction
+                nc = cfg.ntypes * cfg.ntypes
+                u_tab = read_pot_table(self._path(cfg.adp_upotfile), nc,
+                                       True, self.dtype)
+                w_tab = read_pot_table(self._path(cfg.adp_wpotfile), nc,
+                                       True, self.dtype)
+                self.flat_inter = make_adp_interaction(cfg, eam, u_tab,
+                                                       w_tab)
         elif cfg.potfile:
             self.pair = _mode(read_pot_table(self._path(cfg.potfile),
                                              cfg.ntypes * cfg.ntypes, True,
