@@ -73,9 +73,19 @@ def main(argv=None):
     import os
     workdir = os.path.dirname(os.path.abspath(args.paramfile)) or "."
 
+    # UNIAX main variant (imd_forces_uniax.c): Gay-Berne molecules with
+    # orientation dynamics run their own flat driver
+    cfg0 = SimConfig.from_params(parse_param_text(text, phase=1))
+    if any(cfg0.uniax_sig) or cfg0.uniax_r_cut > 0:
+        from imd_tpu.uniax_driver import run_uniax
+        cfg0.validate()
+        _, obs = run_uniax(cfg0, workdir=workdir, dtype=dtype)
+        print(f"# uniax done: Epot={float(obs['epot']):.6f} "
+              f"Ekin_rot={float(obs['ekin_rot']):.6f}", flush=True)
+        return 0
+
     # NEB main variant (imd_neb.c): neb_nrep images relax as one band,
     # replacing the per-step phase loop entirely
-    cfg0 = SimConfig.from_params(parse_param_text(text, phase=1))
     if cfg0.neb_nrep > 1:
         from imd_tpu.neb_driver import run_neb
         cfg0.validate()

@@ -81,3 +81,51 @@ def test_nve_conserves_total_energy():
     # axes stay unit length
     norms = jnp.linalg.norm(sys.axis, axis=1)
     np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-12)
+
+
+def test_uniax_param_file_driver(tmp_path):
+    """UNIAX from a parameter file (uniax_sig/eps/inert tags divert the
+    CLI into the Gay-Berne driver): NVE with orientation dynamics
+    conserves E_pot + E_trans + E_rot, and the final checkpoint carries
+    restartable axis/angular-momentum columns."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.io.chkpt import read_chkpt
+    from imd_tpu.uniax_driver import run_uniax
+
+    out = str(tmp_path / "gb")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    6.0
+ntypes      1
+masses      1.0
+ensemble    nve
+timestep    0.002
+maxsteps    200
+starttemp   0.5
+do_maxwell  1
+eng_int     50
+checkpt_int 200
+pbc_dirs    1 1 1
+seed        4
+uniax_sig   1.0 1.0 3.0
+uniax_eps   1.0 1.0 0.2
+uniax_inert 1.0
+uniax_r_cut 8.0
+"""))
+    import pathlib
+    run_uniax(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    eng = [ln.split() for ln in
+           pathlib.Path(out + ".eng").read_text().splitlines()[1:]]
+    n_rows = len(eng)
+    assert n_rows == 4
+    etots = [float(r[1]) + 1.5 * float(r[2]) + float(r[3]) for r in eng]
+    assert abs(etots[-1] - etots[0]) < 5e-5 * max(abs(etots[0]), 1.0)
+    # rotational DOF are live (thermalized + exchanging)
+    assert float(eng[-1][3]) > 0.05
+    # restartable: axes + angular momenta in the data columns
+    d = read_chkpt(out + "-final.chkpt")
+    assert d.data.shape[1] >= 7
+    ax = d.data[:, 1:4]
+    assert np.allclose(np.linalg.norm(ax, axis=1), 1.0, atol=1e-6)
