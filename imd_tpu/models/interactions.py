@@ -190,6 +190,54 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
                                pair_fn=pair_fn)
         return ("meam", cut, efn, False)
 
+    if (cfg.dp_alpha and cfg.ms_D) or inter == "dipole":
+        # Tangney-Scandolo polarizable force field (dp_*/ms_* tags,
+        # imd_param.c:3451-3539): SCF dipoles inside the energy, forces
+        # and virial by Hellmann-Feynman (dE/dp = 0 at convergence, so
+        # the fixed-p gradients are exact)
+        import jax
+
+        from imd_tpu.models.dipole import (DipoleParams, dipole_energy,
+                                           scf_dipoles,
+                                           sio2_demo_params)
+        nt = max(cfg.ntypes, 1)
+        dflt = sio2_demo_params(dtype)
+
+        def per_type(t, dv):
+            if not t:
+                return jnp.asarray(np.resize(np.asarray(dv), nt), dtype)
+            vals = list(t) + [t[-1]] * (nt - len(t))
+            return jnp.asarray(vals[:nt], dtype)
+
+        def tri_mat(t, dv):
+            if not t:
+                return jnp.asarray(
+                    np.resize(np.asarray(dv), (nt, nt)), dtype)
+            m = np.zeros((nt, nt))
+            k = 0
+            for a in range(nt):
+                for b in range(a, nt):
+                    v = float(t[min(k, len(t) - 1)])
+                    m[a, b] = m[b, a] = v
+                    k += 1
+            return jnp.asarray(m, dtype)
+
+        rc = float(cfg.r_cut[0]) if cfg.r_cut else float(dflt.r_cut)
+        P = DipoleParams(
+            charges=per_type(cfg.charge, dflt.charges),
+            alpha=per_type(cfg.dp_alpha, dflt.alpha),
+            b=tri_mat(cfg.dp_b, dflt.b), c=tri_mat(cfg.dp_c, dflt.c),
+            ms_D=tri_mat(cfg.ms_D, dflt.ms_D),
+            ms_gamma=tri_mat(cfg.ms_gamma, dflt.ms_gamma),
+            ms_r0=tri_mat(cfg.ms_r0, dflt.ms_r0),
+            r_cut=rc, dp_mix=cfg.dp_mix, dp_tol=cfg.dp_tol)
+
+        def efn(pos, types, mask, box):
+            p, _ = scf_dipoles(pos, types, box, mask, P)
+            p = jax.lax.stop_gradient(p)
+            return dipole_energy(pos, types, box, mask, P, p=p)
+        return ("dipole", rc, efn, False)
+
     return None
 
 

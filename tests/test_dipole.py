@@ -73,3 +73,47 @@ def test_dipole_points_along_field():
     p_asym, _ = scf_dipoles(asym, types, P=P)
     assert abs(float(p_asym[2, 0])) > 1e-4
     np.testing.assert_allclose(np.asarray(p_asym[2, 1:]), 0.0, atol=1e-10)
+
+
+def test_dipole_param_file_driver(tmp_path):
+    """Tangney-Scandolo silica from a parameter file (dp_*/ms_* tags,
+    imd_param.c:3451-3539 at runtime): SCF dipoles inside the jitted
+    step, Hellmann-Feynman forces, NVE conservation on beta-cristobalite
+    SiO2."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "ts")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _sio2
+outfiles    {out}
+box_param   2 2 2
+box_unit    1.0
+ntypes      2
+masses      28.0855 15.999
+ensemble    nve
+timestep    0.02
+maxsteps    30
+starttemp   0.01
+eng_int     15
+pbc_dirs    1 1 1
+seed        3
+charge      1.91 -0.955
+dp_alpha    0.0 1.33
+dp_b        2.0 2.23 2.6
+dp_c        1.0 1.5 2.0
+ms_D        0.0022 0.0270 0.0061
+ms_gamma    11.39 10.45 8.01
+ms_r0       3.54 2.18 3.79
+r_cut       4.8
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.flat_inter is not None and sim.flat_inter[0] == "dipole"
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    epots = [float(r[1]) for r in eng]
+    temps = [float(r[2]) for r in eng]
+    etots = [e + 1.5 * t for e, t in zip(epots, temps)]
+    assert epots[0] < -1.0          # bound ionic crystal
+    assert abs(etots[-1] - etots[0]) < 2e-4 * abs(etots[0])
