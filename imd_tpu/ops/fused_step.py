@@ -22,6 +22,8 @@ Single-species fast path, like the Pallas engines themselves.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -47,6 +49,11 @@ class CLState(struct.PyTreeNode):
     ids: jnp.ndarray      # [cap, NC] int32
     ref_xi: jnp.ndarray   # positions at last rebin (skin check)
     overflow: jnp.ndarray
+    # LOADBALANCE: the x-slab plane fractions are a traced leaf that
+    # travels with the state (repartition_x moves them between blocks;
+    # the in-loop rebin must bin under the CURRENT planes, not the ones
+    # captured at make_fused_step time)
+    xbounds: Optional[jnp.ndarray] = None
 
 
 def scene_to_cl(scene: Scene) -> CLState:
@@ -61,7 +68,8 @@ def scene_to_cl(scene: Scene) -> CLState:
         alive=alive,
         typ=typ, vtyp=_to_cl(scene.vtype, dims),
         ids=_to_cl(scene.id, dims),
-        ref_xi=xi, overflow=scene.overflow)
+        ref_xi=xi, overflow=scene.overflow,
+        xbounds=scene.grid.xbounds)
 
 
 def cl_to_scene(cl: CLState, template: Scene) -> Scene:
@@ -75,6 +83,9 @@ def cl_to_scene(cl: CLState, template: Scene) -> Scene:
     alive = cl.alive
     pos = jnp.where(alive[:, None, :], cl.xi, 0.0)
     af = alive.astype(cl.mass.dtype)
+    if cl.xbounds is not None:
+        template = template.replace(
+            grid=template.grid.replace(xbounds=cl.xbounds))
     return template.replace(
         pos=_from_cl(pos, dims), mom=_from_cl(cl.mom, dims),
         mass=_from_cl(cl.mass * af, dims),

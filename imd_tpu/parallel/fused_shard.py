@@ -56,8 +56,9 @@ def shardable(grid, mesh) -> bool:
         return False
     if any(mesh.shape[a] != 1 for a in ax[1:]):
         return False
-    if grid.xbounds is not None:
-        return False
+    # non-uniform x slabs (LOADBALANCE xbounds) are fine: device
+    # ownership is by CELL INDEX blocks, and repartition_x keeps every
+    # cell at least cutoff+skin wide, so the one-plane halo stays valid
     return grid.dims[0] % px == 0
 
 

@@ -1455,7 +1455,7 @@ class Simulation:
             return False
         if cfg.pdecay_mode or cfg.xipdecay:
             return False
-        if cfg.socket_int > 0 or cfg.lb_frequency > 0:
+        if cfg.socket_int > 0:
             return False
         if self._restrictions() is not None or self._fbc() is not None:
             return False
@@ -1975,8 +1975,13 @@ class Simulation:
         steps = cfg.maxsteps if steps is None else steps
         filter_int = (cfg.filter.interval if cfg.filter.enabled else 0)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
-                                 cfg.dist_int, cfg.pic_int, filter_int)
+                                 cfg.dist_int, cfg.pic_int, filter_int,
+                                 cfg.lb_frequency)
                      if i > 0]
+        lb_log = None
+        if cfg.lb_frequency > 0 and cfg.lb_write_status:
+            from imd_tpu.parallel.loadbalance import LbLog
+            lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
         # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
         sel = None
         from imd_tpu.io.select import SelectWriters
@@ -1993,7 +1998,8 @@ class Simulation:
 
         from imd_tpu.ops.fused_step import (cl_to_scene, make_filter_apply,
                                             make_fused_step,
-                                            make_fused_ttm_step)
+                                            make_fused_ttm_step,
+                                            scene_to_cl)
         from imd_tpu.ops.forces_pallas import compute_eam_forces_pallas
 
         template = self.scene
@@ -2254,6 +2260,27 @@ class Simulation:
                              -jnp.ones_like(carry[2]), *carry[3:])
                 else:
                     carry = (filt_apply(carry[0]),)
+            if (cfg.lb_frequency > 0 and done < steps
+                    and gstep % cfg.lb_frequency == 0):
+                # LOADBALANCE on the fused path (balanceLoad every
+                # lb_frequency, imd_main_3d.c:864-914): move the x-slab
+                # planes to the atom quantiles and rebin; xbounds is a
+                # CLState leaf, so the compiled step keeps binning under
+                # the CURRENT planes with no retrace
+                from imd_tpu.parallel import loadbalance as lb
+                sc_lb = cl_to_scene(carry[0], template)
+                n_slabs = (self.mesh.shape["x"] if self.mesh is not None
+                           else self.grid.dims[0])
+                if lb_log is not None:
+                    lb_log.write(gstep, lb.lb_variance(sc_lb, n_slabs))
+                sc_lb = lb.repartition_x(sc_lb)
+                cl_lb = scene_to_cl(sc_lb)
+                if ttm_on:
+                    # per-slot FD indices are stale after the re-bin
+                    carry = (cl_lb, carry[1],
+                             -jnp.ones_like(carry[2]), *carry[3:])
+                else:
+                    carry = (cl_lb,)
         if state is None:
             scene, epot, ekin, virial, presstens = observe(carry[0])
             state = mk_state(scene, epot, ekin, virial, presstens,

@@ -82,3 +82,91 @@ def test_repartition_is_jittable():
     # second call with moved planes must not recompile (same avals):
     s3 = jitted(s2)
     assert int(s3.n_atoms()) == len(pos)
+
+
+def _film_eam_scene(dims_multiple=(1, 1, 1)):
+    """Inhomogeneous film+vacuum EAM scene (LB has work to do)."""
+    from imd_tpu.models.potential import analytic_eam, eam_to_fastpoly
+    from imd_tpu.ops.geometry import measured_capacity
+    from imd_tpu.utils.generate import fcc
+
+    pos, typ, diag = fcc((8, 6, 6), 4.05)
+    Lx = diag[0] * 2.0                    # 50% vacuum on the right
+    box = Box.create([Lx, 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = choose_grid(box, 5.0, skin=0.5, n_atoms=len(pos),
+                       dims_multiple=dims_multiple)
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.9815),
+                    dtype=jnp.float64)
+    from imd_tpu import integrate
+    sc = integrate.maxwell(sc, 0.04, jax.random.PRNGKey(5))
+    eam = eam_to_fastpoly(analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39,
+                                       dtype=jnp.float64), deg=12)
+    return sc, eam
+
+
+def test_fused_loop_lb_preserves_physics():
+    """Repartitioning mid-run on the FUSED path (xbounds as a CLState
+    leaf) is an exact re-binning: the trajectory matches the
+    no-repartition run, while the slab widths become non-uniform."""
+    from imd_tpu.ops.fused_step import (cl_to_scene, make_fused_step,
+                                        scene_to_cl)
+
+    scene, eam = _film_eam_scene()
+    step, cl = make_fused_step(scene, eam, 0.1)
+    step = jax.jit(step)
+    cl_ref = cl
+    for i in range(20):
+        cl, _ = step(cl)
+        cl_ref, _ = step(cl_ref)
+    # LB event on one copy only
+    sc = repartition_x(cl_to_scene(cl, scene))
+    xb = np.asarray(sc.grid.xbounds)
+    w = np.diff(xb)
+    assert w.max() / w.min() > 1.3, "planes did not move"
+    cl = scene_to_cl(sc)
+    for i in range(20):
+        cl, _ = step(cl)
+        cl_ref, _ = step(cl_ref)
+    a = cl_to_scene(cl, scene)
+    b = cl_to_scene(cl_ref, scene)
+    fa, fb = a.flatten_atoms(), b.flatten_atoms()
+    ma, mb = np.asarray(fa["mask"]), np.asarray(fb["mask"])
+    pa = np.asarray(fa["pos"])[ma][np.argsort(np.asarray(fa["id"])[ma])]
+    pb = np.asarray(fb["pos"])[mb][np.argsort(np.asarray(fb["id"])[mb])]
+    assert len(pa) == len(pb) == int(scene.n_atoms())
+    # the repartition rebin WRAPS positions; compare minimum-image
+    d = np.asarray(scene.grid.box.min_image(jnp.asarray(pa - pb)))
+    assert np.abs(d).max() < 1e-8
+
+
+def test_sharded_fused_lb_matches_single_device():
+    """LB + mesh on the fused path: the sharded sweep is by CELL-INDEX
+    blocks, so moved (non-uniform) slab planes change nothing about the
+    halo protocol — sharded == single device through a repartition."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from imd_tpu.ops.fused_step import (cl_to_scene, make_fused_step,
+                                        scene_to_cl)
+    from imd_tpu.parallel.mesh import make_mesh
+
+    scene, eam = _film_eam_scene(dims_multiple=(8, 1, 1))
+    mesh = make_mesh((8, 1, 1))
+    step1, cl1 = make_fused_step(scene, eam, 0.1)
+    step8, cl8 = make_fused_step(scene, eam, 0.1, mesh=mesh)
+    step1, step8 = jax.jit(step1), jax.jit(step8)
+    for i in range(10):
+        cl1, _ = step1(cl1)
+        cl8, _ = step8(cl8)
+    sc1 = repartition_x(cl_to_scene(cl1, scene))
+    sc8 = repartition_x(cl_to_scene(cl8, scene))
+    np.testing.assert_array_equal(np.asarray(sc1.grid.xbounds),
+                                  np.asarray(sc8.grid.xbounds))
+    cl1, cl8 = scene_to_cl(sc1), scene_to_cl(sc8)
+    for i in range(10):
+        cl1, _ = step1(cl1)
+        cl8, _ = step8(cl8)
+    np.testing.assert_allclose(np.asarray(cl8.xi), np.asarray(cl1.xi),
+                               rtol=1e-10, atol=1e-10)
