@@ -1455,8 +1455,6 @@ class Simulation:
             return False
         if cfg.pdecay_mode or cfg.xipdecay:
             return False
-        if cfg.socket_int > 0:
-            return False
         if self._restrictions() is not None or self._fbc() is not None:
             return False
         if (cfg.zapp_threshold > 0 or cfg.bend_nmoments > 0
@@ -1976,12 +1974,16 @@ class Simulation:
         filter_int = (cfg.filter.interval if cfg.filter.enabled else 0)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
                                  cfg.dist_int, cfg.pic_int, filter_int,
-                                 cfg.lb_frequency)
+                                 cfg.lb_frequency, cfg.socket_int)
                      if i > 0]
         lb_log = None
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
             from imd_tpu.parallel.loadbalance import LbLog
             lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
+        sock = None
+        if cfg.socket_int > 0:
+            from imd_tpu.io import socket_io
+            sock = socket_io.SocketServer(port=cfg.socket_port)
         # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
         sel = None
         from imd_tpu.io.select import SelectWriters
@@ -2241,6 +2243,11 @@ class Simulation:
                     sel.step(scene, gstep)
                 if on_interval is not None:
                     on_interval(self, state)
+                if (sock is not None and gstep % cfg.socket_int == 0):
+                    # online steering (check_socket, socket_io.c)
+                    from imd_tpu.io import socket_io
+                    if socket_io.poll(sock, self, state):
+                        break
                 if force_write:
                     os.remove(wfile)
                     self.write_checkpoint(state, gstep)

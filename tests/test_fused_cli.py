@@ -235,3 +235,70 @@ def test_fused_select_observers(eam_dir):
     dsp = np.loadtxt(eam_dir / "sel.8.dsp")
     assert len(dsp) == n
     assert 0 < np.linalg.norm(dsp[:, 4:7], axis=1).max() < 0.5
+
+
+def test_fused_socket_quit(eam_dir, tmp_path):
+    """Socket steering on the FUSED path: the quit command stops a
+    pallas fused run early and checkpoints (check_socket, socket_io.c —
+    previously socket_int forced the general step)."""
+    import socket as pysock
+    import threading
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.io import socket_io
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "fsock")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _fcc
+outfiles    {out}
+box_param   4 4 4
+box_unit    4.05
+ntypes      1
+masses      26.9815
+ensemble    nve
+timestep    0.1
+maxsteps    2000
+starttemp   0.026
+eng_int     10
+checkpt_int 2000
+pbc_dirs    1 1 1
+seed        1
+socket_int  10
+socket_port 0
+core_potential_file {eam_dir}/pair.pt
+embedding_energy_file {eam_dir}/embed.pt
+el_density_file {eam_dir}/rho.pt
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64,
+                     engine="pallas")
+    assert sim._fused_eligible(), "socket run should stay on the fused path"
+
+    state = {}
+    orig = socket_io.SocketServer
+
+    def wrapper(*a, **k):
+        srv = orig(*a, **k)
+        state["port"] = srv.port
+        return srv
+
+    def drive():
+        import time
+        for _ in range(600):
+            if "port" in state:
+                break
+            time.sleep(0.05)
+        s = pysock.create_connection(("127.0.0.1", state["port"]),
+                                     timeout=10)
+        s.sendall(b"quit\n")
+        s.close()
+
+    th = threading.Thread(target=drive, daemon=True)
+    socket_io.SocketServer = wrapper
+    try:
+        th.start()
+        st = sim.run()
+    finally:
+        socket_io.SocketServer = orig
+    assert int(st.step) < 2000
+    assert any(q.name.endswith(".chkpt") for q in tmp_path.iterdir())
