@@ -41,6 +41,7 @@ class SWParams(NamedTuple):
     lam: float = 21.0
     gamma: float = 1.20
     cos0: float = -1.0 / 3.0
+    a2: float = 0.0       # 3-body cutoff in sigma (stiweb_a2); 0 -> a
 
 
 class TersoffParams(NamedTuple):
@@ -84,15 +85,18 @@ def sw_energy(pos, box=None, mask=None, P: SWParams = SWParams()):
     v2 = P.A * P.epsilon * (P.B * x ** -P.p - x ** -P.q) * expf
     e2 = 0.5 * jnp.sum(jnp.where(inside, v2, 0.0))
 
-    # three-body: lam eps (cos t - cos0)^2 exp(g/(x_ij-a)) exp(g/(x_ik-a))
-    g = jnp.where(inside, jnp.exp(P.gamma / jnp.where(inside, x - P.a, -1.0)),
+    # three-body: lam eps (cos t - cos0)^2 exp(g/(x_ij-a2)) exp(g/(x_ik-a2))
+    # with its OWN cutoff a2 (stiweb_a2, imd_param.c:2030; defaults to a)
+    a3 = jnp.where(P.a2 > 0, P.a2, P.a)
+    in3 = off & (r < a3 * P.sigma)
+    g = jnp.where(in3, jnp.exp(P.gamma / jnp.where(in3, x - a3, -1.0)),
                   0.0)
     u = dr / (r * P.sigma)[..., None] * P.sigma   # unit vectors
     cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
                                                   * r[:, None, :])
     hjk = (cosjk - P.cos0) ** 2
     wjk = g[:, :, None] * g[:, None, :]
-    valid3 = inside[:, :, None] & inside[:, None, :] \
+    valid3 = in3[:, :, None] & in3[:, None, :] \
         & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
     e3 = 0.5 * P.lam * P.epsilon * jnp.sum(jnp.where(valid3, hjk * wjk, 0.0))
     return e2 + e3

@@ -79,23 +79,45 @@ def _flat_q_pos(scene, charges):
     return q.reshape(-1), scene.pos.reshape(-1, 3)
 
 
+def _kspace(q, pos, ew: EwaldParams):
+    """Shared reciprocal-space kernel on a flat charge vector.
+
+    E = sum_k w_k |S(k)|^2 (wk carries the half-space doubling),
+    F_i = 2 q_i sum_k w_k k (sin(kr_i) Sc - cos(kr_i) Ss), and the
+    uniform-strain virial W_k = sum_k w_k |S|^2 (1 - k^2/(2 kappa^2))
+    (k.r is strain-invariant; w_k scales as exp(-k^2/4kappa^2 l^2)/l).
+    Returns (energy, force [N,3], virial).
+    """
+    kr = jnp.matmul(pos, ew.kvek.T,
+                    precision=jax.lax.Precision.HIGHEST)     # [N, K]
+    c, s = jnp.cos(kr), jnp.sin(kr)
+    Sc, Ss = q @ c, q @ s                                    # [K]
+    s2 = Sc * Sc + Ss * Ss
+    energy = jnp.sum(ew.wk * s2)
+    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))      # [N, K]
+    F = q[:, None] * jnp.matmul(coeff, ew.kvek,
+                                precision=jax.lax.Precision.HIGHEST)
+    k2 = jnp.sum(ew.kvek * ew.kvek, -1)
+    virial = jnp.sum(ew.wk * s2 * (1.0 - k2 / (2.0 * ew.kappa ** 2)))
+    return energy, F, virial
+
+
+def _self_background(q, ew: EwaldParams):
+    """Self + neutralizing-background energies; the background ~1/V
+    carries a strain derivative (W_bg = 3 E_bg), the self term none."""
+    e_self = -COUL * ew.kappa / math.sqrt(math.pi) * jnp.sum(q * q)
+    e_bg = (-COUL * math.pi / (2.0 * ew.kappa ** 2 * ew.volume)
+            * jnp.sum(q) ** 2)
+    return e_self, e_bg
+
+
 def ewald_fourier(scene, charges, ew: EwaldParams):
     """Reciprocal-space energy and per-slot forces.
 
     Returns (energy, force [gx,gy,gz,cap,3]).
     """
     q, pos = _flat_q_pos(scene, charges)
-    kr = jnp.matmul(pos, ew.kvek.T,
-                    precision=jax.lax.Precision.HIGHEST)     # [N, K]
-    c, s = jnp.cos(kr), jnp.sin(kr)
-    Sc = q @ c                                               # [K]
-    Ss = q @ s
-    # wk already carries the half-space doubling: E = sum_k wk |S(k)|^2
-    energy = jnp.sum(ew.wk * (Sc * Sc + Ss * Ss))
-    # F_i = 2 q_i sum_k w_k k (sin(kr_i) Sc - cos(kr_i) Ss)
-    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))      # [N, K]
-    F = q[:, None] * jnp.matmul(coeff, ew.kvek,
-                                precision=jax.lax.Precision.HIGHEST)
+    energy, F, _ = _kspace(q, pos, ew)
     return energy, F.reshape(scene.pos.shape)
 
 
@@ -103,23 +125,10 @@ def ewald_kspace_terms_q(scene, q_slot, ew: EwaldParams):
     """ewald_kspace_terms with PER-ATOM charges [gx,gy,gz,cap] (the
     Streitz-Mintmire path: q from charge equilibration, imd_sm.c)."""
     q = (q_slot * scene.fmask()).reshape(-1)
-    pos = scene.pos.reshape(-1, 3)
-    kr = jnp.matmul(pos, ew.kvek.T,
-                    precision=jax.lax.Precision.HIGHEST)
-    c, s = jnp.cos(kr), jnp.sin(kr)
-    Sc, Ss = q @ c, q @ s
-    s2 = Sc * Sc + Ss * Ss
-    energy = jnp.sum(ew.wk * s2)
-    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))
-    F = (q[:, None] * jnp.matmul(coeff, ew.kvek,
-                                 precision=jax.lax.Precision.HIGHEST)
-         ).reshape(scene.pos.shape)
-    k2 = jnp.sum(ew.kvek * ew.kvek, -1)
-    virial = jnp.sum(ew.wk * s2 * (1.0 - k2 / (2.0 * ew.kappa ** 2)))
-    e_self = -COUL * ew.kappa / math.sqrt(math.pi) * jnp.sum(q * q)
-    e_bg = (-COUL * math.pi / (2.0 * ew.kappa ** 2 * ew.volume)
-            * jnp.sum(q) ** 2)
-    return energy + e_self + e_bg, F, virial + 3.0 * e_bg
+    energy, F, virial = _kspace(q, scene.pos.reshape(-1, 3), ew)
+    e_self, e_bg = _self_background(q, ew)
+    return (energy + e_self + e_bg, F.reshape(scene.pos.shape),
+            virial + 3.0 * e_bg)
 
 
 def coulomb_real_dense(scene, q_slot, kappa: float, r_cut: float):
@@ -131,10 +140,7 @@ def coulomb_real_dense(scene, q_slot, kappa: float, r_cut: float):
     m = scene.fmask().reshape(-1)
     q = (q_slot.reshape(-1) * m).astype(dtype)
     pos = scene.pos.reshape(-1, 3)
-    box_diag = jnp.diag(scene.grid.box.h)
-    pbc = jnp.asarray(scene.grid.box.pbc)
-    d = pos[:, None, :] - pos[None, :, :]
-    d = d - jnp.where(pbc, box_diag * jnp.round(d / box_diag), 0.0)
+    d = scene.grid.box.min_image(pos[:, None, :] - pos[None, :, :])
     r2 = jnp.sum(d * d, -1)
     n = r2.shape[0]
     valid = (~jnp.eye(n, dtype=bool)) & (m > 0)[:, None] \
@@ -158,32 +164,13 @@ def coulomb_real_dense(scene, q_slot, kappa: float, r_cut: float):
 
 
 def ewald_kspace_terms(scene, charges, ew: EwaldParams):
-    """(energy, force, virial) of the reciprocal sum + self/background.
-
-    The k-space virial is the uniform-strain derivative -dE/dlambda of
-    E(lambda) = sum_k w_k(lambda) |S(k/lambda)|^2 at positions
-    lambda*r (k.r invariant, w_k ~ exp(-k^2/4kappa^2 lambda^2)/lambda):
-        W_k = sum_k w_k |S|^2 (1 - k^2 / (2 kappa^2)).
-    The neutralizing background ~ 1/V contributes W_bg = 3 E_bg; the
-    self term is strain-independent.
-    """
+    """(energy, force, virial) of the reciprocal sum + self/background
+    for fixed per-type charges (see _kspace/_self_background)."""
     q, pos = _flat_q_pos(scene, charges)
-    kr = jnp.matmul(pos, ew.kvek.T,
-                    precision=jax.lax.Precision.HIGHEST)
-    c, s = jnp.cos(kr), jnp.sin(kr)
-    Sc, Ss = q @ c, q @ s
-    s2 = Sc * Sc + Ss * Ss
-    energy = jnp.sum(ew.wk * s2)
-    coeff = 2.0 * (s * (ew.wk * Sc) - c * (ew.wk * Ss))
-    F = (q[:, None] * jnp.matmul(coeff, ew.kvek,
-                                 precision=jax.lax.Precision.HIGHEST)
-         ).reshape(scene.pos.shape)
-    k2 = jnp.sum(ew.kvek * ew.kvek, -1)
-    virial = jnp.sum(ew.wk * s2 * (1.0 - k2 / (2.0 * ew.kappa ** 2)))
-    e_self = -COUL * ew.kappa / math.sqrt(math.pi) * jnp.sum(q * q)
-    e_bg = (-COUL * math.pi / (2.0 * ew.kappa ** 2 * ew.volume)
-            * jnp.sum(q) ** 2)
-    return energy + e_self + e_bg, F, virial + 3.0 * e_bg
+    energy, F, virial = _kspace(q, pos, ew)
+    e_self, e_bg = _self_background(q, ew)
+    return (energy + e_self + e_bg, F.reshape(scene.pos.shape),
+            virial + 3.0 * e_bg)
 
 
 def ewald_self_energy(scene, charges, ew: EwaldParams):

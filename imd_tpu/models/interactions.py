@@ -60,8 +60,9 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
             p=_first(cfg.stiweb_p, d.p),
             q=_first(cfg.stiweb_q, d.q),
             lam=_first(cfg.stiweb_la, d.lam),
-            gamma=_first(cfg.stiweb_ga, d.gamma))
-        cut = P.a * P.sigma
+            gamma=_first(cfg.stiweb_ga, d.gamma),
+            a2=_first(cfg.stiweb_a2, 0.0))
+        cut = max(P.a, P.a2) * P.sigma
 
         def efn(pos, types, mask, box):
             return cov.sw_energy(pos, box, mask, P)

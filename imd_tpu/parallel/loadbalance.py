@@ -65,9 +65,10 @@ def equalized_boundaries(scene: Scene, n_slabs: int) -> np.ndarray:
 class LbLog:
     """.lb imbalance log (imd_io.c:3941)."""
 
-    def __init__(self, path: str):
-        self._f = open(path, "w")
-        self._f.write("# step max/avg min/avg variance\n")
+    def __init__(self, path: str, append: bool = False):
+        self._f = open(path, "a" if append else "w")
+        if not append:
+            self._f.write("# step max/avg min/avg variance\n")
 
     def write(self, step: int, stats):
         mx, mn, var = (float(x) for x in stats)
@@ -106,7 +107,14 @@ def repartition_x(scene: Scene, min_frac: float = 0.0):
         else:
             min_frac = 1.0 / (2 * gx)
     if gx * min_frac >= 1.0:
-        raise ValueError("box too small to move slab planes")
+        # no slack: every cell is already exactly at the minimum width
+        # (gx = floor(Lx/reach) with an exact fit).  LB is a no-op here —
+        # do not kill the run mid-flight for a tuning knob.
+        import warnings
+        warnings.warn("LOADBALANCE: no slab-plane slack (box is an "
+                      "exact multiple of cutoff+skin); repartition is "
+                      "a no-op", stacklevel=2)
+        return scene
 
     flat = scene.flatten_atoms()
     frac = grid.box.to_frac(flat["pos"])[:, 0]

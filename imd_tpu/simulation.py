@@ -214,6 +214,12 @@ class Simulation:
             self.cutoff = 0.0        # standalone analytic interaction
         if self.flat_inter is not None:
             name, cut, _, additive = self.flat_inter
+            if additive and self.pair is None and self.eam is None:
+                raise ValueError(
+                    f"{name} is an additive three-body term on top of a "
+                    "pair potential: provide potfile / lj_* tags "
+                    "(the reference's TTBP builds are PAIR+TTBP, "
+                    "config.h)")
             if self.pair is not None:
                 # re-select with the pair table (MEAM screened phi)
                 self.flat_inter = select_flat_interaction(
@@ -290,15 +296,22 @@ class Simulation:
                           and self.grid.capacity <= 32))
         self.use_pallas = use_pallas
         if getattr(self, "coulomb", None):
-            # engine-matched representation of the erfc real-space table
+            # engine-matched representation of the erfc real-space table.
+            # The Pallas pair engine is single-species (bakes column 0),
+            # so multi-type charge tables run the fast XLA engine even
+            # when the main potential uses Pallas — q_a*q_b columns
+            # matter (unlike-type attraction!)
             from imd_tpu.models.potential import to_chebyshev, to_fastpoly
             raw = self.coulomb["raw"]
-            if use_pallas:
+            if use_pallas and self.cfg.ntypes == 1:
                 self.coulomb["rtab"] = to_fastpoly(raw, vcap=50.0)
+                self.coulomb["engine"] = "pallas"
             elif self.fast:
                 self.coulomb["rtab"] = to_chebyshev(raw)
+                self.coulomb["engine"] = "fast"
             else:
                 self.coulomb["rtab"] = raw
+                self.coulomb["engine"] = "oracle"
         if use_pallas:
             from imd_tpu.models.potential import eam_to_fastpoly, to_fastpoly
             if self.eam is not None:
@@ -697,16 +710,16 @@ class Simulation:
                 force=res.force + F_r + F_k,
                 epot=res.epot + e_r + (e_k / n_alive) * m,
                 virial=res.virial + w_r + w_k)
-        if getattr(self, "use_pallas", False):
+        if cb.get("engine") == "pallas":
             from imd_tpu.ops.forces_pallas import compute_pair_forces_pallas
             rr = compute_pair_forces_pallas(scene, cb["rtab"])
-        elif self.fast:
+        elif cb.get("engine") == "fast":
             from imd_tpu.ops.forces_fast import compute_pair_forces_fast
             rr = compute_pair_forces_fast(scene, cb["rtab"],
                                           self.cfg.ntypes)
         else:
-            rr = forces_mod.compute_pair_forces(scene, cb["rtab"],
-                                                self.cfg.ntypes)
+            rr = forces_mod.compute_pair_forces(
+                scene, cb.get("rtab", cb["raw"]), self.cfg.ntypes)
         e_k, F_k, w_k = ew_mod.ewald_kspace_terms(scene, cb["charges"],
                                                   cb["ew"])
         return res.replace(
@@ -1295,10 +1308,17 @@ class Simulation:
                     cfg.relax_mode, cfg.relax_dirs, cfg.relax_rate)
             bb_time = state.bb_time
             if bb_time is not None and bb_dv is not None:
-                # hyperdynamics clock: dt * exp(dV / k_B T) per step
+                # hyperdynamics clock: dt * exp(dV / k_B T) per step.
+                # T = thermostat target when set, else the instantaneous
+                # kinetic temperature (NVE from a checkpoint has no
+                # target; dividing by ~0 overflowed the clock to inf)
                 from imd_tpu.models.bboost import boost_factor
+                t_bb = jnp.where(
+                    temp > 1e-12, temp,
+                    2.0 * stats.tot_kin_energy / jnp.maximum(nactive,
+                                                             1.0))
                 bb_time = bb_time + (jnp.asarray(cfg.timestep, self.dtype)
-                                     * boost_factor(bb_dv, temp))
+                                     * boost_factor(bb_dv, t_bb))
             return SimState(scene=scene, step=state.step + 1, eta=eta,
                             epot_total=jnp.sum(res.epot), virial=res.virial,
                             presstens=res.presstens, stats=stats,
@@ -1673,8 +1693,13 @@ class Simulation:
             sock = socket_io.SocketServer(port=cfg.socket_port)
         lb_log = None
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
-            from imd_tpu.parallel.loadbalance import LbLog
-            lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
+            # one log per Simulation: the fused->general fallback and
+            # later phases append to the same run's file
+            if getattr(self, "_lb_log", None) is None:
+                from imd_tpu.parallel.loadbalance import LbLog
+                self._lb_log = LbLog(self._path(cfg.outfiles + ".lb"),
+                                     append=cfg.simulation_phase > 1)
+            lb_log = self._lb_log
         if sel is not None:
             sel.init_refs(state.scene, self.step_count)
         epot_prev = None
@@ -1848,8 +1873,16 @@ class Simulation:
                 if lb_log is not None:
                     lb_log.write(gstep,
                                  lb.lb_variance(state.scene, n_slabs))
-                state = state.replace(
-                    scene=lb.repartition_x(state.scene))
+                sc_lb = lb.repartition_x(state.scene)
+                if int(sc_lb.overflow) > 0:
+                    # a widened slab packed a cell past capacity: grow
+                    # the slot axis from the PRE-LB state (never drop
+                    # atoms, alloc_cell imd_alloc.c:551) and retry
+                    state = self._grow_cells(state)
+                    step_fn = self.make_step_fn()
+                    run_block = make_run_block(step_fn)
+                    sc_lb = lb.repartition_x(state.scene)
+                state = state.replace(scene=sc_lb)
             if on_interval is not None:
                 on_interval(self, state)
             if (sock is not None and gstep % cfg.socket_int == 0):
@@ -1947,6 +1980,7 @@ class Simulation:
             sock.close()
         if lb_log is not None:
             lb_log.close()
+            self._lb_log = None
         self.scene = state.scene
         self.step_count = int(state.step)
         timers.stop("total")
@@ -1978,8 +2012,13 @@ class Simulation:
                      if i > 0]
         lb_log = None
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
-            from imd_tpu.parallel.loadbalance import LbLog
-            lb_log = LbLog(self._path(cfg.outfiles + ".lb"))
+            # one log per Simulation: the fused->general fallback and
+            # later phases append to the same run's file
+            if getattr(self, "_lb_log", None) is None:
+                from imd_tpu.parallel.loadbalance import LbLog
+                self._lb_log = LbLog(self._path(cfg.outfiles + ".lb"),
+                                     append=cfg.simulation_phase > 1)
+            lb_log = self._lb_log
         sock = None
         if cfg.socket_int > 0:
             from imd_tpu.io import socket_io
@@ -2169,6 +2208,8 @@ class Simulation:
                         if has_vlat:
                             hand["vstate"] = prev_carry[3 + has_aux0]
                     self._handover = hand
+                    if sock is not None:
+                        sock.close()      # the general run rebinds it
                     try:
                         return self.run(steps=steps - done, block=block,
                                         on_interval=on_interval,
@@ -2275,12 +2316,66 @@ class Simulation:
                 # CLState leaf, so the compiled step keeps binning under
                 # the CURRENT planes with no retrace
                 from imd_tpu.parallel import loadbalance as lb
-                sc_lb = cl_to_scene(carry[0], template)
+                sc_pre = cl_to_scene(carry[0], template)
                 n_slabs = (self.mesh.shape["x"] if self.mesh is not None
                            else self.grid.dims[0])
                 if lb_log is not None:
-                    lb_log.write(gstep, lb.lb_variance(sc_lb, n_slabs))
-                sc_lb = lb.repartition_x(sc_lb)
+                    lb_log.write(gstep, lb.lb_variance(sc_pre, n_slabs))
+                sc_lb = lb.repartition_x(sc_pre)
+                if int(sc_lb.overflow) > 0:
+                    # a widened slab packed a cell past capacity: grow
+                    # the slot axis FROM THE PRE-LB STATE (the dropped
+                    # atoms only exist there), rebuild, redo the
+                    # repartition — alloc_cell never loses atoms
+                    from imd_tpu.scene import grow_capacity
+                    new_cap = ((self.grid.capacity + 15) // 8) * 8
+                    print("# LB overflow: growing capacity "
+                          f"{self.grid.capacity} -> {new_cap} and "
+                          "repartitioning again", flush=True)
+                    sc_pre = sc_pre.replace(
+                        overflow=jnp.zeros((), jnp.int32))
+                    grown = grow_capacity(sc_pre, new_cap)
+                    self.grid = grown.grid
+                    self.scene = grown
+                    self._select_engine()
+                    if new_cap > 32:
+                        # past the Pallas cap: continue on the general
+                        # engine with the evolved TTM/aux state (same
+                        # protocol as the in-loop overflow fallback)
+                        self.step_count += done
+                        hand = {}
+                        if ttm_on:
+                            hand["ttm_grid"] = carry[1]
+                            if has_colrad:
+                                hand["cstate"] = carry[3]
+                            elif has_fdtd:
+                                hand["fdtd"] = carry[3]
+                            if has_vlat:
+                                hand["vstate"] = carry[3 + has_aux0]
+                        self._handover = hand
+                        if sock is not None:
+                            sock.close()  # the general run rebinds it
+                        try:
+                            return self.run(steps=steps - done,
+                                            block=block,
+                                            on_interval=on_interval,
+                                            allow_fused=False)
+                        finally:
+                            self._handover = None
+                    template = grown
+                    carry, run_block, observe, filt_apply = build(
+                        template,
+                        carry[1] if ttm_on else None,
+                        self.step_count + done,
+                        cstate=(carry[3] if has_aux0 else None),
+                        vstate=(carry[3 + has_aux0]
+                                if has_vlat else None))
+                    sc_lb = lb.repartition_x(
+                        cl_to_scene(carry[0], template))
+                    if int(sc_lb.overflow) > 0:
+                        raise RuntimeError(
+                            "LB repartition still overflows after "
+                            "capacity growth")
                 cl_lb = scene_to_cl(sc_lb)
                 if ttm_on:
                     # per-slot FD indices are stale after the re-bin
@@ -2292,6 +2387,11 @@ class Simulation:
             scene, epot, ekin, virial, presstens = observe(carry[0])
             state = mk_state(scene, epot, ekin, virial, presstens,
                              self.step_count + done)
+        if sock is not None:
+            sock.close()
+        if lb_log is not None:
+            lb_log.close()
+            self._lb_log = None
         self.scene = state.scene
         self.step_count = int(state.step)
         timers.stop("total")

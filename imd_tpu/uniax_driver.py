@@ -47,6 +47,7 @@ def run_uniax(cfg, workdir: str = ".", dtype=None):
     if cfg.coordname.startswith("_"):
         pos, typ, box_diag = generate_atoms(cfg.coordname, cfg.box_param,
                                             cfg.box_unit, cfg.ntypes)
+        typ = np.asarray(typ, np.int64)
         ids = np.arange(len(pos))
         bx, by, bz = ([box_diag[0], 0, 0], [0, box_diag[1], 0],
                       [0, 0, box_diag[2]])
@@ -56,6 +57,7 @@ def run_uniax(cfg, workdir: str = ".", dtype=None):
         d = read_chkpt(os.path.join(workdir, cfg.coordname))
         order = np.argsort(d.number, kind="stable")
         pos, ids, mass = d.pos[order], d.number[order], d.mass[order]
+        typ = d.type[order]
         vel = d.vel[order]
         bx, by, bz = d.box_x, d.box_y, d.box_z
         if d.data.shape[1] >= 7:
@@ -134,7 +136,7 @@ def run_uniax(cfg, workdir: str = ".", dtype=None):
         write_chkpt(os.path.join(workdir,
                                  f"{cfg.outfiles}-final.chkpt"),
                     ChkptData(number=ids,
-                              type=np.zeros(n, np.int64),
+                              type=np.asarray(typ, np.int64),
                               mass=mass, pos=np.asarray(sys.pos),
                               vel=np.asarray(sys.mom) / m0,
                               data=data,

@@ -200,3 +200,41 @@ charge_update_steps 5
     eng = [ln.split() for ln in
            open(out + ".eng").read().strip().splitlines()[1:]]
     assert all(np.isfinite(float(r[1])) for r in eng)
+
+
+def test_coulomb_pallas_engine_respects_type_columns(tmp_path):
+    """The Pallas pair engine bakes only table column 0, so a multi-type
+    charge table must route its real-space part through the fast XLA
+    engine even when the main potential runs Pallas (q_a*q_b columns
+    carry the unlike-type ATTRACTION)."""
+    import jax.numpy as jnp
+
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    a = 5.64
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _nacl
+outfiles    {tmp_path}/x
+box_param   2 2 2
+box_unit    {a}
+ntypes      2
+masses      23.0 35.5
+ensemble    nve
+timestep    0.02
+maxsteps    2
+starttemp   0.005
+pbc_dirs    1 1 1
+lj_epsilon  0.01 0.01 0.01
+lj_sigma    2.3 2.3 2.3
+r_cut       5.0 5.0 5.0
+charge      1.0 -1.0
+ew_kappa    0.35
+ew_rcut     5.0
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64,
+                     engine="pallas")
+    assert sim.coulomb["engine"] == "fast"
+    res = sim._compute_forces(sim.scene)
+    # attraction dominates: the NaCl lattice is bound
+    assert float(jnp.sum(res.epot)) < -3.0 * 64
