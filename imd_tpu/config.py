@@ -598,7 +598,9 @@ class SimConfig:
     avpos_nwrites: int = 0
     avpos_npwrites: int = 0
     avpos_steps: int = 0
-    op_rcut: float = 0.0
+    # ORDPAR order parameter: per-type-pair [ntypes*ntypes] cutoffs and
+    # weights (imd_param.c:2737-2750); active when op_weight is set
+    op_rcut: Tuple[float, ...] = ()
     op_weight: Tuple[float, ...] = ()
     dsp_int: int = 0
     min_dsp2: float = 0.0

@@ -17,6 +17,11 @@ drive three per-atom "selected config" writers —
   |Epot − Epot_ref| exceeds ``min_dpot``, with Epot_ref captured at
   ``reset_Epot_step`` when ``calc_Epot_ref == 1`` (imd_main_3d.c:451,
   imd_io.c:1484/1617).
+- **EFILTER** (`.ef`): energy-filtered configurations — every
+  ``ef_checkpt_int`` steps (imd_main_3d.c:745) atoms whose per-type
+  potential energy lies in [``e_pot_lower[t]``, ``e_pot_upper[t]``]
+  (and inside the pic_ll/pic_ur window when pic_ur.x != 0) are written
+  in checkpoint column layout (`write_atoms_ef`, imd_io.c:727-790).
 
 TPU-native design: these are host-side observers fed from the
 flattened Scene at I/O boundaries — per-atom reference state (ort_ref,
@@ -46,10 +51,15 @@ def min_image(d, box_h, inv_h, pbc):
 
 
 def _header(f, kind: str, n_data: int, box_h, pbc):
-    f.write(f"#F A {'1 1 1' if kind == 'avp' else '0 1 0'} 3 0 {n_data}\n")
+    if kind == "ef":        # checkpoint layout: id/type/mass + pos + vel
+        f.write(f"#F A 1 1 1 3 3 {n_data}\n")
+    else:
+        f.write(f"#F A {'1 1 1' if kind == 'avp' else '0 1 0'} 3 0 "
+                f"{n_data}\n")
     cols = {"avp": "number type mass x y z Epot_av",
             "dsp": "type x y z dx dy dz",
-            "dem": "type x y z dpot"}[kind]
+            "dem": "type x y z dpot",
+            "ef": "number type mass x y z vx vy vz Epot"}[kind]
     f.write(f"#C {cols}\n")
     h = np.asarray(box_h, np.float64)
     f.write(f"#X \t{h[0, 0]:.16e} {h[0, 1]:.16e} {h[0, 2]:.16e}\n")
@@ -97,7 +107,8 @@ class SelectWriters:
     def wanted(cls, cfg) -> bool:
         """Does this config activate any host-side per-atom observer?"""
         return (cfg.avpos_int > 0 or cfg.dsp_int > 0 or cfg.dem_int > 0
-                or cfg.nmoldyn_int > 0 or cfg.dsf_int > 0)
+                or cfg.nmoldyn_int > 0 or cfg.dsf_int > 0
+                or cfg.ef_checkpt_int > 0)
 
     @property
     def avpos_on(self) -> bool:
@@ -112,8 +123,12 @@ class SelectWriters:
         return self.cfg.dem_int > 0
 
     @property
+    def ef_on(self) -> bool:
+        return self.cfg.ef_checkpt_int > 0
+
+    @property
     def active(self) -> bool:
-        return (self.avpos_on or self.dsp_on or self.dem_on
+        return (self.avpos_on or self.dsp_on or self.dem_on or self.ef_on
                 or self.nmol is not None or self.dsf is not None)
 
     def intervals(self):
@@ -134,6 +149,8 @@ class SelectWriters:
             out.append(c.dsp_int)
         if self.dem_on:
             out.append(c.dem_int)
+        if self.ef_on:
+            out.append(c.ef_checkpt_int)
         if self.nmol is not None:
             out.append(c.nmoldyn_int)
         if self.dsf is not None:
@@ -314,6 +331,10 @@ class SelectWriters:
         if (self.dem_on and gstep % c.dem_int == 0
                 and self.epot_ref is not None):
             self._write_dem(flat(), gstep)
+        # energy-filtered configs are numbered by step/interval
+        # (write_config_select(steps/ef_checkpt_int, ...), main_3d.c:745)
+        if self.ef_on and gstep % c.ef_checkpt_int == 0:
+            self._write_ef(flat(), gstep // c.ef_checkpt_int)
 
         # trajectory observers (imd_main_3d.c:783-787)
         if self.nmol is not None and gstep % c.nmoldyn_int == 0:
@@ -357,6 +378,32 @@ class SelectWriters:
                 p = f["pos"][k]
                 out.write(f"{int(f['vtype'][k])} {p[0]:e} {p[1]:e} "
                           f"{p[2]:e} {d[k, 0]:e} {d[k, 1]:e} {d[k, 2]:e}\n")
+
+    def _write_ef(self, f, nr: int):
+        """Energy-filtered config (write_atoms_ef, imd_io.c:727): atoms
+        with e_pot_lower[type] <= Epot <= e_pot_upper[type], optionally
+        clipped to the pic_ll/pic_ur window, in checkpoint columns."""
+        c = self.cfg
+        typ = f["type"].astype(int)
+        nt = max(int(typ.max(initial=0)) + 1, 1)
+        lo = np.full(nt, -np.inf)
+        hi = np.full(nt, np.inf)
+        lo[:len(c.e_pot_lower)] = c.e_pot_lower[:nt]
+        hi[:len(c.e_pot_upper)] = c.e_pot_upper[:nt]
+        sel = (f["epot"] >= lo[typ]) & (f["epot"] <= hi[typ])
+        if c.pic_ur[0] != 0.0:        # window clip, exactly io.c:735-741
+            p = f["pos"]
+            ll, ur = np.asarray(c.pic_ll), np.asarray(c.pic_ur)
+            sel &= np.all((p >= ll) & (p <= ur), axis=1)
+        vel = f["mom"] / f["mass"][:, None]
+        with open(self._path(f"{c.outfiles}.{nr}.ef"), "w") as out:
+            _header(out, "ef", 1, self.box_h, self.pbc)
+            for k in np.nonzero(sel)[0]:
+                p, v = f["pos"][k], vel[k]
+                out.write(f"{int(f['id'][k])} {int(f['vtype'][k])} "
+                          f"{f['mass'][k]:12f} {p[0]:12f} {p[1]:12f} "
+                          f"{p[2]:12f} {v[0]:12f} {v[1]:12f} {v[2]:12f} "
+                          f"{f['epot'][k]:12f}\n")
 
     def _write_dem(self, f, nr: int):
         ids = f["id"].astype(int)

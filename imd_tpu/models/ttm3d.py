@@ -51,6 +51,12 @@ class TTM3DParams(struct.PyTreeNode):
     const_gamma: float = struct.field(pytree_node=False, default=0.0)
     const_ce: float = struct.field(pytree_node=False, default=0.0)
     omega_laser: float = struct.field(pytree_node=False, default=0.0)
+    # DIRICHLET lateral heat bath (imd_ttm_3D.c:395-408, 1689-1708):
+    # outermost active cells at x-rows/y-columns with i >= this index see
+    # a room-temperature fixed-Te neighbor instead of the adiabatic
+    # mirror; -1 disables (dirichlet_surfx_int = round(surfx/fd_h.x),
+    # imd_ttm_3D.c:1183)
+    dirichlet_surfx_int: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def n_cells(self) -> int:
@@ -79,7 +85,8 @@ class TTM3DGrid(struct.PyTreeNode):
     cfl_overflow: jnp.ndarray
 
 
-def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32):
+def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32,
+                dirichlet_surfx: float = 0.0):
     heights = box.heights()
     dims = (cfg_ttm.fd_nx, cfg_ttm.fd_ny, cfg_ttm.fd_nz)
     fd_h = tuple(float(heights[a]) / dims[a] for a in range(3))
@@ -90,7 +97,9 @@ def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32):
         fd_min_atoms=cfg_ttm.fd_min_atoms,
         max_substeps=cfg_ttm.max_substeps, cfl_safety=cfg_ttm.cfl_safety,
         const_kappa=cfg_ttm.fd_k, const_gamma=cfg_ttm.fd_g,
-        const_ce=cfg_ttm.fd_c)
+        const_ce=cfg_ttm.fd_c,
+        dirichlet_surfx_int=(int(round(dirichlet_surfx / fd_h[0]))
+                             if dirichlet_surfx > 0 else -1))
 
 
 def make_grid(params: TTM3DParams, dtype=jnp.float32) -> TTM3DGrid:
@@ -277,12 +286,38 @@ def cfl_substeps(grid, params, dt, first_step):
     return jnp.minimum(sub, params.max_substeps), sub > params.max_substeps
 
 
+# DIRICHLET bath constants (imd_ttm_3D.c:1694-1706): room-temperature
+# electron bath Te = RT and its wide-range kappa(RT) in internal units
+DIRICHLET_TE = 0.025850926
+DIRICHLET_KAPPA = 1.933442e+01
+
+
+def _dirichlet_edges(act, params):
+    """Outermost-active-cell masks (imd_ttm_3D.c:397-405): per x-row the
+    min/max active y index, per y-column the max active x index —
+    generalized per-z-plane (the reference's arrays are z-independent
+    because its 3-D grid is a thin slab with nz == 1)."""
+    nx, ny, _ = params.dims
+    ii = jnp.arange(nx)[:, None, None]
+    jj = jnp.arange(ny)[None, :, None]
+    maxy = jnp.max(jnp.where(act, jj, -1), axis=1, keepdims=True)
+    miny = jnp.min(jnp.where(act, jj, ny + 1), axis=1, keepdims=True)
+    maxx = jnp.max(jnp.where(act, ii, -1), axis=0, keepdims=True)
+    past = ii >= params.dirichlet_surfx_int   # don't cool ablated matter
+    return (act & past & (jj == maxy),        # +y neighbor is the bath
+            act & past & (jj == miny),        # -y neighbor is the bath
+            act & past & (ii == maxx))        # +x neighbor is the bath
+
+
 def diff_step(grid, params, tau, substeps, laser_active):
     """6-neighbor conservative variable-kappa substep + coupling."""
     act = active_mask(grid, params)
     T = grid.temp
     k = grid.fd_k
     Ce = jnp.maximum(grid.Ce, 1e-30)
+    dirichlet = params.dirichlet_surfx_int >= 0
+    if dirichlet:
+        edge_py, edge_my, edge_px = _dirichlet_edges(act, params)
     lap = jnp.zeros_like(T)
     for ax in range(3):
         inv_dx2 = 1.0 / params.fd_h[ax] ** 2
@@ -292,6 +327,15 @@ def diff_step(grid, params, tau, substeps, laser_active):
             an = jnp.roll(act, off, ax)
             Tn = jnp.where(an, Tn, T)     # mirror at inactive neighbors
             kn = jnp.where(an, kn, k)
+            if dirichlet:
+                # room-temperature bath past the sample edge
+                # (imd_ttm_3D.c:1689-1708)
+                edge = (edge_py if (ax, off) == (1, -1)
+                        else edge_my if (ax, off) == (1, 1)
+                        else edge_px if (ax, off) == (0, -1) else None)
+                if edge is not None:
+                    Tn = jnp.where(edge, DIRICHLET_TE, Tn)
+                    kn = jnp.where(edge, DIRICHLET_KAPPA, kn)
             lap = lap + (k + kn) * 0.5 * (Tn - T) * inv_dx2
     dT = tau / Ce * (lap - grid.fd_g * (T - grid.md_temp) + grid.source)
     T2 = jnp.where(act, T + dT, T)

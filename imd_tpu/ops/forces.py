@@ -224,6 +224,74 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
                        presstens_atom=pt_atom if per_atom_stress else None)
 
 
+def compute_ordpar(scene: Scene, pot: PotTable, op_rcut, op_weight,
+                   ntypes: int = 1) -> jnp.ndarray:
+    """Per-atom order parameter (ORDPAR, imd_forces.c:195-198).
+
+    POTENG's ORDPAR variant: each half pair energy contributes
+    ``op_weight[col] * 0.5 * phi(r)`` to atom i only when
+    ``r2 < op_rcut[col]^2`` with ``col = t_i*ntypes + t_j`` (and the
+    transposed column for atom j) — the per-atom Epot column in config
+    outputs then holds this weighted short-range bond count instead
+    (imd_io.c:1305 ' ordpar type' header, 3283).  ``op_rcut`` and
+    ``op_weight`` are flat [ntypes*ntypes] type-pair tables
+    (imd_param.c:2737-2750 squares op_rcut on read).
+
+    Computed at I/O boundaries only (the reference recomputes it every
+    force call as a side effect; the total potential energy is
+    accumulated separately and is unchanged, imd_forces.c:184).
+    """
+    grid = scene.grid
+    dtype = scene.pos.dtype
+    pos, typ, mask = scene.pos, scene.type, scene.mask
+    cap = scene.capacity
+    rcut2 = jnp.asarray(grid.cutoff ** 2, dtype)
+    nt = ntypes
+    op_r2 = jnp.asarray(op_rcut, dtype) ** 2
+    op_w = jnp.asarray(op_weight, dtype)
+    op = jnp.zeros(pos.shape[:-1], dtype)
+
+    def block(off, self_cell):
+        nonlocal op
+        if self_cell:
+            npos, ntyp, nmask = pos, typ, mask
+            shift = jnp.zeros((1, 1, 1, 1, 3), dtype)
+            cell_ok = jnp.ones(pos.shape[:3] + (1,), bool)
+        else:
+            npos = _neighbor_view(grid, pos, off)
+            ntyp = _neighbor_view(grid, typ, off)
+            nmask = _neighbor_view(grid, mask, off)
+            shift, cell_ok = _wrap_shift_and_mask(grid, off, dtype)
+        dr = pos[..., :, None, :] - (npos[..., None, :, :]
+                                     + shift[..., None, :, :])
+        r2 = jnp.sum(dr * dr, axis=-1)
+        valid = (mask[..., :, None] & nmask[..., None, :]
+                 & cell_ok[..., None] & (r2 < rcut2))
+        if self_cell:
+            ii = jnp.arange(cap)
+            valid = valid & (ii[:, None] < ii[None, :])
+        ti = jnp.clip(typ[..., :, None], 0, nt - 1)
+        tj = jnp.clip(ntyp[..., None, :], 0, nt - 1)
+        col = ti * nt + tj            # i's column; j's is the transpose
+        colj = tj * nt + ti
+        phi, _ = _pair_terms(pot, nt, typ[..., :, None],
+                             ntyp[..., None, :], r2, valid)
+        half = 0.5 * phi
+        op_i = jnp.sum(jnp.where(valid & (r2 < op_r2[col]),
+                                 op_w[col] * half, 0.0), axis=-1)
+        op_j = jnp.sum(jnp.where(valid & (r2 < op_r2[colj]),
+                                 op_w[colj] * half, 0.0), axis=-2)
+        if self_cell:
+            op = op + op_i + op_j
+        else:
+            op = op + op_i + _reverse_roll(grid, op_j, off)
+
+    block((0, 0, 0), True)
+    for off in HALF_OFFSETS:
+        block(off, False)
+    return op * mask.astype(dtype)
+
+
 def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                        count_neighbors: bool = False,
                        neigh_r2: float = 0.0,

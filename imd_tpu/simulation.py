@@ -13,6 +13,7 @@ import dataclasses
 import math
 import os
 import time
+import warnings
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -517,8 +518,18 @@ class Simulation:
                 from imd_tpu.models import ttm as ttm_mod
             self.ttm_mod = ttm_mod
             self.cfg.ttm.enabled = True
+            kw = {}
+            if self.cfg.dirichlet_surfx > 0:
+                # lateral room-temperature bath (imd_ttm_3D.c only)
+                if self.ttm_3d:
+                    kw["dirichlet_surfx"] = self.cfg.dirichlet_surfx
+                else:
+                    warnings.warn("dirichlet_surfx needs the 3-D TTM grid "
+                                  "(ttmdimy/ttmdimz > 1); ignored on the "
+                                  "1-D grid (imd_ttm_3D.c:1689)")
             self.ttm_params = ttm_mod.make_params(self.cfg.ttm, self.box,
-                                                  self.cutoff, self.dtype)
+                                                  self.cutoff, self.dtype,
+                                                  **kw)
             # EOS: tabulated when the reference's EOS_*.txt tables are on
             # disk (the reference default, imd_ttm.c:1130-1135), FEG
             # closed-form otherwise
@@ -1862,7 +1873,7 @@ class Simulation:
                     nactive = float(integrate.count_active_dof(
                         state.scene, self._restrictions()))
             if sel is not None:
-                sel.step(state.scene, gstep)
+                sel.step(self._with_ordpar(state.scene), gstep)
             if cfg.lb_frequency > 0 and gstep % cfg.lb_frequency == 0:
                 # x-slab repartition (balanceLoad every lb_frequency,
                 # imd_main_3d.c:864-914) — moves grid.xbounds (a traced
@@ -2281,7 +2292,7 @@ class Simulation:
                                    f"{gstep // cfg.pic_int}.ppm"),
                         scene)
                 if sel_due:
-                    sel.step(scene, gstep)
+                    sel.step(self._with_ordpar(scene), gstep)
                 if on_interval is not None:
                     on_interval(self, state)
                 if (sock is not None and gstep % cfg.socket_int == 0):
@@ -2445,7 +2456,31 @@ class Simulation:
             extra=extra,
         )
 
+    def _ordpar_active(self) -> bool:
+        return bool(self.cfg.op_weight) and (
+            self.pair is not None or self.eam is not None)
+
+    def _with_ordpar(self, scene):
+        """ORDPAR: config outputs carry the weighted short-range order
+        parameter in the Epot column (imd_io.c:3283 'ordpar'; the
+        reference computes it as a POTENG side effect of every force
+        call, imd_forces.c:195-198 — here at I/O boundaries only, the
+        total potential energy in .eng is unchanged either way)."""
+        if not self._ordpar_active():
+            return scene
+        from imd_tpu.ops.forces import compute_ordpar
+        pot = self.pair if self.pair is not None else self.eam.pair
+        nt = max(int(self.cfg.ntypes), 1)
+        nn = nt * nt
+        w = (list(self.cfg.op_weight) + [0.0] * nn)[:nn]
+        rc = list(self.cfg.op_rcut) or [self.cutoff] * nn
+        rc = (rc + [rc[-1]] * nn)[:nn]
+        op = compute_ordpar(scene, pot, rc, w, ntypes=nt)
+        return scene.replace(epot=op)
+
     def write_checkpoint(self, state: SimState, fzhlr: int):
+        if self._ordpar_active():
+            state = state.replace(scene=self._with_ordpar(state.scene))
         flat = state.scene.flatten_atoms()
         mask = np.asarray(flat["mask"])
         mass = np.asarray(flat["mass"])[mask]
@@ -2469,6 +2504,11 @@ class Simulation:
             data = np.concatenate([data, oref, eref[:, None]], axis=1)
             columns = ("number type mass x y z vx vy vz Epot "
                        "x_ref y_ref z_ref Epot_ref").split()
+        if self._ordpar_active():
+            # the Epot column holds the order parameter (imd_io.c:3283)
+            if columns is None:
+                columns = "number type mass x y z vx vy vz Epot".split()
+            columns = ["ordpar" if c == "Epot" else c for c in columns]
         d = ChkptData(
             number=np.asarray(flat["id"])[mask],
             type=np.asarray(flat["vtype"])[mask],

@@ -192,3 +192,37 @@ def test_param_file_ttm3d_run(tmp_path):
     g2 = grid_from_ttm(out + ".1.ttm", tgrid)
     np.testing.assert_allclose(np.asarray(g2.temp), np.asarray(tgrid.temp),
                                rtol=1e-5)
+
+
+def test_dirichlet_lateral_bath():
+    """DIRICHLET room-temperature bath at the sample's lateral edges
+    (imd_ttm_3D.c:395-408 edge detection, 1689-1708 substitution): with
+    it the outermost active rows leak heat to the RT reservoir, without
+    it the mirror boundaries are adiabatic; cells before
+    dirichlet_surfx_int (the ablating front) are exempt."""
+    scene, params, eos = _setup()
+    params_d = params.replace(dirichlet_surfx_int=2)
+    grid = ttm3d.make_grid(params)
+    nn = _num_neighs(scene)
+    fdi0 = jnp.full(scene.pos.shape[:-1], -1, jnp.int32)
+    grid, fdi = ttm3d.calc_ttm(grid, scene, params, eos, nn, fdi0,
+                               2.0, 0.0, first_step=True)
+    hot = jnp.full_like(grid.temp, 1.0)
+    ne = ttm3d._ne(grid.replace(temp=hot), params)
+    grid = grid.replace(temp=hot, U=eos.u_from_te(grid.dens, ne, hot))
+
+    g_ad = ttm3d.diff_step(grid, params, 0.01, 1, False)
+    g_dir = ttm3d.diff_step(grid, params_d, 0.01, 1, False)
+    t_ad, t_dir = np.asarray(g_ad.temp), np.asarray(g_dir.temp)
+    # all cells active: edges are y=0, y=ny-1 (per x-row) and x=nx-1
+    # rows past surfx_int == 2 cool toward RT; the adiabatic run doesn't
+    assert t_dir[3, 0, 1] < t_ad[3, 0, 1] - 1e-6
+    assert t_dir[3, -1, 2] < t_ad[3, -1, 2] - 1e-6
+    assert t_dir[-1, 2, 2] < t_ad[-1, 2, 2] - 1e-6
+    # interior cells and rows before surfx_int are untouched
+    np.testing.assert_allclose(t_dir[3, 1:-1, :][:, :][1:-1],
+                               t_ad[3, 1:-1, :][1:-1], rtol=0, atol=1e-7)
+    np.testing.assert_allclose(t_dir[0, :, :], t_ad[0, :, :],
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(t_dir[1, :, :], t_ad[1, :, :],
+                               rtol=0, atol=1e-7)
