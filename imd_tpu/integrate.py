@@ -752,6 +752,36 @@ def maxwell(scene: Scene, temperature, key: jax.Array,
     return scene.replace(mom=p)
 
 
+def clone_sync(scene: Scene, nclones: int, n_groups: int) -> Scene:
+    """CLONE lockstep replicas (imd_integrate.c:118-132).
+
+    Before moving, every clone j = 1..nclones-1 takes its group
+    leader's force AND momentum, so clone groups follow identical
+    trajectories from their initial offsets (Maxwell init equalizes
+    velocities the same way, imd_maxwell.c:240-273).  The reference
+    identifies clones by consecutive storage order inside a cell; the
+    padded-cell layout has no stable order, so clones are identified by
+    atom id instead: group g = id // nclones, leader id % nclones == 0
+    (generate consecutive ids per clone stack, as the reference's
+    config files do).
+    """
+    shape = scene.pos.shape
+    m = int(shape[0] * shape[1] * shape[2] * shape[3])
+    ids = jnp.maximum(scene.id.reshape(m), 0)
+    alive = scene.mask.reshape(m)
+    group = ids // nclones
+    leader = alive & (ids % nclones == 0)
+
+    def sync(a):
+        flat = a.reshape(m, 3)
+        lead = jax.ops.segment_sum(
+            jnp.where(leader[:, None], flat, 0.0), group,
+            num_segments=n_groups)
+        return jnp.where(alive[:, None], lead[group], flat).reshape(shape)
+
+    return scene.replace(force=sync(scene.force), mom=sync(scene.mom))
+
+
 def count_active_dof(scene: Scene,
                      restrictions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """nactive: number of unrestricted degrees of freedom (imd_misc.c)."""

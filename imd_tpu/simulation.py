@@ -1026,6 +1026,10 @@ class Simulation:
         cfg = self.cfg
         nactive = integrate.count_active_dof(self.scene, self._restrictions())
         pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
+        nclones = max(int(cfg.nclones), 1)
+        if nclones > 1:
+            clone_ngroups = int(np.asarray(self.scene.id).max()) \
+                // nclones + 1
         bend = self._bend_static()
         rigid = self._rigid_tables()
 
@@ -1107,6 +1111,9 @@ class Simulation:
             nrb_mask = None
             if self.nrb_state is not None:
                 scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
+            if nclones > 1:
+                # CLONE lockstep replicas (imd_integrate.c:118-132)
+                scene = integrate.clone_sync(scene, nclones, clone_ngroups)
             temp = self._ramp_temperature(state.step)
             params = self.integrator_params(temp, state.step, rigid,
                                             fbc_offset=state.fbc_offset)
@@ -1482,6 +1489,8 @@ class Simulation:
                 return False
         if cfg.filter.enabled and cfg.filter.interval <= 0:
             return False
+        if cfg.nclones > 1:
+            return False             # CLONE syncs clones in the step
         if self.extpot0 is not None or cfg.shock_mode:
             return False
         if cfg.pdecay_mode or cfg.xipdecay:

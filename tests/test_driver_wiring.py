@@ -418,3 +418,30 @@ def test_efilter_and_ordpar(tmp_path):
     im = np.argsort(an[:, 0])
     assert np.all(np.abs(an[im, 9]) <= np.abs(a0[i0, 9]) + 1e-9)
     assert np.abs(an[im, 9]).mean() < np.abs(a0[i0, 9]).mean()
+
+
+def test_clone_lockstep(tmp_path):
+    """CLONE replicas (imd_integrate.c:118-132, imd_maxwell.c:240-273):
+    with nclones 2, each clone pair shares its leader's force and
+    momentum every step, so the intra-pair displacement is constant."""
+    sim, st = _run(tmp_path, "ensemble nve\nmaxsteps 10\nnclones 2\n",
+                   "clone")
+    flat = sim.scene.flatten_atoms()
+    mask = np.asarray(flat["mask"])
+    ids = np.asarray(flat["id"])[mask]
+    pos = np.asarray(flat["pos"])[mask]
+    order = np.argsort(ids)
+    pos = pos[order]
+    d_end = pos[1::2] - pos[0::2]
+    # initial offsets from a fresh generation of the same lattice
+    from imd_tpu.utils.generate import fcc
+    pos0, _, _ = fcc((6, 4, 4), 4.05)
+    d_0 = pos0[1::2] - pos0[0::2]
+    # constant up to box wrap: compare minimum-image
+    box = np.asarray(sim.box.h)
+    frac = (d_end - d_0) @ np.linalg.inv(box)
+    frac -= np.rint(frac)
+    dev = np.abs(frac @ box)
+    assert dev.max() < 1e-4, dev.max()
+    # and the clones genuinely moved (not frozen)
+    assert np.abs(pos[0::2] - pos0[0::2]).max() > 1e-4
