@@ -781,6 +781,10 @@ class SimConfig:
     colrad: bool = False
     colrad_maxz: int = 3
     colrad_nlev: int = 4
+    # MULTIPHOTON 2-/3-photon ionization channels (compile flag in the
+    # reference, default-off there too, imd_colrad.c:30); needs a wave
+    # solver's laser tags (lambda/I0/t_0/sigma_t) for the photon flux
+    colrad_mpi: bool = False
     # --- neighbor / cells -------------------------------------------------------
     nbl_margin: float = 0.4          # Verlet skin (A); reference default 0.4
     nbl_size: float = 1.1            # capacity growth factor
@@ -1038,6 +1042,7 @@ class SimConfig:
         c.colrad = bool(g("colrad", False))
         c.colrad_maxz = int(g("colrad_maxz", c.colrad_maxz))
         c.colrad_nlev = int(g("colrad_nlev", c.colrad_nlev))
+        c.colrad_mpi = bool(g("colrad_mpi", False))
         # neighbor / cells
         c.nbl_margin = float(g("nbl_margin", c.nbl_margin))
         c.nbl_size = float(g("nbl_size", c.nbl_size))

@@ -21,7 +21,8 @@ def _dims(grid):
     return shape if len(shape) == 3 else (shape[0], 1, 1)
 
 
-def write_ttm(path: str, grid, colrad_c=None, vlat=None) -> None:
+def write_ttm(path: str, grid, colrad_c=None, vlat=None,
+              colrad_p=None) -> None:
     """Write a TTM grid (host transfer) in the reference's layout.
 
     ``colrad_c`` [n, nlev]: COLRAD level populations appended as extra
@@ -56,6 +57,13 @@ def write_ttm(path: str, grid, colrad_c=None, vlat=None) -> None:
         for lev in range(cc.shape[1]):
             names.append(f"c{lev}")
             cols[f"c{lev}"] = cc[:, lev]
+    if colrad_p is not None:
+        # the reference's 5 COLRAD power columns (imd_ttm.c:1885-1897)
+        from imd_tpu.models.colrad import POWER_KEYS
+        pp = np.asarray(colrad_p).reshape(n, -1)
+        for k, key in enumerate(POWER_KEYS[:pp.shape[1]]):
+            names.append(key)
+            cols[key] = pp[:, k]
     with open(path, "w") as f:
         f.write("#" + " ".join(names) + "\n")
         for i in range(n):

@@ -220,12 +220,47 @@ def _debye_ipd(z_ion, ntot28, ne28, te_ev):
         14.3996 * fac     # e^2/(4 pi eps0) = 14.3996 eV*A
 
 
-def colrad_rhs(c, te_ev, ne, tab: ColradTables, use_ipd: bool = True):
+def mpi_constants(lambda_m: float) -> Tuple[float, float, float]:
+    """Host-side MULTIPHOTON prefactors for laser wavelength lambda_m.
+
+    Returns (hnu_ev, inv_nu, sig1ev2) with sig1ev2 = sigma_tmp * EV^2 so
+    the device computes the Kramers photoionization cross section as
+    sigma_1 = sig1ev2 * chi_eV^2 without f32 underflow (the raw
+    sigma_tmp formula, imd_colrad.c:1530, chains 1e-188-scale factors).
+    """
+    c_light = 299792458.0
+    eps0 = 8.8541878128e-12
+    echarge = 1.602176634e-19
+    nu = c_light / lambda_m
+    hnu_j = H_PLANCK * nu
+    # ordered so every float64 intermediate stays in range
+    sigma_tmp = (64.0 * math.pi ** 4 / (3.0 * math.sqrt(3.0))
+                 * (echarge * echarge / (4.0 * math.pi * eps0)) ** 5
+                 * EMASS / H_PLANCK ** 6 / c_light / nu ** 3
+                 / (13.6 * echarge) ** 2)
+    return hnu_j / EV, 1.0 / nu, sigma_tmp * EV * EV
+
+
+def colrad_rhs(c, te_ev, ne, tab: ColradTables, use_ipd: bool = True,
+               laser=None):
     """dc/dt, dne/dt, electron energy source P_e, all in N28 units
     (densities in 1e28/m^3, powers in eV N28/s; multiply by
     P_N28_TO_IMD for the TTM source).
 
     c [nlev] level densities (N28).
+
+    ``laser = (phi, hnu_ev, inv_nu, sig1ev2)`` adds the MULTIPHOTON
+    2-/3-photon ionization channels (imd_colrad.c:1934-1952 rate
+    application, 2710-2730 coefficients): sigma_1 Kramers cross section
+    at the IPD-depressed threshold, gated on 2hv >= chi (resp. 3hv),
+    with the excess photon energy heating the electrons.  ``phi`` is
+    the instantaneous photon flux I(t)/hv [1/m^2/s].  Deviation from
+    the reference, documented: its sigma_MPI_2 multiplies by (hv)^2/nu
+    where the standard lowest-order-perturbation form (and dimensional
+    consistency, rate in 1/s) requires k2 = (sigma_1 phi)^2 / nu and
+    k3 = (sigma_1 phi)^3 / (2 nu^2); the reference's own MULTIPHOTON
+    block is compile-disabled WIP with the local intensity hardwired to
+    zero (imd_colrad.c:1498), so there is no behavior to match.
     """
     ntot = jnp.sum(c)
     kexc = _interp_rates(tab.k_exc, tab.log_te, te_ev)
@@ -264,7 +299,29 @@ def colrad_rhs(c, te_ev, ne, tab: ColradTables, use_ipd: bool = True):
     dne = jnp.sum(kf - k3b - krad)
     p_ei = jnp.sum(-(kf - k3b) * chi_eff)            # ionization cools e-
     p_rr = jnp.sum(-krad * 1.5 * te_ev)              # radiated away
-    return dc, dne, p_ee + p_ei, dict(P_EE=p_ee, P_EI=p_ei, P_RR=p_rr)
+
+    p_mpi2 = p_mpi3 = jnp.zeros((), c.dtype)
+    if laser is not None:
+        phi, hnu_ev, inv_nu, sig1ev2 = laser
+        s1phi = sig1ev2 * chi_eff * chi_eff * phi      # sigma_1 * flux
+        base2 = s1phi * s1phi * inv_nu                 # [1/s]
+        k2 = jnp.where(2.0 * hnu_ev >= chi_eff, base2, 0.0)
+        k3 = jnp.where(3.0 * hnu_ev >= chi_eff,
+                       base2 * (s1phi * inv_nu) * 0.5, 0.0)
+        km2 = k2 * c[tab.ion_i]
+        km3 = k3 * c[tab.ion_i]
+        km = km2 + km3
+        dc = dc.at[tab.ion_i].add(-km)
+        dc = dc.at[tab.ion_j].add(km)
+        dne = dne + jnp.sum(km)
+        # excess photon energy above the (depressed) threshold heats
+        # the electrons (imd_colrad.c:1950-1952)
+        p_mpi2 = jnp.sum(km2 * (2.0 * hnu_ev - chi_eff))
+        p_mpi3 = jnp.sum(km3 * (3.0 * hnu_ev - chi_eff))
+
+    return (dc, dne, p_ee + p_ei + p_mpi2 + p_mpi3,
+            dict(P_EE=p_ee, P_EI=p_ei, P_RR=p_rr,
+                 P_MPI2=p_mpi2, P_MPI3=p_mpi3))
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +374,7 @@ def saha_init(st: States, ntot: float, te_ev: float,
 def make_colrad_step(tab: ColradTables, n_sub: int = 16,
                      newton_iters: int = 8, use_ipd: bool = True,
                      max_tries: int = 4096, rtol: float = 1e-6,
-                     evolve_te: bool = False):
+                     evolve_te: bool = False, mpi_const=None):
     """Returns step(c [.., nlev], te_ev [..], ne [..], dt_s[, ce]) ->
     (c', ne', P_e / te', diag) integrating the network over dt_s.
 
@@ -331,16 +388,22 @@ def make_colrad_step(tab: ColradTables, n_sub: int = 16,
     (like the reference's y[0], imd_colrad.c:189-278): dTe/dt = P_e/C_e
     with ``ce`` the per-cell electron heat capacity in IMD units
     (eV/(eV A^3)); the step then returns te' instead of P_e.
+
+    ``mpi_const = mpi_constants(lambda_m)`` arms the MULTIPHOTON
+    channels; the step then takes the instantaneous photon flux as the
+    trailing ``phi`` argument.
     """
     nlev = tab.n_lev
     # eV*N28/s -> eV/A^3/s
     p_to_a3 = N28 * 1e-30
 
-    def cell_step(c, te, ne, dt_s, ce):
+    def cell_step(c, te, ne, dt_s, ce, phi):
+        laser = None if mpi_const is None else (phi,) + tuple(mpi_const)
+
         def rhs(y):
             te_cur = y[nlev + 1] if evolve_te else te
             dc, dne, pe, _ = colrad_rhs(y[:nlev], te_cur, y[nlev], tab,
-                                        use_ipd)
+                                        use_ipd, laser)
             if evolve_te:
                 dte = pe * p_to_a3 / jnp.maximum(ce, 1e-12)
                 return jnp.concatenate([dc, dne[None], dte[None]])
@@ -392,19 +455,21 @@ def make_colrad_step(tab: ColradTables, n_sub: int = 16,
                          y0, jnp.zeros((), jnp.int32)))
         te_out = y1[nlev + 1] if evolve_te else te
         _, _, pe, diag = colrad_rhs(y1[:nlev], te_out, y1[nlev], tab,
-                                    use_ipd)
+                                    use_ipd, laser)
         third = te_out if evolve_te else pe
         return y1[:nlev] * N28, y1[nlev] * N28, third, diag
 
-    inner = jax.vmap(cell_step, in_axes=(0, 0, 0, None, 0))
+    inner = jax.vmap(cell_step, in_axes=(0, 0, 0, None, 0, None))
 
-    def step(c, te_ev, ne, dt_s, ce=None):
+    def step(c, te_ev, ne, dt_s, ce=None, phi=None):
         flat_c = c.reshape(-1, nlev)
         if ce is None:
             ce = jnp.ones_like(te_ev)
+        if phi is None:
+            phi = jnp.zeros((), te_ev.dtype)
         out_c, out_ne, third, diag = inner(flat_c, te_ev.reshape(-1),
                                            ne.reshape(-1), dt_s,
-                                           ce.reshape(-1))
+                                           ce.reshape(-1), phi)
         return (out_c.reshape(c.shape), out_ne.reshape(te_ev.shape),
                 third.reshape(te_ev.shape),
                 {k: v.reshape(te_ev.shape) for k, v in diag.items()})
@@ -416,18 +481,27 @@ def make_colrad_step(tab: ColradTables, n_sub: int = 16,
 # TTM-grid coupling (do_colrad, imd_colrad.c:123-290)
 # ---------------------------------------------------------------------------
 
+# power-density diagnostic column order (the reference's .ttm extra
+# COLRAD columns, imd_ttm.c:1885-1897)
+POWER_KEYS = ("P_EE", "P_EI", "P_MPI2", "P_MPI3", "P_RR")
+
+
 class ColradGridState(struct.PyTreeNode):
-    """Per-FD-cell level populations [nx, nlev] in 1/m^3."""
+    """Per-FD-cell level populations [nx, nlev] in 1/m^3, plus the last
+    step's power densities [nx, 5] (P_EE/P_EI/P_MPI2/P_MPI3/P_RR, IMD
+    units) for the .ttm output columns (imd_colrad.c:282-292)."""
     c: jnp.ndarray
+    p: Optional[jnp.ndarray] = None
 
 
 def init_grid_state(tab: ColradTables, nx: int,
                     dtype=jnp.float32) -> ColradGridState:
-    return ColradGridState(c=jnp.zeros((nx, tab.n_lev), dtype))
+    return ColradGridState(c=jnp.zeros((nx, tab.n_lev), dtype),
+                           p=jnp.zeros((nx, len(POWER_KEYS)), dtype))
 
 
 def apply_colrad(grid, cstate: ColradGridState, tab: ColradTables,
-                 params, step_fn, dt_imd):
+                 params, step_fn, dt_imd, phi=None):
     """One MD step of COLRAD kinetics on the TTM grid.
 
     Fresh active cells are seeded all-neutral-ground (the reference runs
@@ -449,14 +523,17 @@ def apply_colrad(grid, cstate: ColradGridState, tab: ColradTables,
     dt_s = dt_imd * _u.IMD_TIME_S
     c1, ne1, te1, diag = step_fn(c, jnp.maximum(grid.temp, 1e-3),
                                  jnp.maximum(ne0, 1e20), dt_s,
-                                 jnp.maximum(grid.Ce, 1e-8))
+                                 jnp.maximum(grid.Ce, 1e-8), phi)
     zbar = mean_charge(c1, tab)
     new_grid = grid.replace(
         temp=jnp.where(act, te1, grid.temp),
         ne=jnp.where(act, ne1, grid.ne),
         Z=jnp.where(act, zbar, grid.Z))
-    return new_grid, ColradGridState(c=jnp.where(act[:, None], c1,
-                                                 cstate.c)), diag
+    # power-density columns in IMD units (eV/A^3/time)
+    p = jnp.stack([jnp.where(act, diag[k] * P_N28_TO_IMD, 0.0)
+                   for k in POWER_KEYS], axis=-1).astype(cstate.c.dtype)
+    return new_grid, ColradGridState(
+        c=jnp.where(act[:, None], c1, cstate.c), p=p), diag
 
 
 def mean_charge(c, tab: ColradTables):

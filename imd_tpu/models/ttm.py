@@ -607,10 +607,14 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     cstate = None
     if colrad is not None:
         from imd_tpu.models import colrad as colrad_mod
-        tab, step_fn, cstate = colrad
+        tab, step_fn, cstate = colrad[:3]
+        # MULTIPHOTON photon flux at the step time (surface intensity;
+        # the reference's local-intensity plumbing is WIP, colrad.c:1498)
+        phi = (colrad[3](t * units.IMD_TIME_S)
+               if len(colrad) > 3 and colrad[3] is not None else None)
         grid = fill_mesh(grid, params, eos, False)  # Ce needed for dTe/dt
         grid, cstate, _ = colrad_mod.apply_colrad(grid, cstate, tab,
-                                                  params, step_fn, dt)
+                                                  params, step_fn, dt, phi)
     laser_active = jnp.asarray(False)
     if laser_cfg is not None and laser_cfg.sigma_e > 0:
         grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)

@@ -237,8 +237,9 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
     step(cl, tgrid, fdi, vs, k).  ``elecpress`` adds the electron
     blast-pressure x-force (do_electronic_pressure, imd_ttm.c:554),
     gathered per atom on the same one-hot matmul as xi.  ``colrad``
-    = (tables, step_fn) runs the collisional-radiative plasma kinetics
-    inside calc_ttm (do_colrad hook, imd_ttm.c:101-103) with a cstate
+    = (tables, step_fn[, phi_fn]) runs the collisional-radiative plasma
+    kinetics inside calc_ttm (do_colrad hook, imd_ttm.c:101-103; phi_fn
+    feeds the MULTIPHOTON photon flux) with a cstate
     carry element ordered BEFORE vstate:
     step(cl, tgrid, fdi[, cs][, vs], k).  ``fdtd_params`` (exclusive
     with tmm/colrad/vlat, like the driver) switches the schedule to
@@ -327,7 +328,8 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
                 nn.reshape(-1), fdi, dt, t, laser_cfg=laser_cfg,
                 first_step=(k == 0), tmm_params=tmm_params,
                 colrad=(None if colrad is None
-                        else (colrad[0], colrad[1], cs)),
+                        else (colrad[0], colrad[1], cs)
+                        + tuple(colrad[2:3])),
                 vlat=(None if vlat is None else (vlat[0], vs)))
             tgrid, fdi = out[0], out[1]
             j = 2

@@ -580,14 +580,38 @@ class Simulation:
             st = colrad_mod.aluminium_states(self.cfg.colrad_maxz,
                                              self.cfg.colrad_nlev)
             self.colrad_tab = colrad_mod.build_tables(st)
+            # MULTIPHOTON channels: photon flux phi(t) = I(t)/hv from the
+            # wave solver's pulse tags (the reference's local-intensity
+            # plumbing is WIP, imd_colrad.c:1498 — surface intensity here)
+            mpi_const = None
+            self.colrad_phi = None
+            if self.cfg.colrad_mpi:
+                pulse = (self.cfg.tmm if self.cfg.tmm.enabled
+                         else self.cfg.fdtd if self.cfg.fdtd.enabled
+                         else None)
+                if pulse is None or pulse.I0 <= 0:
+                    warnings.warn("colrad_mpi needs a wave-solver laser "
+                                  "(lambda/I0/laser_t_0/laser_sigma_t); "
+                                  "multiphoton channels disabled")
+                else:
+                    mpi_const = colrad_mod.mpi_constants(pulse.lambda_m)
+                    inv_hnu_j = 1.0 / (mpi_const[0] * 1.602176634e-19)
+                    i0, t0, sg = pulse.I0, pulse.t0_s, pulse.sigma_t_s
+                    s2 = max(sg, 1e-300) ** 2
+
+                    def _phi(t_si, i0=i0, t0=t0, s2=s2, ih=inv_hnu_j):
+                        # same envelope as tmm.intensity (imd_tmm.c:197)
+                        return i0 * jnp.exp(-(t_si - t0) ** 2 / s2) * ih
+                    self.colrad_phi = _phi
             # evolve_te=True is REQUIRED through apply_colrad: the step's
             # third output is written into grid.temp (imd_colrad.c:277)
             self.colrad_step = colrad_mod.make_colrad_step(
-                self.colrad_tab, evolve_te=True)
+                self.colrad_tab, evolve_te=True, mpi_const=mpi_const)
         else:
             self.colrad_mod = None
             self.colrad_tab = None
             self.colrad_step = None
+            self.colrad_phi = None
         # VLATTICE continuum tail (vlatdim tag; imd_ttm.c:41-59)
         if (self.cfg.ttm.enabled and self.cfg.ttm.vlatdim > 0
                 and not self.ttm_3d):
@@ -1152,7 +1176,7 @@ class Simulation:
                         "tmm_params": self.tmm_params}
                     if self.colrad_tab is not None:
                         kw["colrad"] = (self.colrad_tab, self.colrad_step,
-                                        state.cstate)
+                                        state.cstate, self.colrad_phi)
                     if self.vlat_params is not None:
                         kw["vlat"] = (self.vlat_params, state.vstate)
                     out = ttm_mod.calc_ttm(
@@ -1819,9 +1843,12 @@ class Simulation:
             if (cfg.ttm.enabled and cfg.ttm_int > 0
                     and gstep % cfg.ttm_int == 0):
                 from imd_tpu.io.ttm_io import write_ttm
+                cs = state.cstate
                 write_ttm(self._path(
                     f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
-                    state.ttm_grid)
+                    state.ttm_grid,
+                    colrad_c=cs.c if cs is not None else None,
+                    colrad_p=cs.p if cs is not None else None)
             if cfg.dist_int > 0 and gstep % cfg.dist_int == 0:
                 # binned-field snapshot (write_distrib, imd_distrib.c:33)
                 from imd_tpu.io.distrib import compute_distrib, write_distrib
@@ -2087,7 +2114,8 @@ class Simulation:
                     vlat=((self.vlat_params, self.vlat_state0)
                           if has_vlat else None),
                     elecpress=bool(cfg.ttm.elecpress),
-                    colrad=((self.colrad_tab, self.colrad_step)
+                    colrad=((self.colrad_tab, self.colrad_step,
+                             self.colrad_phi)
                             if has_colrad else None),
                     fdtd_params=self.fdtd_params)
                 fdi = -jnp.ones(cl.mass.size, jnp.int32)
@@ -2276,9 +2304,12 @@ class Simulation:
                 if (ttm_on and cfg.ttm_int > 0
                         and gstep % cfg.ttm_int == 0):
                     from imd_tpu.io.ttm_io import write_ttm
+                    cs = state.cstate
                     write_ttm(self._path(
                         f"{cfg.outfiles}.{gstep // cfg.ttm_int}.ttm"),
-                        state.ttm_grid)
+                        state.ttm_grid,
+                        colrad_c=cs.c if cs is not None else None,
+                        colrad_p=cs.p if cs is not None else None)
                 if cfg.dist_int > 0 and gstep % cfg.dist_int == 0:
                     from imd_tpu.io.distrib import (compute_distrib,
                                                     write_distrib)
@@ -2545,6 +2576,8 @@ class Simulation:
             from imd_tpu.io.ttm_io import write_ttm, write_ttm_aux
             write_ttm(base + ".ttm", state.ttm_grid,
                       colrad_c=(state.cstate.c if state.cstate is not None
+                                else None),
+                      colrad_p=(state.cstate.p if state.cstate is not None
                                 else None),
                       vlat=state.vstate)
             if state.fdtd is not None or state.vstate is not None:

@@ -121,3 +121,62 @@ def test_energy_bookkeeping_signs(setup):
                                      use_ipd=False)
     assert float(dne) > 0          # ionizing
     assert float(diag["P_EI"]) < 0  # costs energy
+
+
+def test_multiphoton_channels():
+    """MULTIPHOTON 2-/3-photon ionization (imd_colrad.c:1934-1952 rate
+    application, 2710-2730 gating; rate form made dimensionally
+    consistent — see the colrad_rhs docstring)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from imd_tpu.models import colrad as cr
+
+    st = cr.aluminium_states(2, 4)
+    tab = cr.build_tables(st)
+    hnu, inv_nu, sig1ev2 = cr.mpi_constants(800e-9)
+    assert 1.4 < hnu < 1.7              # 800 nm photon
+    assert sig1ev2 > 0 and inv_nu > 0
+
+    # some population everywhere, cold electrons (collisional rates tiny)
+    nlev = tab.n_lev
+    c = jnp.full((nlev,), 0.5)          # N28 units
+    te, ne = jnp.asarray(0.05), jnp.asarray(0.01)
+    phi_hot = jnp.asarray(1e17 / (hnu * 1.602e-19))   # I=1e17 W/m^2
+
+    dc0, dne0, pe0, d0 = cr.colrad_rhs(c, te, ne, tab, use_ipd=False)
+    las = (phi_hot, hnu, inv_nu, sig1ev2)
+    dc1, dne1, pe1, d1 = cr.colrad_rhs(c, te, ne, tab, use_ipd=False,
+                                       laser=las)
+    # at least one ionization threshold is within 3 photons
+    chi = np.asarray(tab.ion_chi)
+    assert (chi <= 3 * hnu).any()
+    # photoionization adds electrons and heats them
+    assert float(dne1) > float(dne0)
+    assert float(d1["P_MPI2"] + d1["P_MPI3"]) > 0
+    assert float(d0["P_MPI2"]) == 0 and float(d0["P_MPI3"]) == 0
+    # zero flux == no laser
+    dc2, dne2, pe2, d2 = cr.colrad_rhs(
+        c, te, ne, tab, use_ipd=False,
+        laser=(jnp.zeros(()), hnu, inv_nu, sig1ev2))
+    np.testing.assert_allclose(np.asarray(dc2), np.asarray(dc0), rtol=1e-6)
+    # unreachable thresholds (tiny photon) -> channels closed
+    dc3, dne3, _, d3 = cr.colrad_rhs(
+        c, te, ne, tab, use_ipd=False,
+        laser=(phi_hot, 1e-3, inv_nu, sig1ev2))
+    assert float(d3["P_MPI2"]) == 0 and float(d3["P_MPI3"]) == 0
+
+    # the stepper threads phi and reports the power columns
+    step = cr.make_colrad_step(tab, evolve_te=True,
+                               mpi_const=(hnu, inv_nu, sig1ev2))
+    cc = jnp.tile(c * 1e28, (4, 1))
+    te_g = jnp.full((4,), 0.05)
+    ne_g = jnp.full((4,), 1e26)
+    c1, ne1g, te1, diag = step(cc, te_g, ne_g, 1e-15,
+                               jnp.full((4,), 1.0), phi_hot)
+    assert np.isfinite(np.asarray(c1)).all()
+    assert float(jnp.max(diag["P_MPI2"] + diag["P_MPI3"])) > 0
+    # vs the same step without the MPI channels: photoionization leaves
+    # MORE free electrons (recombination still runs in both)
+    step0 = cr.make_colrad_step(tab, evolve_te=True)
+    _, ne0g, _, _ = step0(cc, te_g, ne_g, 1e-15, jnp.full((4,), 1.0))
+    assert float(jnp.min(ne1g)) > float(jnp.max(ne0g))

@@ -445,3 +445,22 @@ def test_clone_lockstep(tmp_path):
     assert dev.max() < 1e-4, dev.max()
     # and the clones genuinely moved (not frozen)
     assert np.abs(pos[0::2] - pos0[0::2]).max() > 1e-4
+
+
+def test_colrad_mpi_and_ttm_power_columns(tmp_path):
+    """colrad_mpi arms the MULTIPHOTON channels off the TMM pulse tags;
+    periodic .ttm output carries the reference's COLRAD power columns
+    (P_EE/P_EI/P_MPI2/P_MPI3/P_RR, imd_ttm.c:1885-1897)."""
+    sim, st = _run(tmp_path, TTM +
+                   "colrad\ncolrad_mpi 1\nttm_int 4\ntmm\n"
+                   "lambda 800e-9\nI0 1e17\nlaser_t_0 1e-14\n"
+                   "laser_sigma_t 2e-14\n", "cmpi")
+    assert sim.colrad_phi is not None
+    assert st.cstate is not None and st.cstate.p is not None
+    header = (tmp_path / "cmpi.1.ttm").read_text().splitlines()[0]
+    for col in ("P_EE", "P_EI", "P_MPI2", "P_MPI3", "P_RR"):
+        assert col in header, header
+    p = np.asarray(st.cstate.p)
+    assert np.isfinite(p).all()
+    # the pulse peaks inside the 4-step window: photo-heating registered
+    assert p[:, 2].max() + p[:, 3].max() > 0
