@@ -752,7 +752,8 @@ def maxwell(scene: Scene, temperature, key: jax.Array,
     return scene.replace(mom=p)
 
 
-def clone_sync(scene: Scene, nclones: int, n_groups: int) -> Scene:
+def clone_sync(scene: Scene, nclones: int, n_groups: int,
+               id_base: int = 0) -> Scene:
     """CLONE lockstep replicas (imd_integrate.c:118-132).
 
     Before moving, every clone j = 1..nclones-1 takes its group
@@ -761,23 +762,34 @@ def clone_sync(scene: Scene, nclones: int, n_groups: int) -> Scene:
     velocities the same way, imd_maxwell.c:240-273).  The reference
     identifies clones by consecutive storage order inside a cell; the
     padded-cell layout has no stable order, so clones are identified by
-    atom id instead: group g = id // nclones, leader id % nclones == 0
-    (generate consecutive ids per clone stack, as the reference's
-    config files do).
+    atom id instead: group g = (id - id_base) // nclones, leader
+    (id - id_base) % nclones == 0 (generate consecutive ids per clone
+    stack, as the reference's config files do).  ``id_base`` is the
+    smallest atom id, so 1-based checkpoint numbering pairs the same
+    stacks as 0-based.  An atom whose group has no alive leader (the
+    leader was FILTERed away, or ids aren't consecutive) keeps its own
+    force/momentum instead of being silently zeroed.
     """
     shape = scene.pos.shape
     m = int(shape[0] * shape[1] * shape[2] * shape[3])
-    ids = jnp.maximum(scene.id.reshape(m), 0)
+    ids = jnp.maximum(scene.id.reshape(m) - id_base, 0)
     alive = scene.mask.reshape(m)
-    group = ids // nclones
-    leader = alive & (ids % nclones == 0)
+    group = jnp.clip(ids // nclones, 0, n_groups - 1)
+    # EPITAX-inserted atoms past the groups sized at build time have no
+    # leader of their own; never borrow the clamped last group's
+    in_range = ids // nclones < n_groups
+    leader = alive & in_range & (ids % nclones == 0)
+    # per-group alive-leader indicator: groups without one keep self
+    has_lead = jax.ops.segment_sum(
+        leader.astype(scene.pos.dtype), group, num_segments=n_groups)
 
     def sync(a):
         flat = a.reshape(m, 3)
         lead = jax.ops.segment_sum(
             jnp.where(leader[:, None], flat, 0.0), group,
             num_segments=n_groups)
-        return jnp.where(alive[:, None], lead[group], flat).reshape(shape)
+        take = alive & in_range & (has_lead[group] > 0)
+        return jnp.where(take[:, None], lead[group], flat).reshape(shape)
 
     return scene.replace(force=sync(scene.force), mom=sync(scene.mom))
 

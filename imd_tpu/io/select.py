@@ -279,6 +279,33 @@ class SelectWriters:
         self.av_epot[ids] += f["epot"]
         self.av_cnt += 1
 
+    def needs_epot(self, gstep: int) -> bool:
+        """Does any observer firing at ``gstep`` read the epot column?
+
+        Mirrors step()'s cadence logic for the epot consumers (AVPOS
+        accumulation, .dem, .ef, the Epot-reference capture) so the
+        driver can skip the ORDPAR pair sweep at boundaries where only
+        position-based observers (.dsp/nmoldyn/dsf) fire."""
+        c = self.cfg
+        if (self.dem_on and c.calc_Epot_ref
+                and gstep == int(c.reset_Epot_step)):
+            return True
+        if self.dem_on and gstep % c.dem_int == 0:
+            return True
+        if self.ef_on and gstep % c.ef_checkpt_int == 0:
+            return True
+        if self.avpos_on:
+            if gstep == int(c.avpos_start):
+                return True
+            in_win = (gstep > c.avpos_start
+                      and (c.avpos_end <= 0 or gstep <= c.avpos_end))
+            if in_win:
+                res = c.avpos_res if c.avpos_res > 0 else c.avpos_int
+                if ((gstep - c.avpos_start) % res == 0
+                        or (gstep - c.avpos_start) % c.avpos_int == 0):
+                    return True
+        return False
+
     def step(self, scene, gstep: int):
         """Fire every observer whose cadence matches ``gstep``."""
         if not self.active:

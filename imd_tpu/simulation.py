@@ -598,10 +598,18 @@ class Simulation:
                     inv_hnu_j = 1.0 / (mpi_const[0] * 1.602176634e-19)
                     i0, t0, sg = pulse.I0, pulse.t0_s, pulse.sigma_t_s
                     s2 = max(sg, 1e-300) ** 2
+                    # second pulse of the Gaussian double pulse
+                    # (TMM tags laser_t_1/laser_sigma_t1; FDTD has none)
+                    t1 = getattr(pulse, "t1_s", 0.0)
+                    s21 = getattr(pulse, "sigma_t1_s", 0.0) ** 2
 
-                    def _phi(t_si, i0=i0, t0=t0, s2=s2, ih=inv_hnu_j):
-                        # same envelope as tmm.intensity (imd_tmm.c:197)
-                        return i0 * jnp.exp(-(t_si - t0) ** 2 / s2) * ih
+                    def _phi(t_si, i0=i0, t0=t0, s2=s2, t1=t1, s21=s21,
+                             ih=inv_hnu_j):
+                        # same envelope as tmm.intensity (imd_tmm.c:197-198)
+                        it = i0 * jnp.exp(-(t_si - t0) ** 2 / s2)
+                        if s21 > 0.0:
+                            it = it + i0 * jnp.exp(-(t_si - t1) ** 2 / s21)
+                        return it * ih
                     self.colrad_phi = _phi
             # evolve_te=True is REQUIRED through apply_colrad: the step's
             # third output is written into grid.temp (imd_colrad.c:277)
@@ -1052,7 +1060,10 @@ class Simulation:
         pdecay = cfg.pdecay_mode > 0 or cfg.xipdecay > 0
         nclones = max(int(cfg.nclones), 1)
         if nclones > 1:
-            clone_ngroups = int(np.asarray(self.scene.id).max()) \
+            ids_h = np.asarray(self.scene.id)
+            alive_h = np.asarray(self.scene.mask)
+            clone_id_base = int(ids_h[alive_h].min()) if alive_h.any() else 0
+            clone_ngroups = (int(ids_h[alive_h].max()) - clone_id_base) \
                 // nclones + 1
         bend = self._bend_static()
         rigid = self._rigid_tables()
@@ -1137,7 +1148,8 @@ class Simulation:
                 scene, nrb_mask = nrb_mod.nrb_forces(scene, self.nrb_state)
             if nclones > 1:
                 # CLONE lockstep replicas (imd_integrate.c:118-132)
-                scene = integrate.clone_sync(scene, nclones, clone_ngroups)
+                scene = integrate.clone_sync(scene, nclones, clone_ngroups,
+                                             clone_id_base)
             temp = self._ramp_temperature(state.step)
             params = self.integrator_params(temp, state.step, rigid,
                                             fbc_offset=state.fbc_offset)
@@ -1909,7 +1921,9 @@ class Simulation:
                     nactive = float(integrate.count_active_dof(
                         state.scene, self._restrictions()))
             if sel is not None:
-                sel.step(self._with_ordpar(state.scene), gstep)
+                # ORDPAR sweep only when an epot-consuming observer fires
+                sel.step(self._with_ordpar(state.scene)
+                         if sel.needs_epot(gstep) else state.scene, gstep)
             if cfg.lb_frequency > 0 and gstep % cfg.lb_frequency == 0:
                 # x-slab repartition (balanceLoad every lb_frequency,
                 # imd_main_3d.c:864-914) — moves grid.xbounds (a traced
@@ -2332,7 +2346,8 @@ class Simulation:
                                    f"{gstep // cfg.pic_int}.ppm"),
                         scene)
                 if sel_due:
-                    sel.step(self._with_ordpar(scene), gstep)
+                    sel.step(self._with_ordpar(scene)
+                             if sel.needs_epot(gstep) else scene, gstep)
                 if on_interval is not None:
                     on_interval(self, state)
                 if (sock is not None and gstep % cfg.socket_int == 0):

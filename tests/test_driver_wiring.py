@@ -464,3 +464,49 @@ def test_colrad_mpi_and_ttm_power_columns(tmp_path):
     assert np.isfinite(p).all()
     # the pulse peaks inside the 4-step window: photo-heating registered
     assert p[:, 2].max() + p[:, 3].max() > 0
+
+
+def test_colrad_mpi_double_pulse_flux(tmp_path):
+    """The MULTIPHOTON photon flux carries BOTH pulses of the TMM
+    Gaussian double pulse (tmm.intensity, imd_tmm.c:197-198)."""
+    p = tmp_path / "dp.imd"
+    p.write_text(BASE.format(out=str(tmp_path / "dp")) + TTM +
+                 "maxsteps 0\ncolrad\ncolrad_mpi 1\nttm_int 0\ntmm\n"
+                 "lambda 800e-9\nI0 1e17\nlaser_t_0 1e-14\n"
+                 "laser_sigma_t 2e-15\n"
+                 "laser_t_1 5e-14\nlaser_sigma_t1 2e-15\n")
+    sim = Simulation.from_param_file(str(p), engine="xla")
+    phi = sim.colrad_phi
+    assert phi is not None
+    hv = 1.549 * 1.602e-19          # 800 nm photon energy (J)
+    peak = 1e17 / hv
+    # flux peaks at BOTH pulse centers, and dies between them
+    assert float(phi(1e-14)) == pytest.approx(peak, rel=1e-2)
+    assert float(phi(5e-14)) == pytest.approx(peak, rel=1e-2)
+    assert float(phi(3e-14)) < 1e-4 * peak
+
+
+def test_select_needs_epot_gating():
+    """needs_epot mirrors step()'s cadences: position-only boundaries
+    (.dsp/nmoldyn) skip the ORDPAR sweep; epot consumers (.ef/.dem/
+    AVPOS) don't."""
+    from imd_tpu.config import SimConfig
+    from imd_tpu.io.select import SelectWriters
+    cfg = SimConfig()
+    cfg.dsp_int = 5
+    cfg.ef_checkpt_int = 8
+    box = np.eye(3) * 10.0
+    sel = SelectWriters(cfg, box, (1, 1, 1), lambda s: s)
+    assert not sel.needs_epot(5)      # dsp only: positions
+    assert sel.needs_epot(8)          # ef: epot consumer
+    assert sel.needs_epot(40)         # both
+    assert not sel.needs_epot(3)
+    cfg2 = SimConfig()
+    cfg2.avpos_int = 10
+    cfg2.avpos_start = 0
+    sel2 = SelectWriters(cfg2, box, (1, 1, 1), lambda s: s)
+    assert sel2.needs_epot(10) and sel2.needs_epot(20)
+    cfg3 = SimConfig()
+    cfg3.nmoldyn_int = 4
+    sel3 = SelectWriters(cfg3, box, (1, 1, 1), lambda s: s)
+    assert not sel3.needs_epot(4)     # trajectory only

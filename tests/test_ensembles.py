@@ -180,3 +180,49 @@ def test_shock_init_and_mirrors():
     assert xs2.min() >= 0.1 - 1e-9    # nothing left of the piston plane
     px2 = np.asarray(sm.mom[..., 0])[np.asarray(sm.mask)]
     assert (px2[xs2 < 0.5] > 0).all()  # bounced forward with piston boost
+
+
+def test_clone_sync_one_based_ids_and_missing_leader():
+    """clone_sync pairs stacks by id relative to the smallest id (1-based
+    checkpoint numbering must behave like 0-based), and a group without
+    an alive leader keeps its own force/momentum instead of being zeroed
+    (imd_integrate.c:118-132)."""
+    scene = _crystal()
+    key = jax.random.PRNGKey(3)
+    kf, km = jax.random.split(key)
+    scene = scene.replace(
+        force=jax.random.normal(kf, scene.pos.shape, scene.pos.dtype),
+        mom=jax.random.normal(km, scene.pos.shape, scene.pos.dtype),
+        id=jnp.where(scene.mask, scene.id + 1, scene.id))  # 1-based
+
+    ids_h = np.asarray(scene.id)
+    alive = np.asarray(scene.mask)
+    base = int(ids_h[alive].min())
+    assert base == 1
+    ngroups = (int(ids_h[alive].max()) - base) // 2 + 1
+
+    out = integrate.clone_sync(scene, 2, ngroups, id_base=base)
+    of = np.asarray(out.force)[alive]
+    om = np.asarray(out.mom)[alive]
+    ids = ids_h[alive] - base
+    order = np.argsort(ids)
+    of, om = of[order], om[order]
+    # every clone matches its leader exactly
+    np.testing.assert_array_equal(of[1::2], of[0::2])
+    np.testing.assert_array_equal(om[1::2], om[0::2])
+    # leaders kept their own values
+    f0 = np.asarray(scene.force)[alive][order]
+    np.testing.assert_array_equal(of[0::2], f0[0::2])
+
+    # kill one leader (type -1 = dead slot): its partner must keep its
+    # own force, not get zeros
+    lead_id = base  # group 0's leader
+    dead = scene.replace(
+        type=jnp.where(scene.id == lead_id, -1, scene.type))
+    out2 = integrate.clone_sync(dead, 2, ngroups, id_base=base)
+    a2 = np.asarray(dead.mask)
+    sel = np.asarray(dead.id)[a2] == base + 1   # the orphaned clone
+    np.testing.assert_array_equal(
+        np.asarray(out2.force)[a2][sel],
+        np.asarray(dead.force)[a2][sel])
+    assert np.abs(np.asarray(out2.force)[a2][sel]).max() > 0
