@@ -724,10 +724,20 @@ class SimConfig:
     erfc_file: str = ""
     extpot_file: str = ""
     fix_bks: int = 0
-    nb_rcut: float = 0.0
+    nb_rcut: Tuple[float, ...] = ()    # [ntypes*ntypes] coordination cutoffs
     nb_checkpt_int: int = 0
     nb_cut_lower: Tuple[float, ...] = ()
     nb_cut_upper: Tuple[float, ...] = ()
+    # runtime switches for reference compile-time output flags:
+    # NORHOH (omit eam_rho chkpt column, imd_io.c:3219), HPO (%.16e
+    # output formats, imd_io.c:2297), RELAXINFO (delta_epot/xnorm/xmax
+    # .eng columns, imd_io.c:2454), GETMIN/GETSADDLE (write min*/saddle*
+    # configs at PxF sign crossings, imd_main_3d.c:508-522)
+    norhoh: int = 0
+    hpo: int = 0
+    relaxinfo: int = 0
+    getmin: int = 0
+    getsaddle: int = 0
     ef_checkpt_int: int = 0
     ep_max_int: int = 0
     force_int: int = 0

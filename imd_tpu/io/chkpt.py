@@ -160,7 +160,10 @@ def data_column(d: "ChkptData", name: str):
 
 
 def write_chkpt(path: str, d: ChkptData, binary: bool = False,
-                double: bool = False, comment: str = ""):
+                double: bool = False, comment: str = "",
+                precision: int = 12):
+    """``precision`` is the ASCII significant-digit count (the HPO
+    compile flag's %.16e formats, imd_io.c:2297 -> precision=17)."""
     n_data = d.data.shape[1] if d.data.ndim == 2 else 1
     # reshape(n, -1) cannot infer the column count when n == 0 (a FILTER
     # run may legitimately have deleted every atom)
@@ -201,14 +204,15 @@ def write_chkpt(path: str, d: ChkptData, binary: bool = False,
                                     d.type.astype(np.float64), d.mass,
                                     d.pos, d.vel, data])
             from imd_tpu import native
-            blob = native.format_table(body, int_cols=2, precision=12)
+            blob = native.format_table(body, int_cols=2, precision=precision)
             if blob is not None:
                 f.write(blob)
             else:
+                fmt = "%%.%dg" % precision
                 lines = []
                 for row in body:
                     lines.append("%d %d " % (int(row[0]), int(row[1])) +
-                                 " ".join("%.12g" % v for v in row[2:]))
+                                 " ".join(fmt % v for v in row[2:]))
                 f.write(("\n".join(lines) + "\n").encode())
 
 

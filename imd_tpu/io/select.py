@@ -446,3 +446,77 @@ class SelectWriters:
                 p = f["pos"][k]
                 out.write(f"{int(f['vtype'][k])} {p[0]:e} {p[1]:e} "
                           f"{p[2]:e} {dpot[k]:e}\n")
+
+
+# ---------------------------------------------------------------------------
+# standalone selected-config writers driven directly from the run loops
+# (they need per-fire data — forces, coordination counts — that the
+# SelectWriters cadence machinery doesn't carry)
+# ---------------------------------------------------------------------------
+
+def write_wf(path, flat, box_h, pbc, force_all: bool = False):
+    """WRITEF `.wf` file (write_atoms_wf, imd_io.c:944-1046): forces of
+    boundary (vtype != type) atoms — or all atoms when ``force_all`` —
+    in `number type mass x y z fx fy fz Epot` columns."""
+    typ = flat["type"].astype(int)
+    vty = flat["vtype"].astype(int)
+    sel = np.ones(len(typ), bool) if force_all else (typ != vty)
+    with open(path, "w") as out:
+        out.write("#F A 1 1 1 3 3 1\n")
+        out.write("#C number type mass x y z fx fy fz Epot\n")
+        h = np.asarray(box_h, np.float64)
+        out.write(f"#X \t{h[0,0]:.16e} {h[0,1]:.16e} {h[0,2]:.16e}\n")
+        out.write(f"#Y \t{h[1,0]:.16e} {h[1,1]:.16e} {h[1,2]:.16e}\n")
+        out.write(f"#Z \t{h[2,0]:.16e} {h[2,1]:.16e} {h[2,2]:.16e}\n")
+        out.write(f"##PBC {int(pbc[0])} {int(pbc[1])} {int(pbc[2])}\n")
+        out.write("#E\n")
+        for k in np.nonzero(sel)[0]:
+            p, F = flat["pos"][k], flat["force"][k]
+            out.write(f"{int(flat['id'][k])} {vty[k]} "
+                      f"{flat['mass'][k]:12f} {p[0]:12f} {p[1]:12f} "
+                      f"{p[2]:12f} {F[0]:12e} {F[1]:12e} {F[2]:12e} "
+                      f"{flat['epot'][k]:12f}\n")
+
+
+def write_nb(path, flat, nbanz, box_h, pbc, lower, upper, pic_ll=None,
+             pic_ur=None):
+    """NNBR `.nb` file (write_atoms_nb, imd_io.c:858-920): atoms whose
+    coordination number lies OUTSIDE the open per-type interval
+    (nb_cut_lower[t], nb_cut_upper[t]) — defect atoms by coordination —
+    clipped to the pic window when pic_ur.x != 0.
+
+    Deviations from the reference writer, both deliberate: the #C line
+    includes the mass column the reference's body prints but its header
+    omits, and vz is IMPULS_z/mass (the reference prints IMPULS_x twice,
+    imd_io.c:911 — a clear typo)."""
+    typ = flat["type"].astype(int)
+    vty = flat["vtype"].astype(int)
+    nt = max(int(typ.max(initial=0)) + 1, 1)
+    lo = np.full(nt, -1, np.int64)
+    hi = np.full(nt, np.iinfo(np.int64).max, np.int64)
+    lo[:len(lower)] = np.asarray(lower[:nt], np.int64)
+    hi[:len(upper)] = np.asarray(upper[:nt], np.int64)
+    nbv = np.asarray(nbanz, np.int64)
+    # reference filter (io.c:876-877): skip virtual-typed atoms and
+    # atoms strictly inside the (lower, upper) band
+    sel = (typ == vty) & ~((nbv > lo[typ]) & (nbv < hi[typ]))
+    if pic_ur is not None and pic_ur[0] != 0.0:
+        p = flat["pos"]
+        sel &= np.all((p >= np.asarray(pic_ll)) & (p <= np.asarray(pic_ur)),
+                      axis=1)
+    vel = flat["mom"] / flat["mass"][:, None]
+    with open(path, "w") as out:
+        out.write("#F A 1 1 1 3 3 1\n")
+        out.write("#C number type mass x y z vx vy vz Epot\n")
+        h = np.asarray(box_h, np.float64)
+        out.write(f"#X \t{h[0,0]:.16e} {h[0,1]:.16e} {h[0,2]:.16e}\n")
+        out.write(f"#Y \t{h[1,0]:.16e} {h[1,1]:.16e} {h[1,2]:.16e}\n")
+        out.write(f"#Z \t{h[2,0]:.16e} {h[2,1]:.16e} {h[2,2]:.16e}\n")
+        out.write(f"##PBC {int(pbc[0])} {int(pbc[1])} {int(pbc[2])}\n")
+        out.write("#E\n")
+        for k in np.nonzero(sel)[0]:
+            p, v = flat["pos"][k], vel[k]
+            out.write(f"{int(flat['id'][k])} {vty[k]} "
+                      f"{flat['mass'][k]:12f} {p[0]:12f} {p[1]:12f} "
+                      f"{p[2]:12f} {v[0]:12f} {v[1]:12f} {v[2]:12f} "
+                      f"{flat['epot'][k]:12f}\n")

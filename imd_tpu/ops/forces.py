@@ -108,6 +108,9 @@ class ForceResult(struct.PyTreeNode):
     # per-atom virial tensor [gx,gy,gz,cap,6] (STRESS_TENS PRESSTENS,
     # imd_forces_nbl.c:955-975); only filled on request
     presstens_atom: Optional[jnp.ndarray] = None
+    # EEAM second host density p = sum rho_h^2 (EAM_P, forces_nbl:553);
+    # filled when eeam_embed is active (the 'eam_p' chkpt column)
+    eeam_p: Optional[jnp.ndarray] = None
 
 
 def _pair_terms(pot: PotTable, ntypes, t_i, t_j, r2, valid):
@@ -290,6 +293,64 @@ def compute_ordpar(scene: Scene, pot: PotTable, op_rcut, op_weight,
     for off in HALF_OFFSETS:
         block(off, False)
     return op * mask.astype(dtype)
+
+
+def compute_nbanz(scene: Scene, nb_rcut, ntypes: int = 1) -> jnp.ndarray:
+    """Per-atom coordination number NBANZ (NNBR, imd_forces_nbl.c:509-511).
+
+    Counts neighbors of atom i with ``r2 < nb_rcut[col]^2`` where
+    ``col = t_i*ntypes + t_j`` (atom j counts with the transposed
+    column).  ``nb_rcut`` is the flat [ntypes*ntypes] type-pair table
+    the ``nb_rcut`` parameter fills (imd_param.c:663-667 squares it on
+    read).  Like the reference's in-force-loop count, pairs beyond the
+    cell-stencil reach (potential cutoff + skin) are invisible —
+    nb_rcut must not exceed the force cutoff.  Computed on demand at
+    I/O boundaries (the .nb writer and the n_nbr chkpt column) instead
+    of every step.  Returns int32 [gx,gy,gz,cap].
+    """
+    grid = scene.grid
+    dtype = scene.pos.dtype
+    pos, typ, mask = scene.pos, scene.type, scene.mask
+    cap = scene.capacity
+    rcut2 = jnp.asarray(grid.cutoff ** 2, dtype)
+    nt = ntypes
+    nb_r2 = jnp.asarray(nb_rcut, dtype) ** 2
+    nb = jnp.zeros(pos.shape[:-1], jnp.int32)
+
+    def block(off, self_cell):
+        nonlocal nb
+        if self_cell:
+            npos, ntyp, nmask = pos, typ, mask
+            shift = jnp.zeros((1, 1, 1, 1, 3), dtype)
+            cell_ok = jnp.ones(pos.shape[:3] + (1,), bool)
+        else:
+            npos = _neighbor_view(grid, pos, off)
+            ntyp = _neighbor_view(grid, typ, off)
+            nmask = _neighbor_view(grid, mask, off)
+            shift, cell_ok = _wrap_shift_and_mask(grid, off, dtype)
+        dr = pos[..., :, None, :] - (npos[..., None, :, :]
+                                     + shift[..., None, :, :])
+        r2 = jnp.sum(dr * dr, axis=-1)
+        valid = (mask[..., :, None] & nmask[..., None, :]
+                 & cell_ok[..., None] & (r2 < rcut2))
+        if self_cell:
+            ii = jnp.arange(cap)
+            valid = valid & (ii[:, None] < ii[None, :])
+        ti = jnp.clip(typ[..., :, None], 0, nt - 1)
+        tj = jnp.clip(ntyp[..., None, :], 0, nt - 1)
+        col = ti * nt + tj
+        colj = tj * nt + ti
+        n_i = jnp.sum(valid & (r2 < nb_r2[col]), axis=-1).astype(jnp.int32)
+        n_j = jnp.sum(valid & (r2 < nb_r2[colj]), axis=-2).astype(jnp.int32)
+        if self_cell:
+            nb = nb + n_i + n_j
+        else:
+            nb = nb + n_i + _reverse_roll(grid, n_j, off)
+
+    block((0, 0, 0), True)
+    for off in HALF_OFFSETS:
+        block(off, False)
+    return nb * mask.astype(jnp.int32)
 
 
 def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
@@ -478,7 +539,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
 
     return ForceResult(force=F, epot=epot, virial=virial,
                        presstens=presstens, num_neighs=nneigh,
-                       rho=rho, embed_dF=dF)
+                       rho=rho, embed_dF=dF,
+                       eeam_p=(rho2 if eeam_embed is not None else None))
 
 
 # ---------------------------------------------------------------------------

@@ -218,8 +218,12 @@ def compute_pair_forces_fast(scene: Scene, pot, ntypes: int = 1,
 
 def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
                             count_neighbors: bool = False,
-                            neigh_r2: float = 0.0) -> ForceResult:
-    """Drop-in replacement for forces.compute_eam_forces (cells-last)."""
+                            neigh_r2: float = 0.0,
+                            eeam_embed=None) -> ForceResult:
+    """Drop-in replacement for forces.compute_eam_forces (cells-last).
+
+    ``eeam_embed`` arms the EEAM second embedding M(p = sum rho_h^2)
+    (EAM_P/EAM_DM accumulation, imd_forces_nbl.c:553-568/878-882)."""
     grid = scene.grid
     dims = grid.dims
     dtype = scene.pos.dtype
@@ -236,6 +240,7 @@ def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
     presstens = jnp.zeros((6,), dtype)
     nneigh = jnp.zeros(typ.shape, jnp.int32)
     rho = jnp.zeros(typ.shape, dtype)
+    rho2 = jnp.zeros(typ.shape, dtype)   # EEAM p = sum rho_h^2
 
     def geometry(off, self_cell):
         if self_cell:
@@ -285,7 +290,7 @@ def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
 
     # ---- pass 1 ----------------------------------------------------------
     def pass1(off, self_cell):
-        nonlocal F, epot, rho, nneigh
+        nonlocal F, epot, rho, rho2, nneigh
         dr, r2, valid, tj = geometry(off, self_cell)
         ti_b, tj_b = typ[:, None], tj[None, :]
         phi, grad = _pair_quantities(eam.pair, ntypes, ti_b, tj_b, r2, valid)
@@ -305,6 +310,11 @@ def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
             F = F + F_i + _roll_cells_back(F_j, dims, off)
             epot = epot + e_i + _roll_cells_back(e_j, dims, off)
             rho = rho + r_i + _roll_cells_back(r_j, dims, off)
+        if eeam_embed is not None:
+            p_i = jnp.sum(rho_ij * rho_ij, axis=1)
+            p_j = jnp.sum(rho_ji * rho_ji, axis=0)
+            rho2 = rho2 + p_i + (p_j if self_cell
+                                 else _roll_cells_back(p_j, dims, off))
         add_virial(jnp.where(valid, grad, 0.0), dr, r2)
         if count_neighbors:
             near = valid & (r2 < nr2)
@@ -329,15 +339,29 @@ def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
     df_emb = 0.5 * df_emb
     epot = epot + jnp.where(mask, f_emb, 0.0)
     dF = jnp.where(mask, df_emb, 0.0)
+    dM = None
+    if eeam_embed is not None:
+        p_c = jnp.maximum(rho2, 1e-12)
+        if ntypes == 1:
+            m_v, m_g = eeam_embed.interp(0, p_c)
+        else:
+            m_v, m_g = eeam_embed.interp(jnp.clip(typ, 0, ntypes - 1), p_c)
+        epot = epot + jnp.where(mask, m_v, 0.0)
+        dM = jnp.where(mask, 0.5 * m_g, 0.0)     # dM/dp
 
     # ---- pass 2 ------------------------------------------------------------
     def pass2(off, self_cell):
         nonlocal F
         dr, r2, valid, tj = geometry(off, self_cell)
         ti_b, tj_b = typ[:, None], tj[None, :]
-        _, g_ij, _, g_ji = rho_cols(ti_b, tj_b, r2, valid)
+        rho_ij, g_ij, rho_ji, g_ji = rho_cols(ti_b, tj_b, r2, valid)
         dF_j = dF if self_cell else _roll_cells(dF, dims, off)
         s = dF[:, None] * g_ij + dF_j[None, :] * g_ji
+        if dM is not None:
+            # d(rho^2) chain: + 2 rho dM (EEAM, forces_nbl:878-882)
+            dM_j = dM if self_cell else _roll_cells(dM, dims, off)
+            s = s + 2.0 * (dM[:, None] * rho_ij * g_ij
+                           + dM_j[None, :] * rho_ji * g_ji)
         s = jnp.where(valid, s, 0.0)
         fvec = s[:, :, None, :] * dr
         F_i = -jnp.sum(fvec, axis=1)
@@ -356,4 +380,5 @@ def compute_eam_forces_fast(scene: Scene, eam, ntypes: int = 1,
         force=_from_cl(F, dims), epot=_from_cl(epot, dims),
         virial=virial, presstens=presstens,
         num_neighs=_from_cl(nneigh, dims),
-        rho=_from_cl(rho, dims), embed_dF=_from_cl(dF, dims))
+        rho=_from_cl(rho, dims), embed_dF=_from_cl(dF, dims),
+        eeam_p=(_from_cl(rho2, dims) if eeam_embed is not None else None))

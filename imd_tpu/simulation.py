@@ -175,6 +175,7 @@ class Simulation:
             from imd_tpu.models.potential import with_interpolation
             return with_interpolation(pt, cfg.pot_interp, radial=radial)
 
+        self.eeam_embed = None
         if cfg.core_potential_file:
             eam = read_eam(self._path(cfg.core_potential_file),
                            self._path(cfg.embedding_energy_file),
@@ -184,6 +185,14 @@ class Simulation:
                                     rho=_mode(eam.rho),
                                     embed=_mode(eam.embed, radial=False))
             self.cutoff = math.sqrt(self.eam.cutoff2)
+            if cfg.eeam_energy_file:
+                # EEAM second embedding M(p) over p = sum rho_h^2
+                # (eeam_energy_file, imd_param.c:2837; EAM_P/EAM_DM
+                # terms in the NBL loop, imd_forces_nbl.c:553-882)
+                self.eeam_embed = _mode(
+                    read_pot_table(self._path(cfg.eeam_energy_file),
+                                   cfg.ntypes, False, self.dtype),
+                    radial=False)
             if cfg.adp_upotfile and cfg.adp_wpotfile:
                 # ADP: EAM + dipole/quadrupole distortion tables run as
                 # a flat autodiff interaction (models/interactions.py)
@@ -295,6 +304,8 @@ class Simulation:
                           and _jax.default_backend() not in ("cpu",)
                           and self.cfg.ntypes <= 4
                           and self.grid.capacity <= 32))
+        if getattr(self, "eeam_embed", None) is not None:
+            use_pallas = False       # EEAM runs the XLA engines
         self.use_pallas = use_pallas
         if getattr(self, "coulomb", None):
             # engine-matched representation of the erfc real-space table.
@@ -332,6 +343,9 @@ class Simulation:
             if self.pair is not None and not isinstance(self.pair,
                                                         ChebPotential):
                 self.pair = to_chebyshev(self.pair)
+            if (getattr(self, "eeam_embed", None) is not None
+                    and not isinstance(self.eeam_embed, ChebPotential)):
+                self.eeam_embed = to_chebyshev(self.eeam_embed)
 
     def _load_atoms(self, grid_dims_multiple):
         cfg = self.cfg
@@ -795,7 +809,8 @@ class Simulation:
                                forces_mod.compute_pair_forces)
         if self.eam is not None:
             return eam_fn(scene, self.eam, self.cfg.ntypes,
-                          count_neighbors=count_neighbors)
+                          count_neighbors=count_neighbors,
+                          eeam_embed=self.eeam_embed)
         return pair_fn(scene, self.pair, self.cfg.ntypes,
                        count_neighbors=count_neighbors)
 
@@ -1525,6 +1540,8 @@ class Simulation:
                 return False
         if cfg.filter.enabled and cfg.filter.interval <= 0:
             return False
+        if cfg.getmin or cfg.getsaddle:
+            return False  # PxF sign tracking needs per-step host stats
         if cfg.nclones > 1:
             return False             # CLONE syncs clones in the step
         if self.extpot0 is not None or cfg.shock_mode:
@@ -1699,7 +1716,10 @@ class Simulation:
         self._sel = sel
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
                                  cfg.pic_int, cfg.ttm_int, cfg.socket_int,
-                                 cfg.lb_frequency) if i > 0]
+                                 cfg.lb_frequency, cfg.force_int,
+                                 cfg.nb_checkpt_int) if i > 0]
+        if cfg.getmin or cfg.getsaddle:
+            intervals.append(1)    # PxF crossings need per-step dispatch
         if sel is not None:
             intervals += sel.intervals()
         if block <= 0:
@@ -1727,6 +1747,8 @@ class Simulation:
                 xcols.append("harm_eng")
             if self._bb_tables is not None:
                 xcols.append("bb_boosted_time")
+            if cfg.relaxinfo:
+                xcols += ["delta_epot", "xnorm", "xmax"]
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
                                  nvt=(self.ensemble == "nvt"),
                                  ttm=cfg.ttm.enabled,
@@ -1852,6 +1874,9 @@ class Simulation:
                               np.asarray(diag["n_contact"]))
             if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                 self.write_checkpoint(state, gstep // cfg.checkpt_int)
+            self._write_periodic_extras(state, gstep)
+            if cfg.getmin or cfg.getsaddle:
+                self._check_pxf_crossing(state, gstep)
             if (cfg.ttm.enabled and cfg.ttm_int > 0
                     and gstep % cfg.ttm_int == 0):
                 from imd_tpu.io.ttm_io import write_ttm
@@ -2069,7 +2094,8 @@ class Simulation:
         filter_int = (cfg.filter.interval if cfg.filter.enabled else 0)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
                                  cfg.dist_int, cfg.pic_int, filter_int,
-                                 cfg.lb_frequency, cfg.socket_int)
+                                 cfg.lb_frequency, cfg.socket_int,
+                                 cfg.force_int, cfg.nb_checkpt_int)
                      if i > 0]
         lb_log = None
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
@@ -2198,6 +2224,9 @@ class Simulation:
         if cfg.eng_int > 0 and self.eng is None:
             self.eng = EngWriter(self._path(cfg.outfiles + ".eng"),
                                  ttm=cfg.ttm.enabled,
+                                 extra_cols=(("delta_epot", "xnorm",
+                                              "xmax") if cfg.relaxinfo
+                                             else ()),
                                  append=cfg.simulation_phase > 1)
 
         def mk_state(scene, epot, ekin, virial, presstens, gstep):
@@ -2315,6 +2344,7 @@ class Simulation:
                 if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                     self.write_checkpoint(state,
                                           gstep // cfg.checkpt_int)
+                self._write_periodic_extras(state, gstep)
                 if (ttm_on and cfg.ttm_int > 0
                         and gstep % cfg.ttm_int == 0):
                     from imd_tpu.io.ttm_io import write_ttm
@@ -2499,6 +2529,23 @@ class Simulation:
             extra.append(float(harm) / n)
         if state.bb_time is not None:
             extra.append(float(state.bb_time))
+        if self.cfg.relaxinfo:
+            # RELAXINFO columns (imd_io.c:2454-2457): |delta Epot| since
+            # the previous line, sqrt(xnorm/nactive), sqrt(x_max2) with
+            # xnorm = sum (dt p/m)^2 and x_max2 the max squared per-
+            # component step displacement (imd_integrate.c:425-430) —
+            # reconstructed from the current momenta (leapfrog: the last
+            # position increment was dt*p_new/m), checked at eng cadence
+            ep_a = float(state.epot_total) / n
+            extra.append(ep_a - getattr(self, "_old_epot_eng", ep_a))
+            self._old_epot_eng = ep_a
+            flat = state.scene.flatten_atoms()
+            m = np.asarray(flat["mask"])
+            dx = (self.cfg.timestep * np.asarray(flat["mom"])[m]
+                  / np.asarray(flat["mass"])[m, None])
+            extra.append(float(np.sqrt((dx * dx).sum()
+                                       / max(nactive, 1.0))))
+            extra.append(float(np.sqrt((dx * dx).max(initial=0.0))))
         self.eng.write(
             time=float(state.step - 1) * self.cfg.timestep,
             epot_per_atom=float(state.epot_total) / n,
@@ -2533,7 +2580,12 @@ class Simulation:
         op = compute_ordpar(scene, pot, rc, w, ntypes=nt)
         return scene.replace(epot=op)
 
-    def write_checkpoint(self, state: SimState, fzhlr: int):
+    def _chkpt_data(self, state: SimState) -> ChkptData:
+        """Assemble the checkpoint record with the reference's optional
+        extra columns in its order (write_header_config, imd_io.c:3266-
+        3336): Epot/ordpar, n_nbr (NNBR), DISLOC refs, eam_rho [eam_p]
+        (EAM2 default unless ``norhoh``)."""
+        cfg = self.cfg
         if self._ordpar_active():
             state = state.replace(scene=self._with_ordpar(state.scene))
         flat = state.scene.flatten_atoms()
@@ -2541,8 +2593,17 @@ class Simulation:
         mass = np.asarray(flat["mass"])[mask]
         pos = np.asarray(flat["pos"])[mask]
         epot = np.asarray(flat["epot"])[mask]
+        columns = "number type mass x y z vx vy vz Epot".split()
         data = epot[:, None]
-        columns = None
+        if any(cfg.nb_rcut):
+            # coordination column (NNBR, imd_io.c:3296); recomputed at
+            # the write boundary instead of every force call
+            from imd_tpu.ops.forces import compute_nbanz
+            nb = compute_nbanz(state.scene, self._nb_rcut_table(),
+                               cfg.ntypes)
+            data = np.concatenate(
+                [data, np.asarray(nb).reshape(-1)[mask, None]], axis=1)
+            columns.append("n_nbr")
         sel = getattr(self, "_sel", None)
         if sel is not None and (sel.ort_ref is not None
                                 or sel.epot_ref is not None):
@@ -2557,14 +2618,25 @@ class Simulation:
             eref = sel._ensure(sel.epot_ref, n, fill=np.nan)[ids]
             eref[np.isnan(eref)] = epot[np.isnan(eref)]
             data = np.concatenate([data, oref, eref[:, None]], axis=1)
-            columns = ("number type mass x y z vx vy vz Epot "
-                       "x_ref y_ref z_ref Epot_ref").split()
+            columns += "x_ref y_ref z_ref Epot_ref".split()
+        if self.eam is not None and not cfg.norhoh:
+            # EAM2 writes the host density by default (imd_io.c:3312,
+            # suppressed by the NORHOH flag -> `norhoh` tag); EEAM adds
+            # the second density p (eam_p, imd_io.c:3315)
+            res = self._compute_forces_tables(state.scene, False, False)
+            data = np.concatenate(
+                [data, np.asarray(res.rho).reshape(-1)[mask, None]],
+                axis=1)
+            columns.append("eam_rho")
+            if res.eeam_p is not None:
+                data = np.concatenate(
+                    [data, np.asarray(res.eeam_p).reshape(-1)[mask, None]],
+                    axis=1)
+                columns.append("eam_p")
         if self._ordpar_active():
             # the Epot column holds the order parameter (imd_io.c:3283)
-            if columns is None:
-                columns = "number type mass x y z vx vy vz Epot".split()
             columns = ["ordpar" if c == "Epot" else c for c in columns]
-        d = ChkptData(
+        return ChkptData(
             number=np.asarray(flat["id"])[mask],
             type=np.asarray(flat["vtype"])[mask],
             mass=mass,
@@ -2576,11 +2648,23 @@ class Simulation:
             box_y=np.asarray(self.box.h)[1],
             box_z=np.asarray(self.box.h)[2],
         )
+
+    def _nb_rcut_table(self):
+        """nb_rcut padded/clipped to [ntypes*ntypes] (imd_param.c:663)."""
+        nn = self.cfg.ntypes * self.cfg.ntypes
+        rc = list(self.cfg.nb_rcut)
+        rc = (rc + [rc[-1] if rc else 0.0] * nn)[:nn]
+        return rc
+
+    def write_checkpoint(self, state: SimState, fzhlr: int):
+        d = self._chkpt_data(state)
         # fzhlr == -1: the reference's end-of-run "-final" checkpoint
         # (write_config(-1) naming, imd_io_3d.c:995-999)
         base = self._path(self.cfg.outfiles + "-final" if fzhlr == -1
                           else f"{self.cfg.outfiles}.{fzhlr:05d}")
-        write_chkpt(base + ".chkpt", d, binary=bool(self.cfg.binary_output))
+        write_chkpt(base + ".chkpt", d, binary=bool(self.cfg.binary_output),
+                    double=bool(self.cfg.hpo),
+                    precision=17 if self.cfg.hpo else 12)
         write_itr(base + ".itr", checkpoint=fzhlr,
                   startstep=int(state.step) + 1,
                   box_x=d.box_x, box_y=d.box_y, box_z=d.box_z)
@@ -2601,6 +2685,63 @@ class Simulation:
         if self.nrb_state is not None:
             from imd_tpu.models.nrb import write_nrb
             write_nrb(base + ".nrb", self.nrb_state)
+
+    def _write_named_config(self, state: SimState, kind: str, gstep: int):
+        """GETMIN/GETSADDLE configs at PxF sign crossings
+        (write_minconfig/write_saddleconfig, imd_io.c:235-283): a full
+        checkpoint named `<outfiles>.<step>.<kind><Epot/atom>`."""
+        n = max(int(state.scene.n_atoms()), 1)
+        d = self._chkpt_data(state)
+        name = f"{self.cfg.outfiles}.{gstep}." \
+               f"{kind}{float(state.epot_total) / n:.8f}"
+        write_chkpt(self._path(name), d,
+                    binary=bool(self.cfg.binary_output),
+                    precision=17 if self.cfg.hpo else 12)
+
+    def _check_pxf_crossing(self, state: SimState, gstep: int):
+        """Write min/saddle configs when sum(p.F) changes sign
+        (imd_main_3d.c:508-522; compile flags GETMIN/GETSADDLE ->
+        runtime tags).  Needs per-step dispatch (interval 1)."""
+        pxf = float(state.stats.pxf)
+        last = getattr(self, "_last_pxf", None)
+        self._last_pxf = pxf
+        if last is None:
+            return
+        if self.cfg.getsaddle and last < 0.0 <= pxf:
+            self._write_named_config(state, "saddle", gstep)
+        if self.cfg.getmin and last >= 0.0 > pxf:
+            self._write_named_config(state, "min", gstep)
+
+    def _write_periodic_extras(self, state: SimState, gstep: int):
+        """Periodic `.wf` force dumps (WRITEF, imd_main_3d.c:436-440)
+        and `.nb` coordination-filtered configs (NNBR, 750-752)."""
+        cfg = self.cfg
+        wf_due = cfg.force_int > 0 and gstep % cfg.force_int == 0
+        nb_due = (cfg.nb_checkpt_int > 0 and any(cfg.nb_rcut)
+                  and gstep % cfg.nb_checkpt_int == 0)
+        if not (wf_due or nb_due):
+            return
+        flat = state.scene.flatten_atoms()
+        m = np.asarray(flat["mask"])
+        fl = {k: np.asarray(v)[m] for k, v in flat.items() if k != "mask"}
+        if wf_due:
+            from imd_tpu.io.select import write_wf
+            write_wf(self._path(
+                f"{cfg.outfiles}.{gstep // cfg.force_int}.wf"),
+                fl, np.asarray(self.box.h), self.box.pbc,
+                force_all=bool(cfg.force_all))
+        if nb_due:
+            from imd_tpu.io.select import write_nb
+            from imd_tpu.ops.forces import compute_nbanz
+            nb = np.asarray(compute_nbanz(
+                state.scene, self._nb_rcut_table(),
+                self.cfg.ntypes)).reshape(-1)[m]
+            write_nb(self._path(
+                f"{cfg.outfiles}.{gstep // cfg.nb_checkpt_int}.nb"),
+                fl, nb, np.asarray(self.box.h), self.box.pbc,
+                [int(v) for v in cfg.nb_cut_lower],
+                [int(v) for v in cfg.nb_cut_upper],
+                cfg.pic_ll, cfg.pic_ur)
 
     # convenience constructors ------------------------------------------------
     @classmethod

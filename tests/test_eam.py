@@ -145,3 +145,90 @@ def test_eeam_second_embedding_energy_force_consistency():
     res0 = compute_eam_forces(make_scene(grid, pos, dtype=jnp.float64),
                               eam, 1)
     assert float(jnp.sum(res.epot)) > float(jnp.sum(res0.epot))
+
+
+def test_eeam_fast_engine_matches_oracle():
+    """compute_eam_forces_fast(eeam_embed=...) == the oracle engine."""
+    import numpy as _np
+    from imd_tpu.models.potential import _make_table
+    from imd_tpu.ops.forces_fast import compute_eam_forces_fast
+    from imd_tpu.ops.geometry import Box, choose_grid, with_capacity
+
+    eam = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39, dtype=jnp.float64)
+    ps = _np.linspace(0.0, 50.0, 400)
+    m_tab = _make_table([0.02 * ps + 0.001 * ps ** 2], [0.0], [50.0],
+                        [ps[1] - ps[0]], dtype=jnp.float64)
+    pos, _, diag = fcc((4, 3, 3), 4.05)
+    rng = np.random.default_rng(1)
+    pos = pos + rng.normal(0, 0.06, pos.shape)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float64)
+    grid = with_capacity(choose_grid(box, 5.0, skin=0.4, n_atoms=len(pos)),
+                         16)
+    sc = make_scene(grid, pos, dtype=jnp.float64)
+    a = compute_eam_forces(sc, eam, 1, eeam_embed=m_tab)
+    b = compute_eam_forces_fast(sc, eam, 1, eeam_embed=m_tab)
+    assert float(jnp.max(jnp.abs(a.force - b.force))) < 1e-10
+    assert float(jnp.max(jnp.abs(a.epot - b.epot))) < 1e-10
+    assert float(jnp.max(jnp.abs(a.eeam_p - b.eeam_p))) < 1e-10
+    assert abs(float(a.virial - b.virial)) < 1e-8
+
+
+def test_eeam_param_file_driver(tmp_path):
+    """eeam_energy_file dispatches the EEAM term from a parameter file
+    (imd_param.c:2837) and the checkpoint carries the reference's
+    default EAM columns eam_rho + eam_p (imd_io.c:3312-3315), with
+    `norhoh 1` suppressing them (NORHOH flag)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.io.chkpt import data_column, read_chkpt
+    from imd_tpu.models.potential import _make_table, write_pot_table
+    from imd_tpu.simulation import Simulation
+
+    eam = analytic_eam(r_cut=5.0, r0=2.864, E_c=3.39)
+    d = tmp_path
+    write_pot_table(eam.pair, str(d / "pair.pt"))
+    write_pot_table(eam.rho, str(d / "rho.pt"))
+    write_pot_table(eam.embed, str(d / "embed.pt"))
+    ps = np.linspace(0.0, 80.0, 300)
+    write_pot_table(_make_table([0.01 * ps], [0.0], [80.0],
+                                [ps[1] - ps[0]], dtype=jnp.float64),
+                    str(d / "emod.pt"))
+    base = f"""
+coordname   _fcc
+box_param   3 3 3
+box_unit    4.05
+ntypes      1
+masses      26.9815
+ensemble    nve
+timestep    0.02
+maxsteps    20
+starttemp   0.02
+eng_int     10
+checkpt_int 20
+seed        4
+core_potential_file pair.pt
+embedding_energy_file embed.pt
+el_density_file rho.pt
+eeam_energy_file emod.pt
+"""
+    cfg = SimConfig.from_params(parse_param_text(
+        base + f"outfiles {d / 'ee'}\n"))
+    sim = Simulation(cfg, workdir=str(d), dtype=jnp.float64)
+    assert sim.eeam_embed is not None
+    sim.run()
+    eng = [ln.split() for ln in
+           open(str(d / "ee.eng")).read().strip().splitlines()[1:]]
+    etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
+    assert abs(etots[-1] - etots[0]) < 5e-6 * abs(etots[0])
+    ck = read_chkpt(str(d / "ee.00001.chkpt"))
+    rho = data_column(ck, "eam_rho")
+    p2 = data_column(ck, "eam_p")
+    assert rho is not None and rho.min() > 0.1
+    assert p2 is not None and np.allclose(p2, rho ** 2 / 12, rtol=0.5)
+    # norhoh suppresses the density columns
+    cfg2 = SimConfig.from_params(parse_param_text(
+        base + f"outfiles {d / 'nh'}\nnorhoh 1\n"))
+    sim2 = Simulation(cfg2, workdir=str(d), dtype=jnp.float64)
+    sim2.run()
+    ck2 = read_chkpt(str(d / "nh.00001.chkpt"))
+    assert data_column(ck2, "eam_rho") is None
