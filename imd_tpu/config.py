@@ -696,7 +696,8 @@ class SimConfig:
     ramp_y1min: float = 0.0
     ramp_y1max: float = 0.0
     dirichlet_surfx: float = 0.0
-    yuk_beta: Tuple[float, ...] = ()
+    # KERMODE Yukawa-screened electrostatics (imd_param.c:3488-3493)
+    yuk_beta: float = 0.0
     yuk_smoothlength: float = 0.0
     smoothlength_ms: float = 0.0
     ms_harm_c: Tuple[float, ...] = ()
@@ -735,6 +736,12 @@ class SimConfig:
     # configs at PxF sign crossings, imd_main_3d.c:508-522)
     norhoh: int = 0
     hpo: int = 0
+    # ASYMPOT (imd_forces_eam2.c:31): each half-bond of an asymmetric
+    # pair table evaluates from its own type-ordered column
+    asympot: int = 0
+    # TERNBCC (imd_forces_covalent.c:461): ternary-BCC angular g(cos t)
+    # replaces the SW (cos t + 1/3)^2 term
+    ternbcc: int = 0
     relaxinfo: int = 0
     getmin: int = 0
     getsaddle: int = 0

@@ -70,8 +70,27 @@ def _pairs(pos, box, mask):
     return dr, r, off
 
 
-def sw_energy(pos, box=None, mask=None, P: SWParams = SWParams()):
-    """Total SW energy; differentiable (forces = -grad)."""
+def _ternbcc_g(c):
+    """Piecewise angular function g(cos t) of the ternary-BCC variant
+    (imd_forces_covalent.c:578-593): five parabolic segments favoring
+    the BCC bond angles instead of SW's (cos t + 1/3)^2.  Forces here
+    are the exact autodiff gradient of this energy; the reference's
+    hand-coded dg (covalent.c:601-616) is half the analytic derivative
+    in every branch — a factor-2 defect we deliberately do not copy."""
+    return jnp.where(
+        c < -5.0 / 6.0, (c + 1.0) ** 2,
+        jnp.where(c < -0.5, 1.0 / 18.0 - (c + 2.0 / 3.0) ** 2,
+                  jnp.where(c < -1.0 / 6.0, (c + 1.0 / 3.0) ** 2,
+                            jnp.where(c < 1.0 / 6.0, 1.0 / 18.0 - c * c,
+                                      (c - 1.0 / 3.0) ** 2))))
+
+
+def sw_energy(pos, box=None, mask=None, P: SWParams = SWParams(),
+              ternbcc: bool = False):
+    """Total SW energy; differentiable (forces = -grad).
+
+    ``ternbcc`` swaps the angular term for the ternary-BCC g(cos t)
+    (TERNBCC, imd_forces_covalent.c:461-477)."""
     if mask is None:
         mask = jnp.ones(pos.shape[0], bool)
     P = SWParams(*[jnp.asarray(v, pos.dtype) for v in P])
@@ -94,7 +113,7 @@ def sw_energy(pos, box=None, mask=None, P: SWParams = SWParams()):
     u = dr / (r * P.sigma)[..., None] * P.sigma   # unit vectors
     cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
                                                   * r[:, None, :])
-    hjk = (cosjk - P.cos0) ** 2
+    hjk = _ternbcc_g(cosjk) if ternbcc else (cosjk - P.cos0) ** 2
     wjk = g[:, :, None] * g[:, None, :]
     valid3 = in3[:, :, None] & in3[:, None, :] \
         & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]

@@ -47,6 +47,14 @@ class DipoleParams(NamedTuple):
     dp_mix: float = 0.6
     dp_tol: float = 1e-7
     max_iter: int = 50
+    # KERMODE variant (silica after Kermode et al.): Yukawa-screened
+    # short-range electrostatics exp(-yuk_beta r) * fc(r) / r with the
+    # cosine-integral smooth cutoff fc over [r_cut - yuk_smoothlength,
+    # r_cut + yuk_smoothlength] (yukawa_smooth_function,
+    # imd_potential.c; tags yuk_beta/yuk_smoothlength,
+    # imd_param.c:3488-3493).  Python floats: static at trace time.
+    yuk_beta: float = 0.0
+    yuk_smoothlength: float = 0.0
 
 
 def sio2_demo_params(dtype=jnp.float64) -> DipoleParams:
@@ -89,9 +97,26 @@ def _field_tensors(dr, r, nb, types, P, dtype):
     bij = P.b[types[:, None], types[None, :]]
     cij = P.c[types[:, None], types[None, :]]
     nbf = nb.astype(dtype)
-    # smooth cutoff taper on everything electrostatic
-    x = jnp.clip(r / P.r_cut, 0.0, 1.0)
-    taper = (1.0 - x * x) ** 2 * nbf
+    if float(P.yuk_beta) > 0.0:
+        # KERMODE: Yukawa screening with the reference's cosine-integral
+        # smooth cutoff (yukawa_smooth_function): fc = 1 below
+        # rc - d, 0 above rc + d, smooth in between.  NOTE the screened
+        # kernel reaches to rc + d, so _geometry's neighbor radius must
+        # cover ke_tot_rcut = r_cut + yuk_smoothlength (imd.c:96) —
+        # callers bake that into P.r_cut and pass rc here.
+        d = float(P.yuk_smoothlength)
+        rc = P.r_cut - d                     # ke_rcut
+        u = r - rc + d
+        fc = jnp.where(
+            r < rc - d, 1.0,
+            jnp.where(r > rc + d, 0.0,
+                      1.0 - u / (2.0 * d)
+                      + jnp.sin(jnp.pi * u / d) / (2.0 * jnp.pi)))
+        taper = fc * jnp.exp(-P.yuk_beta * r) * nbf
+    else:
+        # smooth cutoff taper on everything electrostatic
+        x = jnp.clip(r / P.r_cut, 0.0, 1.0)
+        taper = (1.0 - x * x) ** 2 * nbf
     # charge -> field at i: E1_i = sum_j q_j (1 + damp) d_ij / r^3
     damp = cij * _tt_damp(bij * r)
     T1 = ((1.0 + damp) * inv_r3 * taper)[:, :, None] * (-dr)

@@ -63,10 +63,12 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
             gamma=_first(cfg.stiweb_ga, d.gamma),
             a2=_first(cfg.stiweb_a2, 0.0))
         cut = max(P.a, P.a2) * P.sigma
+        tern = bool(getattr(cfg, "ternbcc", 0))
 
         def efn(pos, types, mask, box):
-            return cov.sw_energy(pos, box, mask, P)
-        return ("stiweb", float(cut), efn, False)
+            return cov.sw_energy(pos, box, mask, P, ternbcc=tern)
+        return ("stiweb" if not tern else "stiweb-ternbcc",
+                float(cut), efn, False)
 
     if (any((cfg.keating_alpha, cfg.keating_beta, cfg.keating_d))
             or inter == "keating"):
@@ -224,6 +226,13 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
             return jnp.asarray(m, dtype)
 
         rc = float(cfg.r_cut[0]) if cfg.r_cut else float(dflt.r_cut)
+        yd = float(getattr(cfg, "yuk_smoothlength", 0.0))
+        yb = float(getattr(cfg, "yuk_beta", 0.0))
+        if yb > 0.0:
+            # KERMODE: the Yukawa smooth cutoff extends the coulomb
+            # reach to ke_tot_rcut = ke_rcut + yuk_smoothlength
+            # (imd.c:96); DipoleParams.r_cut is the total reach
+            rc = rc + yd
         P = DipoleParams(
             charges=per_type(cfg.charge, dflt.charges),
             alpha=per_type(cfg.dp_alpha, dflt.alpha),
@@ -231,7 +240,8 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
             ms_D=tri_mat(cfg.ms_D, dflt.ms_D),
             ms_gamma=tri_mat(cfg.ms_gamma, dflt.ms_gamma),
             ms_r0=tri_mat(cfg.ms_r0, dflt.ms_r0),
-            r_cut=rc, dp_mix=cfg.dp_mix, dp_tol=cfg.dp_tol)
+            r_cut=rc, dp_mix=cfg.dp_mix, dp_tol=cfg.dp_tol,
+            yuk_beta=yb, yuk_smoothlength=yd)
 
         def efn(pos, types, mask, box):
             p, _ = scf_dipoles(pos, types, box, mask, P)

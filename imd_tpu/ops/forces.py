@@ -130,12 +130,19 @@ def _pair_terms(pot: PotTable, ntypes, t_i, t_j, r2, valid):
 def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
                         count_neighbors: bool = False,
                         neigh_r2: float = 0.0,
-                        per_atom_stress: bool = False) -> ForceResult:
+                        per_atom_stress: bool = False,
+                        asympot: bool = False) -> ForceResult:
     """Pair-potential forces with Newton's 3rd law over the 14-offset stencil.
 
     Mirrors calc_forces for PAIR (imd_forces_nbl.c:419-672) including the
     per-atom TTM neighbor counting (forces_nbl:437-483) when
     ``count_neighbors`` is set.
+
+    ``asympot`` evaluates each half-bond from its own type-ordered
+    column (ASYMPOT do_forces, imd_forces_eam2.c:31-140): atom i uses
+    col = t_i*nt+t_j, atom j the transposed column — forces are not
+    equal-and-opposite when the table is asymmetric; the virial takes
+    the mean of the two half-gradients (eam2.c:104-109).
     """
     grid = scene.grid
     dtype = scene.pos.dtype
@@ -174,20 +181,27 @@ def compute_pair_forces(scene: Scene, pot: PotTable, ntypes: int = 1,
             valid = valid & triangle
         phi, grad = _pair_terms(pot, ntypes, typ[..., :, None],
                                 ntyp[..., None, :], r2, valid)
+        if asympot and ntypes > 1:
+            # j's half-bond from the transposed column (ASYMPOT)
+            phi_t, grad_t = _pair_terms(pot, ntypes, ntyp[..., None, :],
+                                        typ[..., :, None], r2, valid)
+        else:
+            phi_t, grad_t = phi, grad
         # forces: F_i -= grad*dr (sum over j); F_j += grad*dr (sum over i)
-        fvec = grad[..., None] * dr
-        F_i = -jnp.sum(fvec, axis=-2)
-        F_j = jnp.sum(fvec, axis=-3)
+        F_i = -jnp.sum(grad[..., None] * dr, axis=-2)
+        F_j = jnp.sum(grad_t[..., None] * dr, axis=-3)
         epot_i = 0.5 * jnp.sum(phi, axis=-1)
-        epot_j = 0.5 * jnp.sum(phi, axis=-2)
+        epot_j = 0.5 * jnp.sum(phi_t, axis=-2)
         if self_cell:
             F = F + F_i + F_j
             epot = epot + epot_i + epot_j
         else:
             F = F + F_i + _reverse_roll(grid, F_j, off)
             epot = epot + epot_i + _reverse_roll(grid, epot_j, off)
-        # virial and stress: sum over pairs of dr (x) f  (f = -grad dr)
-        gv = jnp.where(valid, grad, 0.0)
+        # virial and stress: sum over pairs of dr (x) f  (f = -grad dr);
+        # under ASYMPOT the mean of the two half-gradients
+        gv = jnp.where(valid, 0.5 * (grad + grad_t) if asympot and
+                       ntypes > 1 else grad, 0.0)
         virial = virial - jnp.sum(gv * r2)
         pt = jnp.stack([
             jnp.sum(gv * dr[..., 0] * dr[..., 0]),
@@ -356,7 +370,8 @@ def compute_nbanz(scene: Scene, nb_rcut, ntypes: int = 1) -> jnp.ndarray:
 def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                        count_neighbors: bool = False,
                        neigh_r2: float = 0.0,
-                       eeam_embed=None) -> ForceResult:
+                       eeam_embed=None,
+                       asympot: bool = False) -> ForceResult:
     """EAM2 forces: fused pair + rho pass, embedding, then force pass.
 
     Follows the 3-phase structure of the reference NBL engine
@@ -430,12 +445,18 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
         dr, r2, valid, ntyp = geometry(off, self_cell)
         t_i, t_j = typ[..., :, None], ntyp[..., None, :]
         phi, grad = _pair_terms(eam.pair, ntypes, t_i, t_j, r2, valid)
+        if asympot and ntypes > 1:
+            # ASYMPOT: j's pair half from the transposed table column
+            # (do_forces, imd_forces_eam2.c:31-140)
+            phi_t, grad_t = _pair_terms(eam.pair, ntypes, t_j, t_i,
+                                        r2, valid)
+        else:
+            phi_t, grad_t = phi, grad
         rho_ij, _, rho_ji, _ = rho_cols(t_i, t_j, r2, valid)
-        fvec = grad[..., None] * dr
-        F_i = -jnp.sum(fvec, axis=-2)
-        F_j = jnp.sum(fvec, axis=-3)
+        F_i = -jnp.sum(grad[..., None] * dr, axis=-2)
+        F_j = jnp.sum(grad_t[..., None] * dr, axis=-3)
         e_i = 0.5 * jnp.sum(phi, axis=-1)
-        e_j = 0.5 * jnp.sum(phi, axis=-2)
+        e_j = 0.5 * jnp.sum(phi_t, axis=-2)
         r_i = jnp.sum(rho_ij, axis=-1)
         r_j = jnp.sum(rho_ji, axis=-2)
         if self_cell:
@@ -453,7 +474,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                 rho2 = rho2 + p_i + p_j
             else:
                 rho2 = rho2 + p_i + _reverse_roll(grid, p_j, off)
-        gv = jnp.where(valid, grad, 0.0)
+        gv = jnp.where(valid, 0.5 * (grad + grad_t) if asympot
+                       and ntypes > 1 else grad, 0.0)
         virial_l = -jnp.sum(gv * r2)
         nonlocal_virial(gv, dr, valid, virial_l)
         if count_neighbors:

@@ -306,6 +306,8 @@ class Simulation:
                           and self.grid.capacity <= 32))
         if getattr(self, "eeam_embed", None) is not None:
             use_pallas = False       # EEAM runs the XLA engines
+        if self.cfg.asympot and self.cfg.ntypes > 1:
+            use_pallas = False       # ASYMPOT runs the oracle engine
         self.use_pallas = use_pallas
         if getattr(self, "coulomb", None):
             # engine-matched representation of the erfc real-space table.
@@ -785,6 +787,17 @@ class Simulation:
             virial=res.virial + rr.virial + w_k)
 
     def _compute_forces_tables(self, scene: Scene, count_neighbors, ns):
+        if self.cfg.asympot and self.cfg.ntypes > 1:
+            # asymmetric half-bond columns: oracle engine only (the
+            # fast/Pallas sweeps assume grad_ij == grad_ji)
+            if self.eam is not None:
+                return forces_mod.compute_eam_forces(
+                    scene, self.eam, self.cfg.ntypes,
+                    count_neighbors=count_neighbors,
+                    eeam_embed=self.eeam_embed, asympot=True)
+            return forces_mod.compute_pair_forces(
+                scene, self.pair, self.cfg.ntypes,
+                count_neighbors=count_neighbors, asympot=True)
         if getattr(self, "use_pallas", False):
             from imd_tpu.ops.forces_pallas import (
                 compute_eam_forces_pallas, compute_eam_forces_pallas_mt,

@@ -218,3 +218,90 @@ ters_r_cut  3.0
     # Tersoff T3 silicon cohesive energy ~ -4.63 eV/atom
     assert -5.0 < epots[0] < -4.2
     assert abs(etots[-1] - etots[0]) < 5e-6 * abs(etots[0])
+
+
+def test_ternbcc_angular_function_and_forces():
+    """TERNBCC g(cos t) (imd_forces_covalent.c:578-593): branch values
+    and continuity; sw_energy(ternbcc=True) forces are the exact
+    gradient (the reference's dg is half the analytic derivative — a
+    documented defect we do not copy)."""
+    import numpy as np
+
+    from imd_tpu.models.covalent import SWParams, _ternbcc_g, sw_energy
+    from imd_tpu.ops.geometry import Box
+
+    # branch-point continuity and the BCC angles as minima:
+    # cos = -1 (180 deg), -1/3 (109.5), +1/3 (70.5) give g = 0
+    for c, want in [(-1.0, 0.0), (-1.0 / 3.0, 0.0), (1.0 / 3.0, 0.0),
+                    (0.0, 1.0 / 18.0), (-2.0 / 3.0, 1.0 / 18.0)]:
+        assert abs(float(_ternbcc_g(jnp.asarray(c, jnp.float64))) -
+                   want) < 1e-12
+    for b in (-5.0 / 6.0, -0.5, -1.0 / 6.0, 1.0 / 6.0):
+        lo = float(_ternbcc_g(jnp.asarray(b - 1e-9, jnp.float64)))
+        hi = float(_ternbcc_g(jnp.asarray(b + 1e-9, jnp.float64)))
+        assert abs(lo - hi) < 1e-7
+
+    rng = np.random.default_rng(0)
+    # small bcc cluster, jittered
+    a = 3.0
+    base = np.array([[i, j, k] for i in range(2) for j in range(2)
+                     for k in range(2)], float) * a
+    pos = np.concatenate([base, base + a / 2]) + rng.normal(0, 0.05,
+                                                            (16, 3))
+    box = Box.create([10 * a, 0, 0], [0, 10 * a, 0], [0, 0, 10 * a],
+                     dtype=jnp.float64)
+    P = SWParams()
+    mask = jnp.ones(16, bool)
+
+    def e(p, tern):
+        return sw_energy(jnp.asarray(p, jnp.float64), box, mask, P,
+                         ternbcc=tern)
+
+    assert abs(float(e(pos, True)) - float(e(pos, False))) > 1e-3
+    g = jax.grad(lambda p: e(p, True))(jnp.asarray(pos, jnp.float64))
+    h = 1e-6
+    for idx in [(0, 0), (9, 2)]:
+        d = np.zeros_like(pos)
+        d[idx] = h
+        fd = (float(e(pos + d, True)) - float(e(pos - d, True))) / (2 * h)
+        assert abs(fd - float(g[idx])) < 1e-6 * max(1.0, abs(fd))
+
+
+def test_ternbcc_param_file_driver(tmp_path):
+    """`ternbcc 1` + stiweb_* tags select the ternary-BCC angular term
+    from a parameter file."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    out = str(tmp_path / "tb")
+    cfg = SimConfig.from_params(parse_param_text(f"""
+coordname   _bcc
+outfiles    {out}
+box_param   3 3 3
+box_unit    3.0
+ntypes      1
+masses      28.0
+ensemble    nve
+timestep    0.02
+maxsteps    20
+starttemp   0.005
+eng_int     10
+pbc_dirs    1 1 1
+seed        2
+ternbcc     1
+stiweb_a    7.049556277
+stiweb_b    0.6022245584
+stiweb_p    4.0
+stiweb_q    0.0
+stiweb_a1   1.8
+stiweb_la   21.0
+stiweb_ga   1.2
+stiweb_de   2.1683
+"""))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    assert sim.flat_inter[0] == "stiweb-ternbcc"
+    sim.run()
+    eng = [ln.split() for ln in
+           open(out + ".eng").read().strip().splitlines()[1:]]
+    etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
+    assert abs(etots[-1] - etots[0]) < 1e-4 * max(abs(etots[0]), 1e-3)

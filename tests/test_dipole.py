@@ -117,3 +117,40 @@ r_cut       4.8
     etots = [e + 1.5 * t for e, t in zip(epots, temps)]
     assert epots[0] < -1.0          # bound ionic crystal
     assert abs(etots[-1] - etots[0]) < 2e-4 * abs(etots[0])
+
+
+def test_kermode_yukawa_screening():
+    """KERMODE: yuk_beta > 0 switches the electrostatic kernel to
+    exp(-beta r) * fc(r) / r with the cosine-integral smooth cutoff
+    (yukawa_smooth_function, imd_potential.c; tags imd_param.c:3488).
+    Energy stays variational: forces match finite differences."""
+    pos, types = _sio2_cluster(5)
+    base = sio2_demo_params()._replace(dp_tol=1e-12)
+    P = base._replace(yuk_beta=0.4, yuk_smoothlength=1.0,
+                      r_cut=base.r_cut + 1.0)
+    e0 = float(dipole_energy(pos, types, P=base))
+    e1 = float(dipole_energy(pos, types, P=P))
+    assert np.isfinite(e1) and abs(e1 - e0) > 1e-6    # screening acts
+    # fc window: kernel is exactly zero beyond r_cut, exactly Yukawa
+    # below r_cut - 2*d
+    from imd_tpu.models.dipole import _field_tensors, _geometry
+    two = jnp.asarray([[0.0, 0, 0], [3.0, 0, 0]], jnp.float64)
+    t2 = jnp.asarray([0, 1], jnp.int32)
+    dr, r, nb = _geometry(two, t2, None, jnp.ones(2, bool), P)
+    _, _, _, taper, _ = _field_tensors(dr, r, nb, t2, P, jnp.float64)
+    assert abs(float(taper[0, 1]) - np.exp(-0.4 * 3.0)) < 1e-12
+    far = jnp.asarray([[0.0, 0, 0], [P.r_cut - 1e-6, 0, 0]], jnp.float64)
+    dr, r, nb = _geometry(far, t2, None, jnp.ones(2, bool), P)
+    _, _, _, taper, _ = _field_tensors(dr, r, nb, t2, P, jnp.float64)
+    assert abs(float(taper[0, 1])) < 1e-9
+    # forces remain the exact gradient with the screened kernel
+    e, f, p, iters = dipole_forces(pos, types, P=P)
+    h = 1e-6
+    for idx in [(1, 0), (6, 2)]:
+        d = np.zeros(pos.shape)
+        d[idx] = h
+
+        def etot(x):
+            return float(dipole_energy(jnp.asarray(x), types, P=P))
+        fd = -(etot(pos + d) - etot(pos - d)) / (2 * h)
+        assert abs(fd - float(f[idx])) < 2e-5 * max(1.0, abs(fd)), idx

@@ -135,3 +135,57 @@ def test_rebin_after_motion():
                                  scene.grid.box, pot, cutoff=scene.grid.cutoff)
     np.testing.assert_allclose(np.asarray(res.force.reshape(-1, 3))[mask],
                                np.asarray(F_ref)[mask], rtol=1e-8, atol=1e-8)
+
+
+def test_asympot_half_bonds_use_own_columns():
+    """ASYMPOT (do_forces, imd_forces_eam2.c:31-140): with an asymmetric
+    cross-type pair table, atom i takes force/energy from column
+    t_i*nt+t_j and atom j from the transposed column; the virial is the
+    mean of the two half-gradients."""
+    import numpy as np
+
+    from imd_tpu.models.potential import _make_table
+    from imd_tpu.ops.forces import compute_pair_forces
+    from imd_tpu.ops.geometry import Box, choose_grid
+    from imd_tpu.scene import make_scene
+
+    # smooth r^2-sampled columns: phi(r2) = a*(r2 - r2c)^2 inside r2c
+    r2 = np.linspace(0.25, 16.0, 800)
+    r2c = 16.0
+
+    def col(a):
+        return a * (r2 - r2c) ** 2
+
+    # col order [00, 01, 10, 11]; cross columns differ by 2x
+    a01, a10 = 0.03, 0.06
+    pot = _make_table([col(0.02), col(a01), col(a10), col(0.02)],
+                      [r2[0]] * 4, [r2c] * 4, [r2[1] - r2[0]] * 4,
+                      dtype=jnp.float64)
+    box = Box.create([12.0, 0, 0], [0, 12.0, 0], [0, 0, 12.0],
+                     dtype=jnp.float64)
+    pos = np.array([[4.0, 6.0, 6.0], [6.5, 6.0, 6.0]])   # r = 2.5
+    grid = choose_grid(box, 4.0, skin=0.3, n_atoms=2)
+    sc = make_scene(grid, jnp.asarray(pos), type=jnp.asarray([0, 1]),
+                    dtype=jnp.float64)
+    res = compute_pair_forces(sc, pot, ntypes=2, asympot=True)
+    ids = np.asarray(sc.id).reshape(-1)
+    order = np.argsort(ids[ids >= 0])
+    ep = np.asarray(res.epot).reshape(-1)[ids >= 0][order]
+    F = np.asarray(res.force).reshape(-1, 3)[ids >= 0][order]
+    rr2 = 2.5 ** 2
+    phi = lambda a: a * (rr2 - r2c) ** 2
+    dphi2 = lambda a: 2 * a * (rr2 - r2c)       # d phi / d r2
+    assert abs(ep[0] - 0.5 * phi(a01)) < 1e-8
+    assert abs(ep[1] - 0.5 * phi(a10)) < 1e-8
+    # engine grad convention: F_i = -sum 2*dphi/dr2 * dr ... the table
+    # interp returns 2*dV/d(r2) (= (1/r) dV/dr); check magnitudes
+    assert abs(F[0, 0] - (-2 * dphi2(a01)) * (pos[0, 0] - pos[1, 0])) < 1e-6
+    assert abs(F[1, 0] - (2 * dphi2(a10)) * (pos[0, 0] - pos[1, 0])) < 1e-6
+    # symmetric table: asympot is a no-op
+    pot_s = _make_table([col(0.02), col(a01), col(a01), col(0.02)],
+                        [r2[0]] * 4, [r2c] * 4, [r2[1] - r2[0]] * 4,
+                        dtype=jnp.float64)
+    ra = compute_pair_forces(sc, pot_s, ntypes=2, asympot=True)
+    rb = compute_pair_forces(sc, pot_s, ntypes=2, asympot=False)
+    assert float(jnp.max(jnp.abs(ra.force - rb.force))) < 1e-12
+    assert abs(float(ra.virial - rb.virial)) < 1e-12
