@@ -493,9 +493,13 @@ def lj_table(epsilon, sigma, r_cut, ntypes: int = 1, r_begin=None,
                 return eps * (s6 * s6 - 2.0 * s6)
 
             def dV(x, eps=eps, sig=sig):
+                # true dV/d(r^2); the reference's lj_aaa tail coefficient
+                # folds its (1/r)dV/dr grad through -0.25/(PT r2c)
+                # (imd_potential.c:862-863), which is exactly this value
+                # through _smoothed_samples' -dv0/(2 PT r2c)
                 s2 = sig * sig / x
                 s6 = s2 ** 3
-                return -6.0 * eps / x * (2.0 * s6 * s6 - 2.0 * s6)
+                return -6.0 * eps / x * (s6 * s6 - s6)
 
             cols.append(_smoothed_samples(V, dV, r2, r2c))
             begin.append(r2b)
@@ -532,6 +536,88 @@ def morse_table(epsilon, alpha, sigma, r_cut, ntypes: int = 1,
                 return eps * al * ex * (1.0 - ex) / r
 
             cols.append(_smoothed_samples(V, dV, r2, r2c))
+            begin.append(r2b)
+            end.append(r2c)
+            step.append((r2c - r2b) / (res - 1))
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def ljg_table(epsilon, sigma, ljg_eps, ljg_r0, ljg_sig, r_cut,
+              ntypes: int = 1, res: int = 1000,
+              dtype=jnp.float32) -> PotTable:
+    """Tabulated Lennard-Jones-Gauss (pair_int_ljg,
+    imd_potential.c:1457-1474): the IMD LJ form minus a Gaussian well
+    ljg_eps * exp(-(r - ljg_r0)^2 / (2 ljg_sig^2))."""
+    def tri(v, i, j):
+        if np.isscalar(v):
+            return float(v)
+        x, y = min(i, j), max(i, j)
+        return float(v[x * ntypes - x * (x + 1) // 2 + y])
+
+    cols, begin, end, step = [], [], [], []
+    for i in range(ntypes):
+        for j in range(ntypes):
+            eps, sig = tri(epsilon, i, j), tri(sigma, i, j)
+            ge, gr0 = tri(ljg_eps, i, j), tri(ljg_r0, i, j)
+            gs, rc = tri(ljg_sig, i, j), tri(r_cut, i, j)
+            r2b, r2c = (0.1 * sig) ** 2, rc * rc
+            r2 = np.linspace(r2b, r2c, res)
+
+            def V(x, eps=eps, sig=sig, ge=ge, gr0=gr0, gs=gs):
+                r = np.sqrt(x)
+                s6 = (sig * sig / x) ** 3
+                return (eps * (s6 * s6 - 2.0 * s6)
+                        - ge * np.exp(-0.5 * ((r - gr0) / gs) ** 2))
+
+            def dVdx(x, eps=eps, sig=sig, ge=ge, gr0=gr0, gs=gs):
+                r = np.sqrt(x)
+                s6 = (sig * sig / x) ** 3
+                dlj = -6.0 * eps / x * (s6 * s6 - s6)
+                u = (r - gr0) / gs
+                dg = ge * np.exp(-0.5 * u * u) * u / gs / (2.0 * r)
+                return dlj + dg
+
+            cols.append(_smoothed_samples(V, dVdx, r2, r2c))
+            begin.append(r2b)
+            end.append(r2c)
+            step.append((r2c - r2b) / (res - 1))
+    return _make_table(cols, begin, end, step, dtype)
+
+
+def buckingham_table(a, c, sigma, r_cut, ntypes: int = 1,
+                     res: int = 1000, dtype=jnp.float32) -> PotTable:
+    """Tabulated Buckingham potential (pair_int_buck,
+    imd_potential.c:1503-1516): V = A exp(-r/sigma) - C (sigma/r)^6,
+    with the standard quadratic cutoff smoothing at r_cut (the
+    reference's create_pot_table shift)."""
+    def tri(v, i, j):
+        if np.isscalar(v):
+            return float(v)
+        x, y = min(i, j), max(i, j)
+        return float(v[x * ntypes - x * (x + 1) // 2 + y])
+
+    cols, begin, end, step = [], [], [], []
+    for i in range(ntypes):
+        for j in range(ntypes):
+            A, C, sig, rc = (tri(a, i, j), tri(c, i, j),
+                             tri(sigma, i, j), tri(r_cut, i, j))
+            r2b, r2c = (0.1 * sig) ** 2, rc * rc
+            r2 = np.linspace(r2b, r2c, res)
+
+            def V(x, A=A, C=C, sig=sig):
+                r = np.sqrt(x)
+                s6 = (sig * sig / x) ** 3
+                return A * np.exp(-r / sig) - C * s6
+
+            # dV/dx with x = r^2:
+            #   d/dx [A e^{-r/sig}] = -A e^{-r/sig} / (2 r sig)
+            #   d/dx [-C (sig^2/x)^3] = 3 C sig^6 / x^4
+            def dVdx(x, A=A, C=C, sig=sig):
+                r = np.sqrt(x)
+                return (-A * np.exp(-r / sig) / (2.0 * r * sig)
+                        + 3.0 * C * (sig ** 6) / x ** 4)
+
+            cols.append(_smoothed_samples(V, dVdx, r2, r2c))
             begin.append(r2b)
             end.append(r2c)
             step.append((r2c - r2b) / (res - 1))

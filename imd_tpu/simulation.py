@@ -210,12 +210,45 @@ class Simulation:
                                              cfg.ntypes * cfg.ntypes, True,
                                              self.dtype))
             self.cutoff = math.sqrt(self.pair.max_end)
+        elif cfg.lj_epsilon and any(cfg.ljg_eps):
+            # Lennard-Jones-Gauss (pair_int_ljg, imd_potential.c:1457)
+            from imd_tpu.models.potential import ljg_table
+            rc = cfg.r_cut or tuple(2.5 * s for s in cfg.lj_sigma)
+            self.pair = _mode(ljg_table(list(cfg.lj_epsilon),
+                                        list(cfg.lj_sigma),
+                                        list(cfg.ljg_eps),
+                                        list(cfg.ljg_r0),
+                                        list(cfg.ljg_sig),
+                                        list(rc), cfg.ntypes,
+                                        dtype=self.dtype))
+            self.cutoff = math.sqrt(self.pair.max_end)
         elif cfg.lj_epsilon:
             rc = cfg.r_cut or tuple(2.5 * s for s in cfg.lj_sigma)
             self.pair = _mode(lj_table(list(cfg.lj_epsilon),
                                        list(cfg.lj_sigma),
                                        list(rc), cfg.ntypes,
                                        dtype=self.dtype))
+            self.cutoff = math.sqrt(self.pair.max_end)
+        elif cfg.morse_epsilon:
+            # analytic Morse generation (create_pot_table MORSE branch,
+            # imd_potential.c:874-882)
+            from imd_tpu.models.potential import morse_table
+            rc = cfg.r_cut or tuple(2.5 * s for s in cfg.morse_sigma)
+            self.pair = _mode(morse_table(list(cfg.morse_epsilon),
+                                          list(cfg.morse_alpha),
+                                          list(cfg.morse_sigma),
+                                          list(rc), cfg.ntypes,
+                                          dtype=self.dtype))
+            self.cutoff = math.sqrt(self.pair.max_end)
+        elif cfg.buck_a:
+            # analytic Buckingham (pair_int_buck, imd_potential.c:1503)
+            from imd_tpu.models.potential import buckingham_table
+            rc = cfg.r_cut or tuple(2.5 * s for s in cfg.buck_sigma)
+            self.pair = _mode(buckingham_table(list(cfg.buck_a),
+                                               list(cfg.buck_c),
+                                               list(cfg.buck_sigma),
+                                               list(rc), cfg.ntypes,
+                                               dtype=self.dtype))
             self.cutoff = math.sqrt(self.pair.max_end)
         elif self.flat_inter is None:
             raise ValueError("no potential configured "

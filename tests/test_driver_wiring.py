@@ -510,3 +510,111 @@ def test_select_needs_epot_gating():
     cfg3.nmoldyn_int = 4
     sel3 = SelectWriters(cfg3, box, (1, 1, 1), lambda s: s)
     assert not sel3.needs_epot(4)     # trajectory only
+
+
+def test_morse_analytic_potential(tmp_path):
+    """morse_epsilon/sigma/alpha generate the analytic Morse pair table
+    (create_pot_table MORSE branch, imd_potential.c:874) and run NVE."""
+    p = tmp_path / "m.imd"
+    p.write_text(f"""
+coordname _fcc
+box_param 4 4 4
+box_unit 3.7
+masses 63.5
+ntypes 1
+morse_epsilon 0.34
+morse_sigma 2.62
+morse_alpha 1.36
+r_cut 6.0
+starttemp 0.02
+timestep 0.05
+ensemble nve
+maxsteps 30
+eng_int 10
+outfiles {tmp_path / 'm'}
+""")
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float64,
+                                     engine="xla")
+    sim.run()
+    eng = [ln.split() for ln in
+           open(str(tmp_path / "m.eng")).read().strip().splitlines()[1:]]
+    etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
+    assert eng and float(eng[0][1]) < -0.5       # bound crystal
+    assert abs(etots[-1] - etots[0]) < 1e-5 * abs(etots[0])
+
+
+def test_buckingham_analytic_potential(tmp_path):
+    """buck_a/buck_c/buck_sigma generate the analytic Buckingham table
+    (pair_int_buck, imd_potential.c:1503) and run NVE."""
+    p = tmp_path / "b.imd"
+    p.write_text(f"""
+coordname _fcc
+box_param 4 4 4
+box_unit 4.2
+masses 40.0
+ntypes 1
+buck_a 1822.8
+buck_c 109.2
+buck_sigma 0.3165
+r_cut 8.0
+starttemp 0.015
+timestep 0.05
+ensemble nve
+maxsteps 30
+eng_int 10
+outfiles {tmp_path / 'b'}
+""")
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float64,
+                                     engine="xla")
+    sim.run()
+    eng = [ln.split() for ln in
+           open(str(tmp_path / "b.eng")).read().strip().splitlines()[1:]]
+    etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
+    assert abs(etots[-1] - etots[0]) < 1e-5 * max(abs(etots[0]), 1e-3)
+
+
+def test_ljg_analytic_potential(tmp_path):
+    """ljg_* tags add the Gaussian well to the LJ table (pair_int_ljg,
+    imd_potential.c:1457); gradient matches finite differences."""
+    import numpy as np
+
+    from imd_tpu.models.potential import lj_table, ljg_table
+    pt = ljg_table(1.0, 1.0, 0.5, 1.4, 0.2, 3.0, dtype=jnp.float64)
+    lj = lj_table(1.0, 1.0, 3.0, dtype=jnp.float64)
+    for r in (0.95, 1.4, 2.0):
+        v, g = pt.interp(0, jnp.asarray(r * r))
+        vlj, _ = lj.interp(0, jnp.asarray(r * r))
+        gauss = 0.5 * np.exp(-0.5 * ((r - 1.4) / 0.2) ** 2)
+        assert abs((float(v) - float(vlj)) + gauss) < 2e-3, r
+        h = 1e-5
+        v2, _ = pt.interp(0, jnp.asarray((r + h) ** 2))
+        num = (float(v2) - float(v)) / ((r + h) ** 2 - r * r)
+        assert abs(float(g) - 2 * num) < 5e-3 * max(1.0, abs(2 * num)), r
+    # end-to-end: the tag group dispatches from a parameter file
+    p = tmp_path / "g.imd"
+    p.write_text(f"""
+coordname _fcc
+box_param 3 3 3
+box_unit 1.5874
+masses 1.0
+ntypes 1
+lj_epsilon 1.0
+lj_sigma 1.0
+ljg_eps 0.3
+ljg_r0 1.6
+ljg_sig 0.25
+r_cut 2.5
+starttemp 0.02
+timestep 0.004
+ensemble nve
+maxsteps 30
+eng_int 10
+outfiles {tmp_path / 'g'}
+""")
+    sim = Simulation.from_param_file(str(p), dtype=jnp.float64,
+                                     engine="xla")
+    sim.run()
+    eng = [ln.split() for ln in
+           open(str(tmp_path / "g.eng")).read().strip().splitlines()[1:]]
+    etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
+    assert abs(etots[-1] - etots[0]) < 1e-5 * max(abs(etots[0]), 1e-3)

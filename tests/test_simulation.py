@@ -216,6 +216,9 @@ def test_ensemble_cg_relaxes(tmp_path):
     text = PARAM_LJ.format(out=out).replace("ensemble    nve",
                                             "ensemble    cg")
     text = text.replace("starttemp   0.03", "starttemp   0")
+    # more line-min cycles than the NVE base: the 5%-of-f0 bound below
+    # needs CG to actually converge, not just descend
+    text = text.replace("maxsteps    60", "maxsteps    200")
     text += "fnorm_threshold 1e-6\n"
     p = tmp_path / "cg.imd"
     p.write_text(text)
