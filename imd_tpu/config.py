@@ -535,7 +535,7 @@ class SimConfig:
     lindef_x: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     lindef_y: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     lindef_z: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    lindef_freq: int = 0
+    lindef_freq: float = 0.0   # CYCLE: cyclic-deformation frequency
     relax_rate: float = 0.0
     relax_mode: int = 0
     relax_dirs: Tuple[int, int, int] = (1, 1, 1)

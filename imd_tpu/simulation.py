@@ -2029,11 +2029,25 @@ class Simulation:
                         and gstep % cfg.lindef_interval == 0):
                     from imd_tpu.models import deform as deform_mod
                     from imd_tpu.scene import rebin as _rebin
+                    scale = cfg.lindef_size
+                    if cfg.lindef_freq > 0:
+                        # CYCLE: cyclic strain of amplitude lindef_size
+                        # at frequency lindef_freq — the per-step ratio
+                        # increment ri (imd_main_3d.c:234-245)
+                        # our hook fires AFTER step gstep (the
+                        # reference's fires before), so the increment is
+                        # sin(w gstep)/sin(w (gstep-1)) — the cumulative
+                        # box trajectory (amp sin(w t) + 1) is identical
+                        w = 2.0 * math.pi * cfg.lindef_freq * cfg.timestep
+                        amp = cfg.lindef_size - 1.0
+                        scale = ((amp * math.sin(w * gstep) + 1.0)
+                                 / (amp * math.sin(w * (gstep - 1)) + 1.0)
+                                 - 1.0)
                     state = state.replace(scene=_rebin(
                         deform_mod.lin_deform(
                             state.scene, cfg.lindef_x, cfg.lindef_y,
                             cfg.lindef_z,
-                            jnp.asarray(cfg.lindef_size, self.dtype))))
+                            jnp.asarray(scale, self.dtype))))
                 if ("deform" in dyn_deform
                         and gstep % cfg.max_deform_int == 0):
                     from imd_tpu.models import deform as deform_mod

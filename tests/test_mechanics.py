@@ -287,3 +287,24 @@ def test_deform_sample_dynamic(tmp_path):
     # vtype 1 is fully restricted (no dynamics): its x motion is purely
     # the two deform events of +0.05 each
     np.testing.assert_allclose((x1[o1] - x0[o0])[sel], 0.10, atol=1e-5)
+
+
+def test_cycle_cyclic_deformation(tmp_path):
+    """CYCLE (imd_main_3d.c:234-245 + init_cycle, imd_deform.c:273):
+    with lindef_freq set, the lindef strain becomes the cyclic ratio
+    increment — box_x tracks (lindef_size-1) sin(2 pi f t) + 1, peaking
+    at lindef_size at the quarter period and returning to the original
+    length after a full period."""
+    # period T = 1/f = 40 steps * dt(0.1) -> f = 0.25
+    sim = _sim(tmp_path,
+               "maxsteps 40\nlindef_int 1\nlindef_size 1.004\n"
+               "lindef_freq 0.25\nlindef_x 1 0 0\nstarttemp 0.001\n",
+               "cyc")
+    bx0 = float(np.asarray(sim.box.h)[0, 0])
+    st = sim.run(steps=10)                     # quarter period: peak
+    bx_peak = float(np.asarray(st.scene.grid.box.h)[0, 0])
+    np.testing.assert_allclose(bx_peak, bx0 * 1.004, rtol=1e-5)
+    st = sim.run(steps=30)                     # full period: back
+    bx_full = float(np.asarray(st.scene.grid.box.h)[0, 0])
+    np.testing.assert_allclose(bx_full, bx0, rtol=1e-5)
+    assert int(st.scene.overflow) == 0
