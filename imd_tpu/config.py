@@ -742,6 +742,8 @@ class SimConfig:
     # TERNBCC (imd_forces_covalent.c:461): ternary-BCC angular g(cos t)
     # replaces the SW (cos t + 1/3)^2 term
     ternbcc: int = 0
+    # XT (imd_forces_covalent.c:265): same g(cos t) in the TTBP term
+    xt: int = 0
     relaxinfo: int = 0
     getmin: int = 0
     getsaddle: int = 0

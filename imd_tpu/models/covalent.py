@@ -215,9 +215,13 @@ def _ttbp_smooth(r, r_cut):
 
 
 def ttbp_energy(pos, box=None, mask=None, P: TTBPParams = TTBPParams(),
-                pair_fn=None, smooth_fn=None):
+                pair_fn=None, smooth_fn=None, xt: bool = False):
     """Total TTBP energy (3-body + optional tabulated pair term);
-    differentiable."""
+    differentiable.
+
+    ``xt`` (the XT flag, imd_forces_covalent.c:265-270) swaps the
+    Fourier angular term (cos t + 1/sp)^2 for the piecewise ternary-BCC
+    g(cos t) shared with TERNBCC."""
     if mask is None:
         mask = jnp.ones(pos.shape[0], bool)
     P = TTBPParams(*[jnp.asarray(v, pos.dtype) for v in P])
@@ -227,7 +231,7 @@ def ttbp_energy(pos, box=None, mask=None, P: TTBPParams = TTBPParams(),
     f = jnp.where(nb, f, 0.0)
     cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
                                                   * r[:, None, :])
-    ang = (cosjk + 1.0 / P.sp) ** 2
+    ang = _ternbcc_g(cosjk) if xt else (cosjk + 1.0 / P.sp) ** 2
     w = f[:, :, None] * f[:, None, :]
     valid3 = nb[:, :, None] & nb[:, None, :] \
         & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]

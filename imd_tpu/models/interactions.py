@@ -92,9 +92,12 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
             sp=_first(cfg.ttbp_sp, d.sp),
             r_cut=_first(cfg.ttbp_cut, d.r_cut))
 
+        xt = bool(getattr(cfg, "xt", 0))
+
         def efn(pos, types, mask, box):
-            return cov.ttbp_energy(pos, box, mask, P)
-        return ("ttbp", float(P.r_cut), efn, True)
+            return cov.ttbp_energy(pos, box, mask, P, xt=xt)
+        return ("ttbp" if not xt else "ttbp-xt",
+                float(P.r_cut), efn, True)
 
     if (any((cfg.ters_a, cfg.ters_b, cfg.ters_la, cfg.ters_mu,
              cfg.ters_r_cut, cfg.ters_r0, cfg.ters_n, cfg.ters_c))

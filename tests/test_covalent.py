@@ -305,3 +305,36 @@ stiweb_de   2.1683
            open(out + ".eng").read().strip().splitlines()[1:]]
     etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
     assert abs(etots[-1] - etots[0]) < 1e-4 * max(abs(etots[0]), 1e-3)
+
+
+def test_xt_ttbp_angular_variant():
+    """XT (imd_forces_covalent.c:265): TTBP's angular term becomes the
+    piecewise ternary-BCC g(cos t); autodiff forces stay exact."""
+    import numpy as np
+
+    from imd_tpu.models.covalent import TTBPParams, ttbp_energy
+
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, 5.0, (10, 3))
+    for _ in range(30):
+        d = pos[None] - pos[:, None]
+        r = np.linalg.norm(d, axis=-1) + np.eye(10) * 9
+        i, j = divmod(int(np.argmin(r)), 10)
+        if r[i, j] > 1.5:
+            break
+        pos[j] += 0.3 * (pos[j] - pos[i]) / r[i, j]
+    P = TTBPParams()
+    mask = jnp.ones(10, bool)
+
+    def e(p, xtf):
+        return ttbp_energy(jnp.asarray(p, jnp.float64), None, mask, P,
+                           xt=xtf)
+
+    assert abs(float(e(pos, True)) - float(e(pos, False))) > 1e-6
+    g = jax.grad(lambda p: e(p, True))(jnp.asarray(pos, jnp.float64))
+    h = 1e-6
+    for idx in [(0, 1), (7, 0)]:
+        d = np.zeros_like(pos)
+        d[idx] = h
+        fd = (float(e(pos + d, True)) - float(e(pos - d, True))) / (2 * h)
+        assert abs(fd - float(g[idx])) < 1e-6 * max(1.0, abs(fd))
