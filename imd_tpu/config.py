@@ -744,6 +744,9 @@ class SimConfig:
     ternbcc: int = 0
     # XT (imd_forces_covalent.c:265): same g(cos t) in the TTBP term
     xt: int = 0
+    # FORCE (imd_io.c:1909): every force_int also write the potfit
+    # reference-configuration `.force` file
+    force_potfit: int = 0
     relaxinfo: int = 0
     getmin: int = 0
     getsaddle: int = 0

@@ -520,3 +520,31 @@ def write_nb(path, flat, nbanz, box_h, pbc, lower, upper, pic_ll=None,
                       f"{flat['mass'][k]:12f} {p[0]:12f} {p[1]:12f} "
                       f"{p[2]:12f} {v[0]:12f} {v[1]:12f} {v[2]:12f} "
                       f"{flat['epot'][k]:12f}\n")
+
+
+def write_force_potfit(path, flat, box_h, pbc, epot_per_atom,
+                       presstens=None, volume=None):
+    """FORCE `.force` file (write_config_force, imd_io.c:1909-1985): the
+    potfit reference-configuration format — `#N natoms 1`, box, `#E`
+    cohesive energy, optional `#S` stress, then
+    `type x y z fx fy fz` per atom (all atoms, no filter)."""
+    n = len(flat["type"])
+    with open(path, "w") as out:
+        out.write(f"#N {n} 1\n")
+        h = np.asarray(box_h, np.float64)
+        out.write(f"#X {h[0,0]:.16e} {h[0,1]:.16e} {h[0,2]:.16e}\n")
+        out.write(f"#Y {h[1,0]:.16e} {h[1,1]:.16e} {h[1,2]:.16e}\n")
+        out.write(f"#Z {h[2,0]:.16e} {h[2,1]:.16e} {h[2,2]:.16e}\n")
+        out.write(f"##PBC {int(pbc[0])} {int(pbc[1])} {int(pbc[2])}\n")
+        out.write(f"#E {epot_per_atom:.16e}\n")
+        if presstens is not None and volume:
+            p = np.asarray(presstens, np.float64) / float(volume)
+            # reference order: xx yy zz xy yz zx (imd_io.c:1934-1937)
+            out.write(f"#S {p[0]:.8e} {p[1]:.8e} {p[2]:.8e} "
+                      f"{p[5]:.8e} {p[3]:.8e} {p[4]:.8e}\n")
+        out.write("#F\n")
+        typ = flat["vtype"].astype(int)
+        for k in range(n):
+            p_, F = flat["pos"][k], flat["force"][k]
+            out.write(f"{typ[k]} {p_[0]:.16e} {p_[1]:.16e} {p_[2]:.16e} "
+                      f"{F[0]:.16e} {F[1]:.16e} {F[2]:.16e}\n")

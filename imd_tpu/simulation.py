@@ -2785,11 +2785,19 @@ class Simulation:
         m = np.asarray(flat["mask"])
         fl = {k: np.asarray(v)[m] for k, v in flat.items() if k != "mask"}
         if wf_due:
-            from imd_tpu.io.select import write_wf
+            from imd_tpu.io.select import write_force_potfit, write_wf
             write_wf(self._path(
                 f"{cfg.outfiles}.{gstep // cfg.force_int}.wf"),
                 fl, np.asarray(self.box.h), self.box.pbc,
                 force_all=bool(cfg.force_all))
+            if cfg.force_potfit:
+                n = max(len(fl["epot"]), 1)
+                write_force_potfit(self._path(
+                    f"{cfg.outfiles}.{gstep // cfg.force_int}.force"),
+                    fl, np.asarray(self.box.h), self.box.pbc,
+                    float(fl["epot"].sum()) / n,
+                    presstens=np.asarray(state.presstens),
+                    volume=float(state.scene.grid.box.volume))
         if nb_due:
             from imd_tpu.io.select import write_nb
             from imd_tpu.ops.forces import compute_nbanz

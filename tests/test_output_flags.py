@@ -101,3 +101,25 @@ getmin 1
     from imd_tpu.io.chkpt import read_chkpt
     d = read_chkpt(str(mins[0]))
     assert d.n == 384
+
+
+def test_force_potfit_file(tmp_path):
+    """`force_potfit 1` adds the potfit reference-configuration .force
+    file at the force_int cadence (write_config_force, imd_io.c:1909)."""
+    p = tmp_path / "t.imd"
+    p.write_text(BASE.format(out=tmp_path / "out") + """
+maxsteps 4
+force_int 4
+force_potfit 1
+eng_int 4
+""")
+    sim = Simulation.from_param_file(str(p), engine="xla")
+    sim.run()
+    txt = (tmp_path / "out.1.force").read_text().splitlines()
+    assert txt[0] == "#N 384 1"
+    assert txt[5].startswith("#E ")
+    assert txt[6].startswith("#S ")
+    assert txt[7] == "#F"
+    rows = np.array([[float(v) for v in ln.split()] for ln in txt[8:]])
+    assert rows.shape == (384, 7)
+    assert np.abs(rows[:, 4:].sum(axis=0)).max() < 1e-3
