@@ -151,6 +151,146 @@ def tersoff_energy(pos, box=None, mask=None,
     return e
 
 
+class TersoffMultiParams(NamedTuple):
+    """Multi-species Tersoff with [nt, nt] pair-matrix parameters
+    (init_tersoff, imd_forces_covalent.c:1447-1514).  ``B`` already
+    carries the absorbed chi mixing factor; ``om`` has unit diagonal.
+    The angular parameters ga/n/c2/d2/h are ALSO [nt, nt] matrices:
+    for the reference's base TERSOFF build g(cos t) depends only on
+    the center type (rows broadcast a per-type value,
+    imd_forces_covalent.c:731-734), while the TERSOFF2 build fits them
+    per type pair (covalent.c:726-730) — both are the same matrix
+    gather here."""
+    r0: jnp.ndarray       # fc == 1 below (ter_r0)
+    r_cut: jnp.ndarray    # fc == 0 above (ter_r_cut)
+    A: jnp.ndarray        # repulsive prefactor (ter_a)
+    B: jnp.ndarray        # attractive prefactor x chi (ter_b)
+    la: jnp.ndarray       # repulsive decay (ter_la)
+    mu: jnp.ndarray       # attractive decay (ter_mu)
+    om: jnp.ndarray       # zeta weight omega (ter_om, diag 1)
+    ga: jnp.ndarray       # gamma in b_ij (ter_ga)
+    n: jnp.ndarray        # exponent n (ter_n)
+    c2: jnp.ndarray       # c^2 (ter_c2)
+    d2: jnp.ndarray       # d^2 (ter_d2)
+    h: jnp.ndarray        # angular offset (ter_h)
+
+
+def tersoff_multi_energy(pos, types, box=None, mask=None,
+                         P: TersoffMultiParams = None):
+    """Total multi-species Tersoff energy; differentiable.
+
+    The half-cosine cutoff runs ter_r0..ter_r_cut per type pair
+    (imd_forces_covalent.c:685-699); zeta sums fc_ik om[ti,tk]
+    g(cos theta_jik) over k != j with the angular function indexed by
+    the (ti, tj) bond (covalent.c:723-736)."""
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    P = TersoffMultiParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    ti, tj = types[:, None], types[None, :]
+
+    def pp(m):
+        return m[ti, tj]
+
+    r0, rc = pp(P.r0), pp(P.r_cut)
+    inside = off & (r < rc)
+    t = math.pi * (r - r0) / jnp.maximum(rc - r0, 1e-12)
+    fc = jnp.where(r < r0, 1.0,
+                   jnp.where(r < rc, 0.5 * (1.0 + jnp.cos(t)), 0.0))
+    fc = jnp.where(inside, fc, 0.0)
+    phi_r = pp(P.A) * jnp.exp(-pp(P.la) * r)
+    phi_a = -pp(P.B) * jnp.exp(-pp(P.mu) * r)
+
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    h, c2, d2 = (pp(P.h)[:, :, None], pp(P.c2)[:, :, None],
+                 pp(P.d2)[:, :, None])
+    gth = 1.0 + c2 / d2 - c2 / (d2 + (h - cosjk) ** 2)
+    w_ik = (fc * pp(P.om))[:, None, :]          # fc_ik om[ti,tk], k last
+    valid3 = inside[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    zeta = jnp.sum(jnp.where(valid3, w_ik * gth, 0.0), axis=2)
+    # zeta == 0 (lone bond): b_ij = 1 exactly; the guarded where keeps
+    # the n<1 power's gradient finite there (the reference special-cases
+    # this with tmp_5 = 0, covalent.c:794-795)
+    ga, n_ = pp(P.ga), pp(P.n)
+    lone = zeta <= 0.0
+    tmp4 = jnp.where(lone, 0.0, (ga * jnp.where(lone, 1.0, zeta)) ** n_)
+    b_ij = (1.0 + tmp4) ** (-0.5 / n_)
+    return 0.5 * jnp.sum(fc * (phi_r + b_ij * phi_a))
+
+
+class TersoffModMultiParams(NamedTuple):
+    """Multi-species modified Tersoff, [nt, nt] matrices throughout
+    (init_tersoffmod, imd_forces_covalent.c:1525-1573; the base
+    TERSOFFMOD build broadcasts per-type angular values across rows,
+    TERSOFFMOD2 fits them per pair).  ``beta`` holds small integer
+    exponents (1..3)."""
+    r0: jnp.ndarray
+    r_cut: jnp.ndarray
+    A: jnp.ndarray
+    B: jnp.ndarray
+    la: jnp.ndarray
+    mu: jnp.ndarray
+    eta: jnp.ndarray
+    delta: jnp.ndarray
+    alpha: jnp.ndarray
+    beta: jnp.ndarray     # integer exponent matrix
+    c1: jnp.ndarray
+    c2: jnp.ndarray
+    c3: jnp.ndarray
+    c4: jnp.ndarray
+    c5: jnp.ndarray
+    h: jnp.ndarray
+
+
+def tersoffmod_multi_energy(pos, types, box=None, mask=None,
+                            P: TersoffModMultiParams = None):
+    """Total multi-species MOD-Tersoff energy; differentiable."""
+    if mask is None:
+        mask = jnp.ones(pos.shape[0], bool)
+    beta_i = np.asarray(P.beta, np.int32)
+    P = TersoffModMultiParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r, off = _pairs(pos, box, mask)
+    ti, tj = types[:, None], types[None, :]
+
+    def pp(m):
+        return m[ti, tj]
+
+    r0, rc = pp(P.r0), pp(P.r_cut)
+    inside = off & (r < rc)
+    fc = jnp.where(inside, _tersoffmod_fc(r, r0, rc), 0.0)
+
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    ht = pp(P.h)[:, :, None] - cosjk
+    c1, c2, c3 = (pp(P.c1)[:, :, None], pp(P.c2)[:, :, None],
+                  pp(P.c3)[:, :, None])
+    c4, c5 = pp(P.c4)[:, :, None], pp(P.c5)[:, :, None]
+    g = c1 + c2 * ht * ht / (c3 + ht * ht) \
+        * (1.0 + c4 * jnp.exp(-c5 * ht * ht))
+    # exp(alpha (r_ij - r_ik)^beta) with per-pair INTEGER beta: the
+    # difference can be negative, so select among the small-integer
+    # powers instead of a float pow (sign must survive odd exponents)
+    drik = r[:, :, None] - r[:, None, :]
+    bmat = jnp.asarray(beta_i)[ti, tj][:, :, None]
+    powb = jnp.where(bmat == 1, drik,
+                     jnp.where(bmat == 2, drik * drik,
+                               drik * drik * drik))
+    ex = jnp.exp(pp(P.alpha)[:, :, None] * powb)
+    valid3 = inside[:, None, :] \
+        & ~jnp.eye(pos.shape[0], dtype=bool)[None, :, :]
+    zeta = jnp.sum(jnp.where(valid3, fc[:, None, :] * g * ex, 0.0),
+                   axis=2)
+    eta, delta = pp(P.eta), pp(P.delta)
+    lone = zeta <= 0.0
+    zpow = jnp.where(lone, 0.0, jnp.where(lone, 1.0, zeta) ** eta)
+    b = (1.0 + zpow) ** (-delta)
+    phi = 0.5 * (pp(P.A) * jnp.exp(-pp(P.la) * r)
+                 - b * pp(P.B) * jnp.exp(-pp(P.mu) * r))
+    return jnp.sum(fc * phi)
+
+
 def covalent_forces(energy_fn, pos, box=None, mask=None, params=None):
     """(F, E) via autodiff (replaces do_forces2's hand-derived 3-body
     force assembly, imd_forces_covalent.c)."""

@@ -34,6 +34,47 @@ def _first(t, default):
     return float(t[0]) if t else float(default)
 
 
+def _pair_upper(vals, nt, default):
+    """[nt, nt] symmetric matrix from the reference's ntypepairs-ordered
+    flat tag (upper triangle row-major, init_tersoff
+    imd_forces_covalent.c:1459-1476); short tags repeat the last value."""
+    m = np.full((nt, nt), float(default))
+    k = 0
+    for i in range(nt):
+        for j in range(i, nt):
+            if vals:
+                m[i, j] = m[j, i] = float(vals[min(k, len(vals) - 1)])
+            k += 1
+    return m
+
+
+def _offdiag(vals, nt, diag):
+    """[nt, nt] matrix with fixed diagonal and the reference's
+    off-diagonal-only tag layout (index i(2nt-i-3)/2 + j - 1, used for
+    ters_chi/ters_om, imd_forces_covalent.c:1480-1495)."""
+    m = np.full((nt, nt), float(diag))
+    for i in range(nt - 1):
+        for j in range(i + 1, nt):
+            k = i * (2 * nt - i - 3) // 2 + j - 1
+            if vals:
+                m[i, j] = m[j, i] = float(vals[min(k, len(vals) - 1)])
+    return m
+
+
+def _angular(vals, nt, default, pair_layout):
+    """Angular-parameter matrix: TERSOFF(2)'s g() params come as ntypes
+    per-CENTER-type values (base build; rows broadcast) or ntypepairs
+    per-bond values (the '2' build), imd_param.c:5094-5108."""
+    npairs = nt * (nt + 1) // 2
+    if pair_layout or (nt > 1 and vals and len(vals) == npairs):
+        return _pair_upper(vals, nt, default)
+    m = np.full((nt, nt), float(default))
+    for i in range(nt):
+        if vals:
+            m[i, :] = float(vals[min(i, len(vals) - 1)])
+    return m
+
+
 def select_flat_interaction(cfg, dtype, pair_table=None):
     """Returns (name, cutoff, energy_fn, additive) or None.
 
@@ -101,9 +142,66 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
 
     if (any((cfg.ters_a, cfg.ters_b, cfg.ters_la, cfg.ters_mu,
              cfg.ters_r_cut, cfg.ters_r0, cfg.ters_n, cfg.ters_c))
-            or inter in ("tersoff", "tersoffmod")):
-        mod = (inter == "tersoffmod" or bool(cfg.ters_c1)
+            or inter in ("tersoff", "tersoffmod",
+                         "tersoff2", "tersoffmod2")):
+        mod = (inter in ("tersoffmod", "tersoffmod2") or bool(cfg.ters_c1)
                or bool(cfg.ters_eta) or bool(cfg.ters_delta))
+        nt = max(cfg.ntypes, 1)
+        pair2 = inter in ("tersoff2", "tersoffmod2")
+        if nt > 1 or pair2:
+            # multi-species path: pair-matrix parameters (TERSOFF/
+            # TERSOFFMOD with per-type angular terms, or the '2'
+            # variants with per-pair angular fits)
+            if mod:
+                d = cov.TersoffModParams()
+                P = cov.TersoffModMultiParams(
+                    r0=_pair_upper(cfg.ters_r0, nt, d.r0),
+                    r_cut=_pair_upper(cfg.ters_r_cut, nt, d.r_cut),
+                    A=_pair_upper(cfg.ters_a, nt, d.A),
+                    B=_pair_upper(cfg.ters_b, nt, d.B),
+                    la=_pair_upper(cfg.ters_la, nt, d.la),
+                    mu=_pair_upper(cfg.ters_mu, nt, d.mu),
+                    eta=_angular(cfg.ters_eta, nt, d.eta, pair2),
+                    delta=_angular(cfg.ters_delta, nt, d.delta, pair2),
+                    alpha=_angular(cfg.ters_alpha, nt, d.alpha, pair2),
+                    beta=np.rint(_angular(cfg.ters_beta, nt, d.beta,
+                                          pair2)).astype(np.int32),
+                    c1=_angular(cfg.ters_c1, nt, d.c1, pair2),
+                    c2=_angular(cfg.ters_c2, nt, d.c2, pair2),
+                    c3=_angular(cfg.ters_c3, nt, d.c3, pair2),
+                    c4=_angular(cfg.ters_c4, nt, d.c4, pair2),
+                    c5=_angular(cfg.ters_c5, nt, d.c5, pair2),
+                    h=_angular(cfg.ters_h, nt, d.h, pair2))
+
+                def efn(pos, types, mask, box):
+                    return cov.tersoffmod_multi_energy(pos, types, box,
+                                                       mask, P)
+                return ("tersoffmod2" if pair2 else "tersoffmod",
+                        float(P.r_cut.max()), efn, False)
+            d = cov.TersoffParams()
+            cmat = _angular(cfg.ters_c, nt, d.c, pair2)
+            dmat = _angular(cfg.ters_d, nt, d.d, pair2)
+            # absorb the off-diagonal chi mixing into B
+            # (imd_forces_covalent.c:1480-1487)
+            bmat = _pair_upper(cfg.ters_b, nt, d.B) \
+                * _offdiag(cfg.ters_chi, nt, 1.0)
+            P = cov.TersoffMultiParams(
+                r0=_pair_upper(cfg.ters_r0, nt, d.R - d.D),
+                r_cut=_pair_upper(cfg.ters_r_cut, nt, d.R + d.D),
+                A=_pair_upper(cfg.ters_a, nt, d.A),
+                B=bmat,
+                la=_pair_upper(cfg.ters_la, nt, d.lam1),
+                mu=_pair_upper(cfg.ters_mu, nt, d.lam2),
+                om=_offdiag(cfg.ters_om, nt, 1.0),
+                ga=_angular(cfg.ters_ga, nt, d.beta, pair2),
+                n=_angular(cfg.ters_n, nt, d.n, pair2),
+                c2=cmat * cmat, d2=dmat * dmat,
+                h=_angular(cfg.ters_h, nt, d.h, pair2))
+
+            def efn(pos, types, mask, box):
+                return cov.tersoff_multi_energy(pos, types, box, mask, P)
+            return ("tersoff2" if pair2 else "tersoff",
+                    float(P.r_cut.max()), efn, False)
         if mod:
             d = cov.TersoffModParams()
             P = cov.TersoffModParams(

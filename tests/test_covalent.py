@@ -338,3 +338,156 @@ def test_xt_ttbp_angular_variant():
         d[idx] = h
         fd = (float(e(pos + d, True)) - float(e(pos - d, True))) / (2 * h)
         assert abs(fd - float(g[idx])) < 1e-6 * max(1.0, abs(fd))
+
+
+def _full(nt, v):
+    return np.full((nt, nt), float(v))
+
+
+def _tersoff_multi_uniform(nt):
+    d = cv.TersoffParams()
+    return cv.TersoffMultiParams(
+        r0=_full(nt, d.R - d.D), r_cut=_full(nt, d.R + d.D),
+        A=_full(nt, d.A), B=_full(nt, d.B), la=_full(nt, d.lam1),
+        mu=_full(nt, d.lam2), om=_full(nt, 1.0), ga=_full(nt, d.beta),
+        n=_full(nt, d.n), c2=_full(nt, d.c * d.c),
+        d2=_full(nt, d.d * d.d), h=_full(nt, d.h))
+
+
+def test_tersoff_multi_reduces_to_single():
+    """With uniform pair matrices the multi-species engine reproduces
+    the single-species T3 energy bit-for-bit (same functional form;
+    the half-cosine r0..r_cut window equals the sin form at R +/- D)."""
+    pos, box = _si(a=5.432)
+    n = pos.shape[0]
+    types = jnp.asarray(np.arange(n) % 2)
+    e_multi = float(cv.tersoff_multi_energy(
+        pos, types, box, P=_tersoff_multi_uniform(2)))
+    e_single = float(cv.tersoff_energy(pos, box))
+    assert e_multi == pytest.approx(e_single, rel=1e-12, abs=1e-10)
+
+
+def test_tersoff_multi_fd_forces_and_pair_asymmetry():
+    """TERSOFF2-style per-pair parameters: autodiff forces match finite
+    differences, and perturbing only the (0,1) bond channel leaves a
+    pure type-0 system's energy unchanged."""
+    pos, box = _si()
+    n = pos.shape[0]
+    rng = np.random.default_rng(3)
+    pos = pos + jnp.asarray(0.06 * rng.standard_normal((n, 3)),
+                            jnp.float64)
+    types = jnp.asarray(rng.integers(0, 2, n))
+    P = _tersoff_multi_uniform(2)
+    # per-pair asymmetry: soften the 0-1 bond, shift its angular h
+    B = P.B.copy(); B[0, 1] = B[1, 0] = 0.8 * B[0, 1]
+    h = P.h.copy(); h[0, 1] = h[1, 0] = -0.4
+    P = P._replace(B=B, h=h)
+
+    def efn(p):
+        return cv.tersoff_multi_energy(p, types, box, P=P)
+
+    F = -jax.grad(efn)(pos)
+    e0 = efn(pos)
+    eps = 1e-6
+    for idx in [(1, 0), (7, 2), (12, 1)]:
+        pp = pos.at[idx].add(eps)
+        pm = pos.at[idx].add(-eps)
+        f_fd = -(efn(pp) - efn(pm)) / (2 * eps)
+        assert float(F[idx]) == pytest.approx(float(f_fd), rel=1e-5,
+                                              abs=1e-8)
+    # pure type-0 system never touches the perturbed 0-1/1-1 channels
+    t0 = jnp.zeros(n, jnp.int32)
+    e_pert = float(cv.tersoff_multi_energy(pos, t0, box, P=P))
+    e_base = float(cv.tersoff_multi_energy(pos, t0, box,
+                                           P=_tersoff_multi_uniform(2)))
+    assert e_pert == pytest.approx(e_base, rel=1e-14)
+    assert float(e0) != pytest.approx(e_base, rel=1e-6)
+
+
+def test_tersoffmod_multi_reduces_and_fd():
+    """Multi-species MOD-Tersoff: uniform matrices reproduce the
+    single-species Kumagai energy; forces match finite differences
+    with a per-pair integer-beta mix (odd exponent sign preserved)."""
+    d = cv.TersoffModParams()
+    nt = 2
+
+    def mk(beta01=1):
+        beta = np.ones((nt, nt), np.int32)
+        beta[0, 1] = beta[1, 0] = beta01
+        return cv.TersoffModMultiParams(
+            r0=_full(nt, d.r0), r_cut=_full(nt, d.r_cut),
+            A=_full(nt, d.A), B=_full(nt, d.B), la=_full(nt, d.la),
+            mu=_full(nt, d.mu), eta=_full(nt, d.eta),
+            delta=_full(nt, d.delta), alpha=_full(nt, d.alpha),
+            beta=beta, c1=_full(nt, d.c1), c2=_full(nt, d.c2),
+            c3=_full(nt, d.c3), c4=_full(nt, d.c4),
+            c5=_full(nt, d.c5), h=_full(nt, d.h))
+
+    pos, box = _si(a=5.429)
+    n = pos.shape[0]
+    types = jnp.asarray(np.arange(n) % 2)
+    e_multi = float(cv.tersoffmod_multi_energy(pos, types, box,
+                                               P=mk(1)))
+    e_single = float(cv.tersoffmod_energy(pos, box))
+    assert e_multi == pytest.approx(e_single, rel=1e-12)
+
+    rng = np.random.default_rng(5)
+    pos = pos + jnp.asarray(0.05 * rng.standard_normal((n, 3)),
+                            jnp.float64)
+    P = mk(beta01=3)   # cubic exponent on the 0-1 channel
+
+    def efn(p):
+        return cv.tersoffmod_multi_energy(p, types, box, P=P)
+
+    F = -jax.grad(efn)(pos)
+    e = efn(pos)
+    assert np.isfinite(float(e))
+    eps = 1e-6
+    for idx in [(0, 1), (9, 0)]:
+        pp = pos.at[idx].add(eps)
+        pm = pos.at[idx].add(-eps)
+        f_fd = -(efn(pp) - efn(pm)) / (2 * eps)
+        assert float(F[idx]) == pytest.approx(float(f_fd), rel=1e-5,
+                                              abs=1e-8)
+
+
+def test_tersoff2_param_file_dispatch(tmp_path):
+    """ters_* tags with ntypes 2 route through the multi-species engine;
+    `interaction tersoff2` forces the per-pair angular layout
+    (imd_param.c:5094-5108: nvalues = ntypepairs for TERSOFF2)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.models.interactions import select_flat_interaction
+
+    base = """
+coordname   _dia
+ntypes      2
+masses      28.0855 28.0855
+ensemble    nve
+timestep    0.02
+maxsteps    1
+ters_r0     2.4 2.4 2.4
+ters_r_cut  3.0 3.0 3.0
+"""
+    cfg = SimConfig.from_params(parse_param_text(base))
+    got = select_flat_interaction(cfg, jnp.float64)
+    assert got is not None and got[0] == "tersoff"
+    assert got[1] == pytest.approx(3.0)
+
+    # 3 = ntypepairs angular values -> inferred pair layout even
+    # without the override; explicit tersoff2 gives the same
+    cfg2 = SimConfig.from_params(parse_param_text(
+        base + "ters_h -0.6 -0.4 -0.6\ninteraction tersoff2\n"))
+    name2, _, efn2, _ = select_flat_interaction(cfg2, jnp.float64)
+    assert name2 == "tersoff2"
+    pos, box = _si()
+    n = pos.shape[0]
+    types = jnp.asarray(np.arange(n) % 2)
+    mask = jnp.ones(n, bool)
+    e2 = float(efn2(pos, types, mask, box))
+    cfg1 = SimConfig.from_params(parse_param_text(
+        base + "ters_h -0.6 -0.6\n"))
+    _, _, efn1, _ = select_flat_interaction(cfg1, jnp.float64)
+    e1 = float(efn1(pos, types, mask, box))
+    # the pair-indexed h on the 0-1 bond changes the mixed-bond energy
+    assert e1 != pytest.approx(e2, rel=1e-9)
+    assert np.isfinite(e1) and np.isfinite(e2)
