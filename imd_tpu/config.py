@@ -115,6 +115,9 @@ _IGNORED_TAGS = frozenset({
     "debug_potential", "debug_pot_res", "ew_test",
     # parsed by the reference but never consumed anywhere in its code
     "flagedatomstype",
+    # CBE SPU potential-table upload sizing + MPI buffer count
+    # (imd_cbe_util.c / imd_mpi_util.c) - no TPU meaning
+    "cbe_pot_max", "cbe_pot_steps", "num_bufs",
 })
 
 _UNSUPPORTED_TAGS = frozenset({
@@ -168,7 +171,9 @@ _KNOWN_ODD = {"lindef_int", "presstens_ext",
               "glok_int", "gamma_ftg", "pdecay_surfx",
               "ramp_fraction", "eng_int", "checkpt_int",
               "ttm_int", "flush_int", "parallel_output",
-              "binary_output", "xi", "inv_tau_eta_rot"}
+              "binary_output", "xi", "inv_tau_eta_rot",
+              "ada_nbr_rcut", "expot_file", "pml", "hc_count",
+              "kim_el_names"}
 
 
 def tag_category(tag: str) -> str:
@@ -367,6 +372,18 @@ class SimConfig:
     size_per_cpu: int = 0
     box_param: Tuple[int, int, int] = (0, 0, 0)   # lattice generator size
     box_unit: float = 1.0                          # lattice constant
+    # vacuum margins around the sample (the fork's ablation-geometry
+    # setup, "MY MOD" shift*_front/rear, imd_param.c:2133-2156): the box
+    # is enlarged by front+rear per axis; on checkpoint read positions
+    # shift by `front` (imd_io_3d.c:87,346); on lattice generation the
+    # enlarged box is filled and atoms inside the x/y margins are
+    # dropped (imd_generate.c:314-365,533-540)
+    shiftx_front: float = 0.0
+    shiftx_rear: float = 0.0
+    shifty_front: float = 0.0
+    shifty_rear: float = 0.0
+    shiftz_front: float = 0.0
+    shiftz_rear: float = 0.0
     # --- run control ----------------------------------------------------------
     ensemble: str = "nve"
     simulation_phase: int = 1
@@ -724,6 +741,8 @@ class SimConfig:
     na_pot_file: str = ""
     erfc_file: str = ""
     extpot_file: str = ""
+    kim_model_name: str = ""           # OpenKIM model id (imd_forces_kim.c)
+    kim_el_names: Tuple[str, ...] = ()  # per-type KIM element names
     fix_bks: int = 0
     nb_rcut: Tuple[float, ...] = ()    # [ntypes*ntypes] coordination cutoffs
     nb_checkpt_int: int = 0
@@ -753,6 +772,9 @@ class SimConfig:
     ef_checkpt_int: int = 0
     ep_max_int: int = 0
     force_int: int = 0
+    # STRESS_TENS per-atom pressure-tensor configs every press_int steps
+    # (.stress files, write_config_press imd_io.c:1264-1276)
+    press_int: int = 0
     force_all: int = 0
     nclones: int = 0
     atomic_charge: Tuple[float, ...] = ()
@@ -1183,7 +1205,8 @@ class SimConfig:
         if g("lambda") is not None:
             F.lambda_m = float(g("lambda"))
         F.I0 = float(g("I0", F.I0))
-        F.pml = int(g("bw", F.pml))
+        # both spellings exist in the reference: 'bw' (fdtd.c) and 'pml'
+        F.pml = int(g("bw", g("pml", F.pml)))
         if F.enabled:
             F.t0_s = float(g("laser_t_0", 0.0))
             F.sigma_t_s = float(g("laser_sigma_t", 0.0))
@@ -1245,6 +1268,20 @@ class SimConfig:
         # EAM table-file aliases (imd_param.c reads both spellings)
         if not c.el_density_file and g("atomic_e-density_file") is not None:
             c.el_density_file = str(g("atomic_e-density_file"))
+        # ADA neighbor cutoff: the reference tag is the RADIUS, stored
+        # squared (imd_param.c:2493-2497)
+        if g("ada_nbr_rcut") is not None:
+            c.ada_nbr_r2cut = float(g("ada_nbr_rcut")) ** 2
+        # EXTPOT file tag spelling (imd_param.c:3638 'expot_file')
+        if not c.extpot_file and g("expot_file") is not None:
+            c.extpot_file = str(g("expot_file"))
+        # OpenKIM bridge identifiers (imd_param.c KIM block); consumed by
+        # models/external.kim_forces when kimpy is installed
+        c.kim_model_name = str(g("kim_model_name", ""))
+        v = g("kim_el_names")
+        if v is not None:
+            c.kim_el_names = tuple(
+                str(x) for x in (v if isinstance(v, list) else [v]))
         if g("atomic_weight") is not None and "masses" not in p:
             v = g("atomic_weight")
             c.masses = tuple(float(x) for x in
@@ -1265,7 +1302,8 @@ class SimConfig:
                     "nrb", "filter", "relax", "dist_flags",
                     "lj_epsilon", "lj_sigma", "r_cut",
                     "relax_mode", "presstens_ext",
-                    "deform_shift", "deform_shear", "deform_base"}
+                    "deform_shift", "deform_shear", "deform_base",
+                    "kim_el_names"}
         for f in dataclasses.fields(cls):
             name = f.name
             if name in _already or name not in p:

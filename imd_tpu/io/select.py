@@ -548,3 +548,27 @@ def write_force_potfit(path, flat, box_h, pbc, epot_per_atom,
             p_, F = flat["pos"][k], flat["force"][k]
             out.write(f"{typ[k]} {p_[0]:.16e} {p_[1]:.16e} {p_[2]:.16e} "
                       f"{F[0]:.16e} {F[1]:.16e} {F[2]:.16e}\n")
+
+
+def write_press(path, flat, pt_atom, box_h, pbc):
+    """STRESS_TENS per-atom pressure-tensor config (write_atoms_press +
+    write_header_press, imd_io.c:1066-1130): `number type mass x y z
+    P_xx P_yy P_zz P_yz P_zx P_xy` columns.  The fork renames the file
+    suffix .press -> .stress (write_config_press, imd_io.c:1264-1276)."""
+    vty = flat["vtype"].astype(int)
+    with open(path, "w") as out:
+        out.write("#F A 1 1 1 3 0 6\n")
+        out.write("#C number type mass x y z P_xx P_yy P_zz P_yz P_zx "
+                  "P_xy\n")
+        h = np.asarray(box_h, np.float64)
+        out.write(f"#X \t{h[0,0]:.16e} {h[0,1]:.16e} {h[0,2]:.16e}\n")
+        out.write(f"#Y \t{h[1,0]:.16e} {h[1,1]:.16e} {h[1,2]:.16e}\n")
+        out.write(f"#Z \t{h[2,0]:.16e} {h[2,1]:.16e} {h[2,2]:.16e}\n")
+        out.write(f"##PBC {int(pbc[0])} {int(pbc[1])} {int(pbc[2])}\n")
+        out.write("#E\n")
+        for k in range(len(vty)):
+            p, s = flat["pos"][k], pt_atom[k]
+            out.write(f"{int(flat['id'][k])} {vty[k]} "
+                      f"{flat['mass'][k]:f} {p[0]:.12f} {p[1]:.12f} "
+                      f"{p[2]:.12f} {s[0]:.12e} {s[1]:.12e} {s[2]:.12e} "
+                      f"{s[3]:.12e} {s[4]:.12e} {s[5]:.12e}\n")

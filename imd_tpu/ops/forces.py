@@ -371,7 +371,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
                        count_neighbors: bool = False,
                        neigh_r2: float = 0.0,
                        eeam_embed=None,
-                       asympot: bool = False) -> ForceResult:
+                       asympot: bool = False,
+                       per_atom_stress: bool = False) -> ForceResult:
     """EAM2 forces: fused pair + rho pass, embedding, then force pass.
 
     Follows the 3-phase structure of the reference NBL engine
@@ -398,6 +399,10 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
     epot = jnp.zeros(pos.shape[:-1], dtype)
     virial = jnp.zeros((), dtype)
     presstens = jnp.zeros((6,), dtype)
+    # per-atom pressure tensor: each pair's dr (x) f splits half to i and
+    # half to j (PRESSTENS accumulation, imd_forces_nbl.c:652-667)
+    pt_atom = (jnp.zeros(pos.shape[:-1] + (6,), dtype)
+               if per_atom_stress else None)
     nneigh = jnp.zeros(pos.shape[:-1], jnp.int32)
     rho = jnp.zeros(pos.shape[:-1], dtype)
     # EEAM: second host function p = sum rho^2 with its own embedding M(p)
@@ -477,7 +482,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
         gv = jnp.where(valid, 0.5 * (grad + grad_t) if asympot
                        and ntypes > 1 else grad, 0.0)
         virial_l = -jnp.sum(gv * r2)
-        nonlocal_virial(gv, dr, valid, virial_l)
+        nonlocal_virial(gv, dr, valid, virial_l,
+                        off=None if self_cell else off)
         if count_neighbors:
             near = valid & (r2 < nr2)
             n_i = jnp.sum(near, axis=-1).astype(jnp.int32)
@@ -487,8 +493,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
             else:
                 nneigh = nneigh + n_i + _reverse_roll(grid, n_j, off)
 
-    def nonlocal_virial(gv, dr, valid, virial_l):
-        nonlocal virial, presstens
+    def nonlocal_virial(gv, dr, valid, virial_l, off=None):
+        nonlocal virial, presstens, pt_atom
         virial = virial + virial_l
         pt = jnp.stack([
             jnp.sum(gv * dr[..., 0] * dr[..., 0]),
@@ -499,6 +505,21 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
             jnp.sum(gv * dr[..., 0] * dr[..., 1]),
         ])
         presstens = presstens - pt
+        if pt_atom is not None:
+            pt6 = jnp.stack([
+                gv * dr[..., 0] * dr[..., 0],
+                gv * dr[..., 1] * dr[..., 1],
+                gv * dr[..., 2] * dr[..., 2],
+                gv * dr[..., 1] * dr[..., 2],
+                gv * dr[..., 2] * dr[..., 0],
+                gv * dr[..., 0] * dr[..., 1],
+            ], axis=-1)
+            pa_i = -0.5 * jnp.sum(pt6, axis=-2)
+            pa_j = -0.5 * jnp.sum(pt6, axis=-3)
+            if off is None:
+                pt_atom = pt_atom + pa_i + pa_j
+            else:
+                pt_atom = pt_atom + pa_i + _reverse_roll(grid, pa_j, off)
 
     pass1((0, 0, 0), True)
     for off in HALF_OFFSETS:
@@ -553,7 +574,8 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
             F = F + F_i + F_j
         else:
             F = F + F_i + _reverse_roll(grid, F_j, off)
-        nonlocal_virial(s, dr, valid, -jnp.sum(s * r2))
+        nonlocal_virial(s, dr, valid, -jnp.sum(s * r2),
+                        off=None if self_cell else off)
 
     pass2((0, 0, 0), True)
     for off in HALF_OFFSETS:
@@ -562,6 +584,7 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
     return ForceResult(force=F, epot=epot, virial=virial,
                        presstens=presstens, num_neighs=nneigh,
                        rho=rho, embed_dF=dF,
+                       presstens_atom=pt_atom,
                        eeam_p=(rho2 if eeam_embed is not None else None))
 
 

@@ -168,14 +168,16 @@ def choose_grid(box: Box, cutoff: float, skin: float = 0.0,
 
 def host_bin_ijk(grid: CellGrid, pos, dtype=np.float32) -> np.ndarray:
     """Host-side cell indices [N,3], exactly as a Scene of ``dtype`` will
-    bin: wrap in f64, round positions to the storage dtype, then bin the
-    ROUNDED positions.  Using raw f64 indices here undercounts cells when
-    lattice planes sit exactly on cell boundaries (the f32 rounding tips
-    whole planes into the neighboring cell) and capacity sizing then
-    overflows at make_scene time."""
+    bin: round positions to the storage dtype FIRST (make_scene converts
+    its input with jnp.asarray(pos, dtype) before any wrap), wrap in f64,
+    round the wrapped result, then bin.  Skipping either rounding step
+    undercounts cells when lattice planes sit exactly on cell boundaries
+    (a one-ulp difference tips whole planes into the neighboring cell —
+    e.g. fcc layers at multiples of the 1.5*alat cell edge) and capacity
+    sizing then silently drops atoms at make_scene time."""
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name) \
         if not isinstance(dtype, np.dtype) else dtype
-    p = np.asarray(pos, np.float64)
+    p = np.asarray(pos, np_dtype).astype(np.float64)
     h = np.asarray(grid.box.h, np.float64)
     inv_h = np.asarray(grid.box.inv_h, np.float64)
     period = np.asarray(grid.box.pbc, np.float64)

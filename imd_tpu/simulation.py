@@ -382,12 +382,59 @@ class Simulation:
                     and not isinstance(self.eeam_embed, ChebPotential)):
                 self.eeam_embed = to_chebyshev(self.eeam_embed)
 
+    def _apply_generate_shifts(self, pos, typ, box_diag, shf, shr):
+        """Vacuum margins on an internally generated lattice.
+
+        Reference semantics (imd_generate.c:314-365 + the generate_fcc
+        margin filter 533-540): x and y are enlarged by front+rear and
+        rounded UP to a whole number of lattice cells, the rounding
+        excess widening the rear margin; the enlarged box is filled and
+        atoms inside the x/y margins dropped.  z only enlarges the box
+        (vacuum at the rear; box_param.z is never updated there, so no
+        filter).  Departure: the reference rounds x/y up to multiples of
+        cpu_dim*box_unit for MPI divisibility; here grid divisibility is
+        choose_grid's job, so we round to whole box_unit cells only.
+        """
+        cfg = self.cfg
+        bp = np.asarray(cfg.box_param, int)
+        if bp.size < 3 or np.any(bp[:3] <= 0) or \
+                cfg.coordname.lstrip("_").lower() in ("qc", "quasi"):
+            raise ValueError("shift*_front/rear need a 3-component "
+                             "box_param cubic-family generator")
+        bu_ax = box_diag[:3] / bp[:3]              # per-axis cell size
+        newbp = bp.copy()
+        rear = shr.copy()
+        for ax in (0, 1):
+            enlarged = box_diag[ax] + shf[ax] + shr[ax]
+            newbp[ax] = int(math.ceil(enlarged / bu_ax[ax] - 1e-9))
+            rear[ax] += newbp[ax] * bu_ax[ax] - enlarged
+        pos, typ, box_diag = generate_atoms(cfg.coordname, tuple(newbp),
+                                            cfg.box_unit, cfg.ntypes)
+        box_diag = np.asarray(box_diag, float)
+        pos = np.asarray(pos, float)
+        keep = np.ones(len(pos), bool)
+        for ax in (0, 1):
+            if shf[ax] > 0:
+                keep &= pos[:, ax] >= shf[ax]
+            if rear[ax] > 0:
+                keep &= pos[:, ax] <= box_diag[ax] - rear[ax]
+        box_diag[2] += shf[2] + shr[2]
+        return pos[keep], np.asarray(typ)[keep], box_diag
+
     def _load_atoms(self, grid_dims_multiple):
         cfg = self.cfg
         itr = {}
+        shf = np.array([cfg.shiftx_front, cfg.shifty_front,
+                        cfg.shiftz_front], float)
+        shr = np.array([cfg.shiftx_rear, cfg.shifty_rear,
+                        cfg.shiftz_rear], float)
+        have_shift = bool(np.any(shf > 0) or np.any(shr > 0))
         if cfg.coordname.startswith("_"):
             pos, typ, box_diag = generate_atoms(cfg.coordname, cfg.box_param,
                                                 cfg.box_unit, cfg.ntypes)
+            if have_shift:
+                pos, typ, box_diag = self._apply_generate_shifts(
+                    pos, typ, np.asarray(box_diag, float), shf, shr)
             number = np.arange(len(pos))
             mass = np.asarray(cfg.masses)[typ]
             vel = None
@@ -419,6 +466,15 @@ class Simulation:
                             else cfg.box_y)
             box_z = itr.get("box_z", d.box_z if d.box_z is not None
                             else cfg.box_z)
+            if have_shift:
+                # vacuum margins on checkpoint read: box diagonal grows
+                # by front+rear, positions shift by `front`
+                # (imd_io_3d.c:87-89,341-345; diagonal components only —
+                # the reference mod assumes an orthogonal box)
+                box_x = [box_x[0] + shf[0] + shr[0], box_x[1], box_x[2]]
+                box_y = [box_y[0], box_y[1] + shf[1] + shr[1], box_y[2]]
+                box_z = [box_z[0], box_z[1], box_z[2] + shf[2] + shr[2]]
+                pos = np.asarray(pos, float) + shf[None, :]
             self.do_maxwell = cfg.do_maxwell or not d.have_vel
         if not np.any(np.asarray(box_x)):
             raise ValueError("no box: neither header #X/#Y/#Z nor box_x params")
@@ -451,7 +507,29 @@ class Simulation:
         self.scene = make_scene(self.grid, pos, mom=mom, mass=mass,
                                 type=rtyp, vtype=vtyp, id=number,
                                 dtype=self.dtype)
+        # setup must NEVER drop atoms: capacity sizing measures the same
+        # binning make_scene performs, but defend against any residual
+        # mismatch by growing the slot axis until every atom binned
+        # (alloc_cell analog, imd_alloc.c:551).  A stale nonzero
+        # scene.overflow here would also wedge the run loop's in-block
+        # growth retry (it can only recover atoms still in the state).
+        for _ in range(6):
+            if int(self.scene.overflow) == 0:
+                break
+            new_cap = self.grid.capacity + 8
+            print(f"# setup overflow {int(self.scene.overflow)}: "
+                  f"growing capacity {self.grid.capacity} -> {new_cap}",
+                  flush=True)
+            self.grid = self.grid.replace(capacity=new_cap)
+            self.scene = make_scene(self.grid, pos, mom=mom, mass=mass,
+                                    type=rtyp, vtype=vtyp, id=number,
+                                    dtype=self.dtype)
+        else:
+            raise RuntimeError(
+                f"make_scene still drops {int(self.scene.overflow)} atoms "
+                f"at capacity {self.grid.capacity}")
         self.step_count = int(itr.get("startstep", cfg.startstep))
+        self._itr_hc_count = int(itr.get("hc_count", 0))
         if self.do_maxwell and cfg.starttemp > 0:
             key = jax.random.PRNGKey(cfg.seed)
             self.scene = integrate.maxwell(
@@ -1763,7 +1841,22 @@ class Simulation:
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.dist_int,
                                  cfg.pic_int, cfg.ttm_int, cfg.socket_int,
                                  cfg.lb_frequency, cfg.force_int,
+                                 cfg.press_int,
                                  cfg.nb_checkpt_int) if i > 0]
+        # NVX temperature-profile output (write_temp_dist,
+        # imd_transport.c; accumulation windows keyed to hc_start)
+        hc = None
+        if self.ensemble == "nvx" and cfg.hc_int > 0 and cfg.hc_nlayers > 1:
+            from imd_tpu.io.hc import HCProfile
+            restart = cfg.startstep > 0 or cfg.simulation_phase > 1
+            hc = getattr(self, "_hc", None) or HCProfile(
+                cfg.hc_nlayers, float(np.asarray(self.box.h)[0, 0]),
+                cfg.hc_heatcurr,
+                self._path(cfg.outfiles + ".hcgrad"),
+                self._path(cfg.outfiles + ".hcprof"),
+                count=getattr(self, "_itr_hc_count", 0), restart=restart)
+            self._hc = hc
+            intervals.append((cfg.hc_int, cfg.hc_start))
         if cfg.getmin or cfg.getsaddle:
             intervals.append(1)    # PxF crossings need per-step dispatch
         if sel is not None:
@@ -1918,6 +2011,18 @@ class Simulation:
                               np.asarray(diag["fext"]),
                               np.asarray(area),
                               np.asarray(diag["n_contact"]))
+            if hc is not None and gstep > cfg.hc_start:
+                # block-boundary sample of the folded layer histogram
+                # (write_temp_dist accumulation, imd_transport.c:185-216)
+                sc = state.scene
+                m = np.asarray(sc.mask.reshape(-1))
+                x = np.asarray(sc.pos.reshape(-1, 3))[m, 0]
+                mom = np.asarray(sc.mom.reshape(-1, 3))[m]
+                mass = np.asarray(sc.mass.reshape(-1))[m]
+                hc.sample(x, 0.5 * np.sum(mom * mom, 1)
+                          / np.maximum(mass, 1e-30))
+                if (gstep - cfg.hc_start) % cfg.hc_int == 0:
+                    hc.write()
             if cfg.checkpt_int > 0 and gstep % cfg.checkpt_int == 0:
                 self.write_checkpoint(state, gstep // cfg.checkpt_int)
             self._write_periodic_extras(state, gstep)
@@ -2155,7 +2260,8 @@ class Simulation:
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
                                  cfg.dist_int, cfg.pic_int, filter_int,
                                  cfg.lb_frequency, cfg.socket_int,
-                                 cfg.force_int, cfg.nb_checkpt_int)
+                                 cfg.force_int, cfg.press_int,
+                                 cfg.nb_checkpt_int)
                      if i > 0]
         lb_log = None
         if cfg.lb_frequency > 0 and cfg.lb_write_status:
@@ -2725,9 +2831,14 @@ class Simulation:
         write_chkpt(base + ".chkpt", d, binary=bool(self.cfg.binary_output),
                     double=bool(self.cfg.hpo),
                     precision=17 if self.cfg.hpo else 12)
+        # hc_count rides the .itr so the .hcgrad line numbering survives
+        # restarts (imd_io_3d.c:1108)
+        extra = ({"hc_count": self._hc.count}
+                 if getattr(self, "_hc", None) is not None else None)
         write_itr(base + ".itr", checkpoint=fzhlr,
                   startstep=int(state.step) + 1,
-                  box_x=d.box_x, box_y=d.box_y, box_z=d.box_z)
+                  box_x=d.box_x, box_y=d.box_y, box_z=d.box_z,
+                  extra=extra)
         # subsystem restart state rides the same numbering so `-r N` is
         # self-contained (the reference cross-links imdrestart to
         # ttm_int/checkpt_int instead, imd_ttm.c:1170-1195)
@@ -2779,11 +2890,33 @@ class Simulation:
         wf_due = cfg.force_int > 0 and gstep % cfg.force_int == 0
         nb_due = (cfg.nb_checkpt_int > 0 and any(cfg.nb_rcut)
                   and gstep % cfg.nb_checkpt_int == 0)
-        if not (wf_due or nb_due):
+        press_due = cfg.press_int > 0 and gstep % cfg.press_int == 0
+        if not (wf_due or nb_due or press_due):
             return
         flat = state.scene.flatten_atoms()
         m = np.asarray(flat["mask"])
         fl = {k: np.asarray(v)[m] for k, v in flat.items() if k != "mask"}
+        if press_due:
+            # per-atom pressure tensors from the oracle engine at I/O
+            # cadence (STRESS_TENS, write_config_press imd_io.c:1264)
+            from imd_tpu.io.select import write_press
+            from imd_tpu.ops.forces import (compute_eam_forces,
+                                            compute_pair_forces)
+            if self.eam is not None:
+                res = compute_eam_forces(state.scene, self.eam,
+                                         ntypes=cfg.ntypes,
+                                         per_atom_stress=True)
+            elif self.pair is not None:
+                res = compute_pair_forces(state.scene, self.pair,
+                                          ntypes=cfg.ntypes,
+                                          per_atom_stress=True)
+            else:
+                res = None
+            if res is not None and res.presstens_atom is not None:
+                pt = np.asarray(res.presstens_atom).reshape(-1, 6)[m]
+                write_press(self._path(
+                    f"{cfg.outfiles}.{gstep // cfg.press_int}.stress"),
+                    fl, pt, np.asarray(self.box.h), self.box.pbc)
         if wf_due:
             from imd_tpu.io.select import write_force_potfit, write_wf
             write_wf(self._path(

@@ -618,3 +618,94 @@ outfiles {tmp_path / 'g'}
            open(str(tmp_path / "g.eng")).read().strip().splitlines()[1:]]
     etots = [float(r[1]) + 1.5 * float(r[2]) for r in eng]
     assert abs(etots[-1] - etots[0]) < 1e-5 * max(abs(etots[0]), 1e-3)
+
+
+def test_shift_vacuum_margins_generate(tmp_path):
+    """shift*_front/rear vacuum margins on an internally generated
+    lattice (the fork's ablation setup, imd_generate.c:314-365,533-540):
+    the box grows by front+rear, x/y margins are carved free of atoms,
+    z only enlarges the box (vacuum at the rear)."""
+    extra = ("ensemble nve\nmaxsteps 2\npbc_dirs 0 1 1\n"
+             "shiftx_front 8.1\nshiftx_rear 4.05\n"
+             "shiftz_rear 8.1\n")
+    sim, st = _run(tmp_path, extra, "shiftgen")
+    bx = np.asarray(sim.box.h)
+    # box enlarged: x rounded up to whole 4.05 cells, z by exactly 8.1
+    assert bx[0, 0] >= 6 * 4.05 + 8.1 + 4.05 - 1e-6
+    assert abs(bx[2, 2] - (4 * 4.05 + 8.1)) < 1e-6
+    sc = sim.scene
+    pos = np.asarray(sc.pos.reshape(-1, 3))
+    alive = np.asarray(sc.mask.reshape(-1))
+    x = pos[alive, 0]
+    # the front margin is empty of atoms and the sample sits inside it
+    # (tolerance: 2 MD steps of thermal motion, ~0.02 A)
+    assert x.min() >= 8.1 - 0.05
+    assert x.max() <= bx[0, 0] - 4.05 + 0.05
+
+
+def test_shift_vacuum_margins_read(tmp_path, monkeypatch):
+    """On checkpoint read the box diagonal grows by front+rear and every
+    position shifts by `front` (imd_io_3d.c:87-89,341-345)."""
+    extra = "ensemble nve\nmaxsteps 2\ncheckpt_int 2\n"
+    sim, _ = _run(tmp_path, extra, "shiftread")
+    chk = str(tmp_path / "shiftread.00001.chkpt")
+    assert os.path.exists(chk)
+    p2 = tmp_path / "shiftread2.imd"
+    p2.write_text(BASE.format(out=str(tmp_path / "sr2")).replace(
+        "coordname _fcc", f"coordname {chk}")
+        + "ensemble nve\nmaxsteps 1\npbc_dirs 0 1 1\n"
+          "shiftx_front 5.0\nshiftx_rear 3.0\n")
+    sim2 = Simulation.from_param_file(str(p2), dtype=jnp.float32,
+                                      engine="xla")
+    b1 = np.asarray(sim.box.h)
+    b2 = np.asarray(sim2.box.h)
+    assert abs(b2[0, 0] - (b1[0, 0] + 8.0)) < 1e-5
+    a1 = np.asarray(sim.scene.pos.reshape(-1, 3))[
+        np.asarray(sim.scene.mask.reshape(-1))]
+    a2 = np.asarray(sim2.scene.pos.reshape(-1, 3))[
+        np.asarray(sim2.scene.mask.reshape(-1))]
+    # same atom cloud, shifted by +5 along x (compare extents)
+    assert abs(a2[:, 0].min() - (a1[:, 0].min() + 5.0)) < 1e-4
+    assert abs(a2[:, 0].max() - (a1[:, 0].max() + 5.0)) < 1e-4
+
+
+def test_press_int_stress_files(tmp_path):
+    """press_int writes per-atom pressure-tensor configs (.stress — the
+    fork's rename of .press, write_config_press imd_io.c:1264-1276),
+    and the per-atom tensors sum to the global presstens."""
+    sim, st = _run(tmp_path, "ensemble nve\nmaxsteps 4\npress_int 2\n",
+                   "press")
+    f = tmp_path / "press.2.stress"
+    assert f.exists()
+    rows = [l.split() for l in f.read_text().splitlines()
+            if l and not l.startswith("#")]
+    assert len(rows) == int(sim.scene.n_atoms())
+    assert len(rows[0]) == 12
+    pt = np.array([[float(v) for v in r[6:]] for r in rows])
+    from imd_tpu.ops.forces import compute_pair_forces
+    res = compute_pair_forces(sim.scene, sim.pair, ntypes=1,
+                              per_atom_stress=True)
+    tot = np.asarray(res.presstens)
+    # file rows come from the state at step 4; just check self-consistency
+    # of the oracle: per-atom sums == global tensor
+    pa = np.asarray(res.presstens_atom).reshape(-1, 6).sum(0)
+    np.testing.assert_allclose(pa, tot, rtol=1e-4, atol=1e-4)
+
+
+def test_nvx_hcgrad_hcprof(tmp_path):
+    """NVX runs write the .hcgrad gradient-fit log and the folded
+    .hcprof temperature profile (write_temp_dist, imd_transport.c)."""
+    extra = ("ensemble nvx\nmaxsteps 8\nhc_nlayers 16\nhc_heatcurr 0.02\n"
+             "hc_int 4\nhc_start 0\n")
+    sim, st = _run(tmp_path, extra, "nvx")
+    grad = (tmp_path / "nvx.hcgrad").read_text().splitlines()
+    prof = (tmp_path / "nvx.hcprof").read_text().splitlines()
+    assert grad[0].startswith("# count gradT")
+    datalines = [l for l in grad[1:] if l.strip()]
+    assert len(datalines) == 2          # writes at steps 4 and 8
+    assert int(datalines[0].split()[0]) == 0
+    assert int(datalines[1].split()[0]) == 1
+    # profile blocks: nhalf+1 = 5 x/T rows each, temperatures positive
+    rows = [l.split() for l in prof[1:] if l.strip()]
+    assert len(rows) == 2 * (16 // 2 + 1)
+    assert all(float(r[1]) >= 0.0 for r in rows)
