@@ -275,6 +275,17 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
     # ---------------- kernel R: host density (+ neighbor count) ----------
     def sweep_r(xi3, xj3, tri):
+        """Per-pair host-density (+ neighbor) terms [cap, cap, B].
+
+        Returns the RAW pair grids; the caller accumulates them across
+        all 14 sweeps and does ONE sublane reduction per block — the
+        per-sweep jnp.sum over the sublane axis (axis 1) was measured
+        at ~45% of the whole kernel on v5e (each reduction packs 16
+        one-sublane rows back into a [cap, B] tile = a relayout), while
+        accumulating [cap, cap, B] grids costs one vector add per pair.
+        The j-side sums (axis 0, across the unrolled dim) are cheap and
+        stay per-offset.
+        """
         dx = xi3[0][:, None, :] - xj3[0][None, :, :]
         dy = xi3[1][:, None, :] - xj3[1][None, :, :]
         dz = xi3[2][:, None, :] - xj3[2][None, :, :]
@@ -283,13 +294,10 @@ def eam_kernels_win_split(xi, mask, eam, grid,
         if tri is not None:
             inside = inside & tri
         insf = inside.astype(dtype)
-        rv = _horner_v(r2, rho_c) * insf
-        out = {"rho_i": jnp.sum(rv, 1), "rho_j": jnp.sum(rv, 0)}
+        out = {"rho": _horner_v(r2, rho_c) * insf}
         if count_neighbors:
-            near = (insf if nr2 >= rcut2
-                    else insf * (r2 < nr2).astype(dtype))
-            out["nn_i"] = jnp.sum(near, 1)
-            out["nn_j"] = jnp.sum(near, 0)
+            out["nn"] = (insf if nr2 >= rcut2
+                         else insf * (r2 < nr2).astype(dtype))
         return out
 
     keys_r = ["rho"] + (["nn"] if count_neighbors else [])
@@ -316,13 +324,15 @@ def eam_kernels_win_split(xi, mask, eam, grid,
             masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             o = sweep_r(xi3, xi3, tri_mask(cap))
-            for k, name in enumerate(keys_r):
-                iref[k][...] = o[name + "_i"] + o[name + "_j"]
+            acc3 = {k: o[k] for k in keys_r}
+            jself = {k: jnp.sum(o[k], 0) for k in keys_r}
             for m in range(NOF):
                 o = sweep_r(xi3, build_xj(wins, sref, m, masks), None)
-                for k, name in enumerate(keys_r):
-                    iref[k][...] += o[name + "_i"]
-                    jref[k][m] = o[name + "_j"]
+                for k in keys_r:
+                    acc3[k] += o[k]
+                    jref[keys_r.index(k)][m] = jnp.sum(o[k], 0)
+            for k, name in enumerate(keys_r):
+                iref[k][...] = jnp.sum(acc3[name], 1) + jself[name]
 
     bb = layout.block
     # per-block alive-atom counts for the vacuum skip
@@ -377,6 +387,11 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
     # ---------------- kernel F: combined pair+embedding forces -----------
     def sweep_f(xi3, xj3, tri, dfi, dfj):
+        """Per-pair force components gdx/gdy/gdz [cap, cap, B].
+
+        Raw pair grids, accumulated by the caller across all 14 sweeps
+        with ONE final sublane reduction per block (see sweep_r).
+        """
         dx = xi3[0][:, None, :] - xj3[0][None, :, :]
         dy = xi3[1][:, None, :] - xj3[1][None, :, :]
         dz = xi3[2][:, None, :] - xj3[2][None, :, :]
@@ -389,13 +404,7 @@ def eam_kernels_win_split(xi, mask, eam, grid,
         grad = (pg + (dfi[:, None, :] + dfj[None, :, :]) * rg) * insf
         # single product per component (don't rely on Mosaic CSE for
         # the repeated grad*dx inside the two directional sums)
-        gdx, gdy, gdz = grad * dx, grad * dy, grad * dz
-        return {"fx_i": -jnp.sum(gdx, 1),
-                "fy_i": -jnp.sum(gdy, 1),
-                "fz_i": -jnp.sum(gdz, 1),
-                "fx_j": jnp.sum(gdx, 0),
-                "fy_j": jnp.sum(gdy, 0),
-                "fz_j": jnp.sum(gdz, 0)}
+        return grad * dx, grad * dy, grad * dz
 
     def kern_f(occ_ref, *refs):
         wins, rest = refs[:nw], refs[nw:]
@@ -416,20 +425,22 @@ def eam_kernels_win_split(xi, mask, eam, grid,
             masks = _phase_masks(layout, i, dead_from=owned_nc)
             xi3 = xi_self(wins, masks)
             dfi = dwins[layout.widx[0]][...]
-            o = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
-            fx[...] = o["fx_i"] + o["fx_j"]
-            fy[...] = o["fy_i"] + o["fy_j"]
-            fz[...] = o["fz_i"] + o["fz_j"]
+            gdx, gdy, gdz = sweep_f(xi3, xi3, tri_mask(cap), dfi, dfi)
+            ax, ay, az = gdx, gdy, gdz
+            jx = jnp.sum(gdx, 0)
+            jy = jnp.sum(gdy, 0)
+            jz = jnp.sum(gdz, 0)
             for m in range(NOF):
                 dfj = _view1(layout, dwins, layout.plans[m], masks)
-                o = sweep_f(xi3, build_xj(wins, sref, m, masks), None,
-                            dfi, dfj)
-                fx[...] += o["fx_i"]
-                fy[...] += o["fy_i"]
-                fz[...] += o["fz_i"]
-                fjx[m] = o["fx_j"]
-                fjy[m] = o["fy_j"]
-                fjz[m] = o["fz_j"]
+                gdx, gdy, gdz = sweep_f(
+                    xi3, build_xj(wins, sref, m, masks), None, dfi, dfj)
+                ax, ay, az = ax + gdx, ay + gdy, az + gdz
+                fjx[m] = jnp.sum(gdx, 0)
+                fjy[m] = jnp.sum(gdy, 0)
+                fjz[m] = jnp.sum(gdz, 0)
+            fx[...] = jx - jnp.sum(ax, 1)
+            fy[...] = jy - jnp.sum(ay, 1)
+            fz[...] = jz - jnp.sum(az, 1)
 
     spec_dw = [pl.BlockSpec((cap, bb),
                             functools.partial(

@@ -256,8 +256,9 @@ def test_pallas2_grid_engine_matches_v1():
 @pytest.mark.parametrize("pbc", [(1, 1, 1), (0, 1, 1)])
 def test_win_engine_matches_split(pbc):
     """forces_win (in-kernel windowed neighbor views) must reproduce the
-    roll-based split engine bit-for-bit: identical sweep math, only the
-    view construction differs."""
+    roll-based split engine to f64 rounding: identical sweep math; the
+    view construction and the i-side reduction order differ (the win
+    engine accumulates pair grids across sweeps and reduces once)."""
     from imd_tpu.ops.forces_pallas import eam_kernels_cl_split, prep_neighbors
     from imd_tpu.ops.forces_win import eam_kernels_win_split
     sc = _scene(pbc=pbc)
@@ -271,8 +272,8 @@ def test_win_engine_matches_split(pbc):
     F2, rho2, nn2 = jax.jit(
         lambda xi, mask: eam_kernels_win_split(
             xi, mask, EAM, sc.grid, count_neighbors=True))(xi, mask)
-    assert float(jnp.abs(F1 - F2).max()) == 0.0
-    assert float(jnp.abs(rho1 - rho2).max()) == 0.0
+    assert float(jnp.abs(F1 - F2).max()) < 1e-10
+    assert float(jnp.abs(rho1 - rho2).max()) < 1e-10
     assert float(jnp.abs(nn1 - nn2).max()) == 0.0
 
 
@@ -330,8 +331,8 @@ def test_win_engine_vacuum_block_skip():
         lambda xi, mask: eam_kernels_win_split(
             xi, mask, EAM, sc.grid, count_neighbors=True,
             block=64))(xi, mask)
-    assert float(jnp.abs(F1 - F2).max()) == 0.0
-    assert float(jnp.abs(rho1 - rho2).max()) == 0.0
+    assert float(jnp.abs(F1 - F2).max()) < 1e-10
+    assert float(jnp.abs(rho1 - rho2).max()) < 1e-10
     assert float(jnp.abs(nn1 - nn2).max()) == 0.0
 
 
