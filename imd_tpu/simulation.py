@@ -177,10 +177,25 @@ class Simulation:
 
         self.eeam_embed = None
         if cfg.core_potential_file:
-            eam = read_eam(self._path(cfg.core_potential_file),
-                           self._path(cfg.embedding_energy_file),
-                           self._path(cfg.el_density_file),
-                           cfg.ntypes, self.dtype)
+            # DYNAMO setfl/funcfl files (the payload of the OpenKIM
+            # EAM_Dynamo_* model family) run natively: one file carries
+            # all three EAM tables (models/setfl.py; the reference
+            # reaches these parameterizations only through the KIM
+            # bridge, imd_forces_kim.c)
+            from imd_tpu.models.setfl import maybe_read_dynamo
+            dyn = maybe_read_dynamo(self._path(cfg.core_potential_file),
+                                    self.dtype)
+            if dyn is not None:
+                eam, meta = dyn
+                if meta["nelem"] < cfg.ntypes:
+                    raise ValueError(
+                        f"{cfg.core_potential_file}: {meta['nelem']} "
+                        f"element(s) but ntypes={cfg.ntypes}")
+            else:
+                eam = read_eam(self._path(cfg.core_potential_file),
+                               self._path(cfg.embedding_energy_file),
+                               self._path(cfg.el_density_file),
+                               cfg.ntypes, self.dtype)
             self.eam = EAMPotential(pair=_mode(eam.pair),
                                     rho=_mode(eam.rho),
                                     embed=_mode(eam.embed, radial=False))
