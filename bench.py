@@ -42,6 +42,12 @@ def main():
                     help="fraction of the box left empty ahead of the "
                          "film along x (the ablation geometry; exercises "
                          "the windowed engine's empty-block skip)")
+    ap.add_argument("--ntypes", type=int, default=1,
+                    help="bench an N-species alloy: atoms get types "
+                         "round-robin and the EAM tables are tiled to "
+                         "N^2 type-pair columns (identical physics, "
+                         "honest multi-type kernel cost; fused engines "
+                         "only)")
     ap.add_argument("--fused", default="win",
                     choices=["split", "ab", "win"],
                     help="fused hot-loop sweep variant: R/F split over "
@@ -120,11 +126,32 @@ def main():
         cap = args.capacity
     grid = CellGrid(box=grid.box, dims=dims, capacity=cap,
                     cutoff=grid.cutoff, skin=grid.skin)
-    scene = make_scene(grid, pos0,
+    tyarr = (np.arange(len(pos0), dtype=np.int32) % args.ntypes
+             if args.ntypes > 1 else None)
+    scene = make_scene(grid, pos0, type=tyarr,
                        mass=np.full(int(m.sum()), 26.9815), dtype=dtype)
     if int(scene.overflow):
         raise SystemExit(f"initial binning overflow {int(scene.overflow)}"
                          f" at capacity {cap}; raise --capacity")
+
+    if args.ntypes > 1:
+        # tile the single-species tables into ntypes^2 type-pair
+        # columns: identical physics, real multi-type kernel cost
+        # (per-pair column select + per-type embedding select)
+        from imd_tpu.models.potential import EAMPotential, PotTable
+
+        def _tile(pt, n):
+            return PotTable(
+                table=jnp.tile(pt.table, (n, 1)),
+                begin=jnp.tile(pt.begin, n), end=jnp.tile(pt.end, n),
+                step=jnp.tile(pt.step, n),
+                invstep=jnp.tile(pt.invstep, n),
+                length=jnp.tile(pt.length, n))
+
+        nt = args.ntypes
+        eam = EAMPotential(pair=_tile(eam.pair, nt * nt),
+                           rho=_tile(eam.rho, nt * nt),
+                           embed=_tile(eam.embed, nt))
 
     if args.engine in ("pallas", "pallas2"):
         from imd_tpu.models.potential import eam_to_fastpoly
@@ -175,7 +202,8 @@ def main():
             step_cl, cl = make_fused_ttm_step(scene, eam_run,
                                               params.timestep, tp,
                                               eos, lcfg, block=args.block,
-                                              engine=args.fused)
+                                              engine=args.fused,
+                                              ntypes=args.ntypes)
 
             @jax.jit
             def run_block(carry, k):
@@ -226,7 +254,8 @@ def main():
         # production hot loop: fused cells-last step (ops/fused_step.py)
         from imd_tpu.ops.fused_step import cl_to_scene, make_fused_step
         step_cl, cl = make_fused_step(scene, eam_run, params.timestep,
-                                      block=args.block, engine=args.fused)
+                                      block=args.block, engine=args.fused,
+                                      ntypes=args.ntypes)
 
         @jax.jit
         def run_block(cl, k):
@@ -287,6 +316,7 @@ def main():
             "ttm": bool(args.ttm),
             "overflow": int(scene.overflow),
             "dtype": args.dtype, "deg": args.deg,
+            "ntypes": args.ntypes,
             "device": str(jax.devices()[0]),
         },
     }))
