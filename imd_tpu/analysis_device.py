@@ -299,3 +299,94 @@ def ackland_jones_classes(scene, r_cut: float = 0.0, kmax: int = 24,
     pos_flat = xi.transpose(0, 2, 1).reshape(-1, 3)
     cls = _aj_impl(pos_flat, scene.grid.box, nbr, nmask, alive, chunk)
     return jnp.where(overflow, -jnp.ones_like(cls), cls)
+
+
+def hops_to_defect_device(scene, defect_flat, r_cut: float,
+                          rounds: int = 3, kmax: int = 20) -> jnp.ndarray:
+    """Bond-graph distance to the nearest defect atom, capped at
+    ``rounds`` (imd_ada.c:300-349; 127 = farther) — the device twin of
+    analysis.hops_to_defect for 1M-atom ablation snapshots.
+
+    ``defect_flat``: per-slot bool in this module's flat order (e.g.
+    ackland_jones_classes(scene) != 1).  Returns [N] int32 hop counts
+    in flat slot order (0 = defect itself), 127 past ``rounds``.
+    """
+    nbr, nmask, alive, overflow = neighbor_lists(scene, r_cut, kmax=kmax)
+    hops = jnp.where(jnp.asarray(defect_flat) & alive, 0, 127
+                     ).astype(jnp.int32)
+
+    def one_round(h, _):
+        hn = jnp.where(nmask, jnp.take(h, nbr, axis=0), 127)
+        best = jnp.min(hn, axis=1) + 1
+        h2 = jnp.minimum(h, jnp.minimum(best, 127))
+        return jnp.where(alive, h2, 127), None
+
+    hops, _ = jax.lax.scan(one_round, hops, None, length=rounds)
+    return jnp.where(overflow, -jnp.ones_like(hops), hops)
+
+
+def nye_tensor_device(scene, ref_vectors, r_cut: float,
+                      angle_cos: float = 0.9396926207859084,
+                      kmax: int = 20):
+    """Per-atom Nye tensor on device (calculateLcm/calculateNye,
+    imd_nyeTensorAnalysis_3d.c:237/300; Hartley & Mishin) — the device
+    twin of analysis.nye_tensor, batched 3x3 solves instead of per-atom
+    host loops.
+
+    Returns (alpha [N,3,3], lcm [N,3,3], alive [N]) in flat slot order.
+    Orthorhombic minimum-image convention like the host plugin.
+    """
+    dtype = scene.pos.dtype
+    refs = jnp.asarray(ref_vectors, dtype)
+    nbr, nmask, alive, overflow = neighbor_lists(scene, r_cut, kmax=kmax)
+    xi, _, _ = _cl_arrays(scene)
+    pos = xi.transpose(0, 2, 1).reshape(-1, 3)          # flat [N, 3]
+    box_diag = jnp.asarray(
+        np.abs(np.diag(np.asarray(scene.grid.box.h))), dtype)
+
+    d = jnp.take(pos, nbr, axis=0) - pos[:, None, :]    # [N, K, 3]
+    # minimum image (periodic axes only)
+    per = jnp.asarray([float(p) for p in scene.grid.box.pbc], dtype)
+    d = d - jnp.round(d / box_diag) * box_diag * per
+    vf = nmask.astype(dtype)[..., None]
+    d = d * vf
+
+    # pass 1: match neighbor vectors to the reference set
+    lref = jnp.linalg.norm(refs, axis=-1)               # [R]
+    l = jnp.linalg.norm(d, axis=-1)                     # [N, K]
+    cosang = (d @ refs.T) / jnp.maximum(l[..., None] * lref, 1e-30)
+    best = jnp.argmax(cosang, axis=-1)                  # [N, K]
+    ok = (jnp.max(cosang, axis=-1) > angle_cos) & nmask
+    perf = jnp.take(refs, best, axis=0)                 # [N, K, 3]
+    okf = ok.astype(dtype)[..., None, None]
+    A = jnp.sum(okf * d[..., :, None] * perf[..., None, :], axis=1)
+    Bm = jnp.sum(okf * d[..., :, None] * d[..., None, :], axis=1)
+    eye = jnp.eye(3, dtype=dtype)
+    solvable = jnp.abs(jnp.linalg.det(A)) > 1e-10
+    Asafe = jnp.where(solvable[:, None, None], A, eye)
+    lcm = jnp.where(solvable[:, None, None],
+                    jnp.linalg.solve(Asafe, Bm), eye)
+
+    # pass 2: spatial gradient of the LCM over ALL neighbors
+    A2 = jnp.sum(vf[..., None] * d[..., :, None] * d[..., None, :],
+                 axis=1)
+    de = jnp.take(lcm, nbr, axis=0) - lcm[:, None]      # [N, K, 3, 3]
+    de = de * vf[..., None]
+    C = jnp.sum(de[..., None] * d[:, :, None, None, :], axis=1)
+    solv2 = jnp.abs(jnp.linalg.det(A2)) > 1e-10
+    A2safe = jnp.where(solv2[:, None, None], A2, eye)
+    # solve A2 g = C[:, i, j] for each of the 9 components
+    Cflat = C.reshape(-1, 9, 3)                          # [N, ij, axis]
+    g = jnp.linalg.solve(A2safe[:, None, :, :],
+                         Cflat[..., None])[..., 0]       # [N, 9, 3]
+    grd = jnp.where(solv2[:, None, None, None],
+                    g.reshape(-1, 3, 3, 3), 0.0)
+    alpha = jnp.stack([
+        -grd[:, 2, :, 1] + grd[:, 1, :, 2],
+        -grd[:, 0, :, 2] + grd[:, 2, :, 0],
+        -grd[:, 1, :, 0] + grd[:, 0, :, 1],
+    ], axis=1)
+    af = alive.astype(dtype)[:, None, None]
+    bad = jnp.broadcast_to(overflow, alpha.shape[:1])
+    alpha = jnp.where(bad[:, None, None], jnp.nan, alpha * af)
+    return alpha, lcm, alive

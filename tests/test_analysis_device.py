@@ -105,3 +105,60 @@ def test_device_ackland_matches_host_perturbed():
     mismatches = sum(int(by_id_dev[i] != c) for i, c in zip(ids_h, host))
     # borderline chi-bin atoms may flip under f32 vs f64 cos rounding
     assert mismatches <= len(ids_h) // 50, mismatches
+
+
+def test_device_hops_matches_host():
+    """Device flood fill == host bond-graph hops, atom-by-atom."""
+    pos, typ, diag = fcc((4, 4, 4), 4.05)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid = choose_grid(box, 3.2, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.98),
+                    dtype=jnp.float32)
+    ids_d = np.asarray(ad.scene_ids(sc))
+    alive = ids_d >= 0
+    # mark two atoms (by id) as defects
+    defect_ids = {3, 101}
+    dflat = np.isin(ids_d, list(defect_ids)) & alive
+    hops_d = np.asarray(ad.hops_to_defect_device(
+        sc, jnp.asarray(dflat), r_cut=3.2, rounds=3))
+    flat = sc.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    ids_h = np.asarray(flat["id"])[m]
+    dh = np.isin(ids_h, list(defect_ids))
+    hops_h = an.hops_to_defect(sc, dh, r_cut=3.2, rounds=3)
+    by_id_dev = dict(zip(ids_d[alive], hops_d[alive]))
+    for i, h in zip(ids_h, hops_h):
+        assert by_id_dev[i] == h, (i, by_id_dev[i], h)
+
+
+def test_device_nye_matches_host():
+    """Device Nye/LCM == host plugin (f32 tolerance) on a strained
+    jittered fcc block."""
+    pos, typ, diag = fcc((4, 4, 4), 4.05)
+    rng = np.random.default_rng(5)
+    pos = pos + rng.normal(scale=0.02, size=pos.shape)
+    box = Box.create([diag[0], 0, 0], [0, diag[1], 0], [0, 0, diag[2]],
+                     dtype=jnp.float32)
+    grid = choose_grid(box, 3.2, skin=0.3, n_atoms=len(pos))
+    grid = with_capacity(grid, measured_capacity(grid, pos))
+    sc = make_scene(grid, pos, mass=np.full(len(pos), 26.98),
+                    dtype=jnp.float32)
+    ref = an.fcc_reference_vectors(4.05)
+    alpha_d, lcm_d, alive_d = (np.asarray(a) for a in
+                               ad.nye_tensor_device(sc, ref, r_cut=3.2))
+    ids_d = np.asarray(ad.scene_ids(sc))
+    alive = np.asarray(alive_d, bool)
+    alpha_h, lcm_h = an.nye_tensor(sc, ref, r_cut=3.2)
+    flat = sc.flatten_atoms()
+    m = np.asarray(flat["mask"])
+    ids_h = np.asarray(flat["id"])[m]
+    dev_by_id = {i: (alpha_d[k], lcm_d[k])
+                 for k, i in enumerate(ids_d) if alive[k]}
+    scale = max(np.abs(lcm_h).max(), 1.0)
+    for k, i in enumerate(ids_h):
+        da, dl = dev_by_id[i]
+        assert np.abs(dl - lcm_h[k]).max() / scale < 5e-3, i
+        assert np.abs(da - alpha_h[k]).max() < 5e-3 * max(
+            np.abs(alpha_h).max(), 1e-3), i
