@@ -663,9 +663,18 @@ def brenner_table(A, lam, r0, r_cut, ntypes: int = 1, res: int = 1000,
 class EAMPotential:
     """EAM2 potential set (imd_forces_eam2.c): pair + transfer + embedding.
 
-    - ``pair``:  phi(r^2), [ntypes^2] columns
+    - ``pair``:  phi(r^2), [ntypes^2] columns (col = t_i*ntypes+t_j,
+      same as the reference)
     - ``rho``:   electron-density transfer rho_h(r^2), [ntypes^2] columns
-      (column i*ntypes+j = contribution of a j-atom at an i-atom site)
+      in the ENGINE convention: col = s*ntypes+h is the density a
+      source atom of type s contributes at a host atom of type h.
+      NOTE this is the transpose of the reference's table layout
+      (col = it*ntypes+jt = host*ntypes+source, imd_forces_nbl.c:468/551
+      "particle i gets its rho from particle j ... tabulated in column
+      it*ntypes+jt"); ``read_eam`` transposes reference files on load so
+      every engine (forces.py / forces_fast.py / forces_pallas.py /
+      forces_win.py, all of which index col = t_j*ntypes+t_i for the
+      density at i from j) sees source-first columns.
     - ``embed``: embedding energy F(rho), [ntypes] columns (not radial)
     """
     pair: PotTable
@@ -684,12 +693,42 @@ class EAMPotential:
         return max(self.pair.max_end, self.rho.max_end)
 
 
+def transpose_pair_columns(tab: PotTable, ntypes: int) -> PotTable:
+    """Reorder [ntypes^2] type-pair columns by (i,j) -> (j,i).
+
+    Used to convert the reference's host-first rho layout
+    (col = host*ntypes+source, imd_forces_nbl.c:468/551) into the
+    engine-side source-first layout (col = source*ntypes+host) that
+    every force engine indexes.  No-op for ntypes == 1.
+    """
+    if ntypes <= 1:
+        return tab
+    perm = np.arange(ntypes * ntypes).reshape(ntypes, ntypes).T.ravel()
+    perm = jnp.asarray(perm, jnp.int32)
+    return PotTable(
+        table=tab.table[perm],
+        begin=tab.begin[perm],
+        end=tab.end[perm],
+        step=tab.step[perm],
+        invstep=tab.invstep[perm],
+        length=tab.length[perm],
+    )
+
+
 def read_eam(core_potential_file: str, embedding_energy_file: str,
              el_density_file: str, ntypes: int, dtype=jnp.float32) -> EAMPotential:
-    """Load the reference's three EAM2 tables (setup_potentials, imd_potential.c:43)."""
+    """Load the reference's three EAM2 tables (setup_potentials, imd_potential.c:43).
+
+    The el_density_file's columns follow the reference's host-first
+    convention (col = it*ntypes+jt = density at a host of type it from a
+    source of type jt); they are transposed here into the engine-side
+    source-first layout — see the EAMPotential docstring.
+    """
     return EAMPotential(
         pair=read_pot_table(core_potential_file, ntypes * ntypes, True, dtype),
-        rho=read_pot_table(el_density_file, ntypes * ntypes, True, dtype),
+        rho=transpose_pair_columns(
+            read_pot_table(el_density_file, ntypes * ntypes, True, dtype),
+            ntypes),
         embed=read_pot_table(embedding_energy_file, ntypes, False, dtype),
     )
 

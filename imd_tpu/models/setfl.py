@@ -19,8 +19,10 @@ setfl / eam.alloy::
                  rho(r) nr values
     per pair (i from 0..Nelem-1, j from 0..i): r*phi_ij(r) nr values
 
-eam.fs: like setfl but each element block carries Nelem rho_ij(r)
-arrays (per SOURCE element seen from each host element).
+eam.fs: like setfl but element block i carries Nelem rho arrays —
+sub-array j is the density SOURCE element i contributes at a type-j
+HOST (LAMMPS pair_eam_fs orientation: rho at itype from jtype reads
+the file's block jtype, sub-array itype).
 
 funcfl (single element)::
 
@@ -84,15 +86,21 @@ def read_setfl(path_or_text: str, dtype=jnp.float32,
     """Parse a setfl / eam.alloy / eam.fs text into an EAMPotential.
 
     Returns (eam, meta) with meta = {elements, masses, nelem, cutoff,
-    lattice, alat}.  Column layout matches read_eam: pair/rho columns
-    [ntypes²] with col i*nt+j = contribution of a j-atom at an i-atom
-    site; embed [ntypes].
+    lattice, alat}.  Column layout is the ENGINE convention (see the
+    EAMPotential docstring): pair col i*nt+j = phi_ij (symmetric); rho
+    col s*nt+h = density a SOURCE atom of type s contributes at a host
+    of type h (for eam.alloy that column depends on s only; eam.fs
+    carries all nt² functions).  embed has [ntypes] columns.
+
+    ``path_or_text`` is treated as literal file text only when it
+    contains a newline; otherwise it must be a readable path (open()
+    errors propagate).
     """
-    try:
+    if "\n" in path_or_text:
+        text = path_or_text
+    else:
         with open(path_or_text) as f:
             text = f.read()
-    except (OSError, ValueError):
-        text = path_or_text
     _, toks = _tokens(text, 3)
     pos = 0
 
@@ -136,12 +144,18 @@ def read_setfl(path_or_text: str, dtype=jnp.float32,
         lattices.append(lat)
         embed_cols.append(np.array(take(nrho), np.float64))
         if is_fs:
+            # fs block for element i: nelem arrays, sub-array j = density
+            # element i (source) contributes at a type-j host (the
+            # LAMMPS pair_eam_fs type2rhor[jtype][itype] orientation)
             for j in range(nelem):
                 rho_raw[(i, j)] = np.array(take(nr), np.float64)
         else:
+            # eam.alloy: one rho per element = the density that element
+            # CONTRIBUTES, independent of the host -> same column for
+            # every host type (source-first key (i, host))
             col = np.array(take(nr), np.float64)
             for i2 in range(nelem):
-                rho_raw[(i2, i)] = col      # host-independent source rho
+                rho_raw[(i, i2)] = col      # host-independent source rho
     rphi = {}
     for i in range(nelem):
         for j in range(i + 1):
@@ -184,11 +198,11 @@ def read_setfl(path_or_text: str, dtype=jnp.float32,
 def read_funcfl(path_or_text: str, dtype=jnp.float32,
                 nsteps: int = 2000) -> Tuple[EAMPotential, dict]:
     """Parse a single-element DYNAMO funcfl file (eam.fd style)."""
-    try:
+    if "\n" in path_or_text:
+        text = path_or_text
+    else:
         with open(path_or_text) as f:
             text = f.read()
-    except (OSError, ValueError):
-        text = path_or_text
     _, toks = _tokens(text, 1)
     pos = 0
 
@@ -205,6 +219,11 @@ def read_funcfl(path_or_text: str, dtype=jnp.float32,
     embed_col = np.array(take(nrho), np.float64)
     zr = np.array(take(nr), np.float64)
     rho_r = np.array(take(nr), np.float64)
+    if len(embed_col) != nrho or len(zr) != nr or len(rho_r) != nr \
+            or pos != len(toks):
+        raise ValueError(
+            f"funcfl body has {len(toks) - 9} numbers; expected "
+            f"{nrho + 2 * nr} for nrho={nrho}, nr={nr}")
     rs = dr * np.arange(nr)
 
     r_begin = max(dr, 1e-3)

@@ -383,10 +383,12 @@ def compute_eam_forces(scene: Scene, eam: EAMPotential, ntypes: int = 1,
     rho/dF halo steps (send_forces(add_rho)/send_cells(copy_dF)) are the
     reverse/forward rolls here.
 
-    Column convention (do_forces, imd_forces_eam2.c:33): the density at an
-    atom of type ti contributed by a neighbor of type tj uses rho-table
-    column tj*ntypes+ti (the neighbor's density function evaluated at the
-    site), symmetric wrt which table when ti==tj.
+    Column convention (ENGINE layout, see EAMPotential docstring): the
+    density at an atom of type ti contributed by a neighbor of type tj
+    uses rho-table column tj*ntypes+ti (source-first).  The reference
+    tabulates the same quantity host-first (col = it*ntypes+jt,
+    imd_forces_nbl.c:468/551); ``read_eam`` transposes reference files
+    on load so this engine's indexing is correct for them.
     """
     grid = scene.grid
     dtype = scene.pos.dtype

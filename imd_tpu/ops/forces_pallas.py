@@ -825,8 +825,9 @@ def _mt_eval(x, consts_list, w_list, mode):
     the matching [ci,cj,b] one-hot weight.  mode 'v'|'g'|'vg'.  The
     per-column evaluations are dense (every column for every slot) —
     the TPU has no per-lane gather, so selecting by weighted sum is the
-    idiomatic translation of the reference's col = it*ntypes+jt table
-    indexing (imd_forces_nbl.c:468-470).
+    idiomatic translation of per-type-pair table indexing (the
+    reference gathers a column per pair, imd_forces_nbl.c:468-470; the
+    column ORDER here is the engine layout, see EAMPotential).
     """
     v_tot = g_tot = None
     for consts, w in zip(consts_list, w_list):
@@ -861,8 +862,10 @@ def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
     returns cells-last (F, epot, rho_t, nneigh, virial, presstens).
     Type-pair table columns are selected in-kernel by one-hot weights:
     pair phi/grad use col = ti*nt+tj, the host densities use the
-    reference's asymmetric pair (rho_i += col[tj,ti], rho_j +=
-    col[ti,tj], imd_forces_nbl.c:468-470/843-872), and the embedding
+    engine's source-first rho layout (rho_i += col[tj,ti], rho_j +=
+    col[ti,tj]; the reference accumulates the same quantities from its
+    host-first table, imd_forces_nbl.c:468-470/843-872 — read_eam
+    transposes on load), and the embedding
     derivative is selected per type on the XLA side.  Cost grows
     ~linearly with ntypes^2 polynomial evaluations; intended for
     nt <= 4.

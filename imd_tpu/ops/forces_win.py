@@ -476,7 +476,8 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     Same in-kernel window machinery as eam_kernels_win_split; the
     type-pair table columns are selected by one-hot weights exactly
     like the roll-based eam_kernels_cl_mt (pair col = ti*nt+tj, host
-    densities rho_i += col(tj,ti) / rho_j += col(ti,tj),
+    densities rho_i += col(tj,ti) / rho_j += col(ti,tj) in the engine's
+    source-first rho layout; the reference's host-first equivalent is
     imd_forces_nbl.c:468-470/843-872).  The per-slot types ride the
     same streamed window blocks as the dF views.  Returns cells-last
     (F [cap,3,NC], rho [cap,NC], nneigh [cap,NC]).

@@ -187,10 +187,14 @@ class Simulation:
                                     self.dtype)
             if dyn is not None:
                 eam, meta = dyn
-                if meta["nelem"] < cfg.ntypes:
+                # the tables have nelem² columns with stride nelem;
+                # every engine indexes col = s*ntypes+h, so any
+                # nelem != ntypes silently reads wrong pair columns
+                if meta["nelem"] != cfg.ntypes:
                     raise ValueError(
                         f"{cfg.core_potential_file}: {meta['nelem']} "
-                        f"element(s) but ntypes={cfg.ntypes}")
+                        f"element(s) but ntypes={cfg.ntypes}; set ntypes "
+                        f"to the file's element count (or trim the file)")
             else:
                 eam = read_eam(self._path(cfg.core_potential_file),
                                self._path(cfg.embedding_energy_file),
