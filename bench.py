@@ -42,6 +42,17 @@ def main():
                     help="fraction of the box left empty ahead of the "
                          "film along x (the ablation geometry; exercises "
                          "the windowed engine's empty-block skip)")
+    ap.add_argument("--compress", type=float, default=0.0,
+                    help="compress the film along x by this factor "
+                         "(density x factor): the post-plume shocked "
+                         "regime.  The grid is re-derived for the "
+                         "compressed density exactly as the production "
+                         "re-grid path does (optimize_grid_dims "
+                         "max_capacity=32)")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="timed repetitions; the JSON value is the "
+                         "MEDIAN rate and detail.walls_s records every "
+                         "sample (tunnel variance is ~±8%%)")
     ap.add_argument("--ntypes", type=int, default=1,
                     help="bench an N-species alloy: atoms get types "
                          "round-robin and the EAM tables are tiled to "
@@ -117,11 +128,23 @@ def main():
                           dtype=dtype)
         grid = grid.replace(box=box2)
         pos0 = pos0 + np.array([lx - lx0, 0.0, 0.0])
+    if args.compress and args.compress > 1.0:
+        # post-plume shocked film: compress along x against the box rear
+        # (density x compress); the production loop meets this regime
+        # mid-ablation and re-grids (Simulation._regrid_scene)
+        rear = pos0[:, 0].max()
+        pos0[:, 0] = rear - (rear - pos0[:, 0]) / args.compress
     # dense-sweep grid: dims+capacity minimizing cap^2 * n_cells over the
     # measured occupancy (fewer, fuller cells; see optimize_grid_dims)
     from imd_tpu.ops.geometry import CellGrid, optimize_grid_dims
-    dims, cap = optimize_grid_dims(grid.box, grid.cutoff, grid.skin,
-                                   pos0, dtype=dtype)
+    maxcap = 32 if args.engine in ("pallas", "pallas2") else 0
+    got = optimize_grid_dims(grid.box, grid.cutoff, grid.skin,
+                             pos0, dtype=dtype, max_capacity=maxcap)
+    if got is None:
+        raise SystemExit(
+            f"no cap<=32 grid at compress={args.compress}; the "
+            f"production path would fall back to the general engine")
+    dims, cap = got
     if args.capacity:
         cap = args.capacity
     grid = CellGrid(box=grid.box, dims=dims, capacity=cap,
@@ -173,6 +196,20 @@ def main():
     params = integrate.IntegratorParams(
         timestep=jnp.asarray(0.1, dtype))  # ~1 fs
 
+    def timed_repeat(run_block, carry, sync):
+        """Warmup once, then time ``--repeat`` blocks; returns the final
+        carry and every wall-clock sample (median reported — the remote
+        tunnel shows ~±8% run-to-run variance)."""
+        carry = run_block(carry, args.warmup)
+        sync(carry)
+        walls = []
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            carry = run_block(carry, args.steps)
+            sync(carry)
+            walls.append(time.perf_counter() - t0)
+        return carry, walls
+
     if args.ttm:
         from imd_tpu.config import LaserConfig, TTMConfig
         from imd_tpu.models import ttm as ttm_mod
@@ -212,12 +249,9 @@ def main():
 
             fdi_f = -jnp.ones(cl.mass.size, jnp.int32)
             carry = (cl, tgrid0, fdi_f, jnp.zeros((), jnp.int32))
-            carry = run_block(carry, args.warmup)
-            jax.block_until_ready(carry[0].xi)
-            t0 = time.perf_counter()
-            carry = run_block(carry, args.steps)
-            jax.block_until_ready(carry[0].xi)
-            dt = time.perf_counter() - t0
+            carry, walls = timed_repeat(
+                run_block, carry,
+                lambda c: jax.block_until_ready(c[0].xi))
             scene = cl_to_scene(carry[0], scene)
         else:
             def one_step(carry):
@@ -243,12 +277,9 @@ def main():
                                          lambda i, c: one_step(c), carry)
 
             carry = (scene, tgrid0, fdi0, jnp.zeros((), jnp.int32))
-            carry = run_block(carry, args.warmup)
-            jax.block_until_ready(carry[0].pos)
-            t0 = time.perf_counter()
-            carry = run_block(carry, args.steps)
-            jax.block_until_ready(carry[0].pos)
-            dt = time.perf_counter() - t0
+            carry, walls = timed_repeat(
+                run_block, carry,
+                lambda c: jax.block_until_ready(c[0].pos))
             scene = carry[0]
     elif args.engine == "pallas" and not args.energy_every_step:
         # production hot loop: fused cells-last step (ops/fused_step.py)
@@ -262,12 +293,8 @@ def main():
             return jax.lax.fori_loop(
                 0, k, lambda i, c: step_cl(c)[0], cl)
 
-        cl = run_block(cl, args.warmup)
-        jax.block_until_ready(cl.xi)
-        t0 = time.perf_counter()
-        cl = run_block(cl, args.steps)
-        jax.block_until_ready(cl.xi)
-        dt = time.perf_counter() - t0
+        cl, walls = timed_repeat(run_block, cl,
+                                 lambda c: jax.block_until_ready(c.xi))
         scene = cl_to_scene(cl, scene)
     else:
         def one_step(scene):
@@ -282,15 +309,10 @@ def main():
         def run_block(scene, k):
             return jax.lax.fori_loop(0, k, lambda i, s: one_step(s), scene)
 
-        # warmup & compile
-        scene = run_block(scene, args.warmup)
-        jax.block_until_ready(scene.pos)
+        scene, walls = timed_repeat(
+            run_block, scene, lambda s: jax.block_until_ready(s.pos))
 
-        t0 = time.perf_counter()
-        scene = run_block(scene, args.steps)
-        jax.block_until_ready(scene.pos)
-        dt = time.perf_counter() - t0
-
+    dt = sorted(walls)[len(walls) // 2]         # median sample
     atom_steps_per_sec = n_atoms * args.steps / dt
     sec_per_step_atom = dt / (args.steps * n_atoms)
     # north star: 5e8 on a v5e-8 (8 chips); this is a single-chip
@@ -309,6 +331,11 @@ def main():
             "n_atoms": n_atoms,
             "steps": args.steps,
             "wall_s": dt,
+            "repeat": max(1, args.repeat),
+            "walls_s": walls,
+            "spread_pct": (100.0 * (max(walls) - min(walls))
+                           / max(dt, 1e-12)),
+            "compress": args.compress,
             "sec_per_step_and_atom": sec_per_step_atom,
             "grid": list(grid.dims),
             "capacity": grid.capacity,

@@ -221,7 +221,8 @@ def optimize_grid_dims(box: Box, cutoff: float, skin: float, pos,
                        dtype=np.float32,
                        dims_multiple: Tuple[int, int, int] = (1, 1, 1),
                        shrink: float = 0.80,
-                       headroom_slots: int = 1):
+                       headroom_slots: int = 1,
+                       max_capacity: int = 0):
     """Pick cell dims minimizing the dense-sweep cost cap^2 * n_cells.
 
     The Pallas engines evaluate every (slot_i, slot_j) pair of every
@@ -236,6 +237,12 @@ def optimize_grid_dims(box: Box, cutoff: float, skin: float, pos,
     MEASURED max occupancy (+``headroom_slots`` migration slack, rounded
     to the sublane multiple of 8 / half-sublane 4), return
     (dims, capacity) of the cheapest grid.
+
+    ``max_capacity`` > 0 restricts the search to grids whose measured
+    capacity fits (the Pallas engines' VMEM tile cap); when no candidate
+    fits, returns None instead of raising — the density re-grid path
+    (Simulation._regrid_scene, the reference's re-celling on geometry
+    change, imd_geom_3d.c:118-170) falls back to the general engine.
     """
     reach = cutoff + skin
     heights = box.heights()
@@ -272,10 +279,14 @@ def optimize_grid_dims(box: Box, cutoff: float, skin: float, pos,
         cap8 = ((need + 7) // 8) * 8
         cap4 = ((need + 3) // 4) * 4
         cap = max(8, cap8 if cap8 >= need else cap4)
+        if max_capacity > 0 and cap > max_capacity:
+            continue
         score = cap * cap * dims[0] * dims[1] * dims[2]
         if best is None or score < best[0]:
             best = (score, dims, cap)
     if best is None:
+        if max_capacity > 0:
+            return None
         raise ValueError("no feasible cell grid for the given box/cutoff")
     return best[1], best[2]
 

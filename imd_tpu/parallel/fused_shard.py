@@ -47,7 +47,21 @@ from imd_tpu.ops.forces_pallas import SENTINEL_CELL, eam_f_pass, eam_r_pass
 def shardable(grid, mesh) -> bool:
     """Can the fused Pallas sweep run under this mesh?  Requires an
     x-only decomposition (the TTM-matched default, imd_ttm.c:963),
-    uniform slabs, and a divisible cell grid."""
+    uniform slabs, and a divisible cell grid.
+
+    PRODUCTION CONSTRAINT (documented, deliberate): the fused hot loop
+    decomposes ONLY along x.  Its one-plane halo protocol relies on the
+    half stencil having dx in {0, +1}; a y/z decomposition would need
+    two-sided halos (offsets with dx=+1 carry dy/dz in {-1,0,+1}) and
+    roughly doubles the fold traffic.  Since the TTM FD grid, the load
+    balancer, and the laser axis are all x-aligned (the reference's own
+    production layout, imd_ttm.c:963), x-slabs are the intended shape;
+    boxes that are short in x should swap the long axis into x at setup.
+    Non-x meshes still RUN — the driver falls back to the general GSPMD
+    engine, whose correctness on (1,N,1)/(2,2,2) meshes is pinned by
+    tests/test_sharding.py::test_sharded_forces_and_step_non_x_meshes —
+    they just don't get the fused Pallas kernels.  See docs/manual.md
+    §parallel."""
     if mesh is None:
         return False
     ax = mesh.axis_names

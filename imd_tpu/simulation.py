@@ -139,6 +139,7 @@ class Simulation:
             grid_dims_multiple = tuple(
                 max(m, s) if m % s == 0 else m * s
                 for m, s in zip(grid_dims_multiple, shape))
+        self._grid_dims_multiple = tuple(grid_dims_multiple)
         self._load_potential()
         self._load_atoms(grid_dims_multiple)
         self._init_coulomb()
@@ -1721,6 +1722,68 @@ class Simulation:
                     and cfg.laser.rescale_mode in (0, 4))
         return False
 
+    def _regrid_scene(self, scene: Scene,
+                      max_capacity: int = 32) -> Optional[Scene]:
+        """Density-adaptive re-gridding: re-derive the cell grid for the
+        CURRENT atom distribution and re-bin, keeping the capacity under
+        the Pallas VMEM cap.
+
+        The reference re-derives its cell grid whenever the geometry
+        changes (init_cells re-runs from the box, imd_geom_3d.c:118-170)
+        and grows per-cell storage freely (alloc_cell, imd_alloc.c:551).
+        Our static-shape analog under a capacity cap: when laser-shock
+        compression packs cells past cap 32, search the grid-dims space
+        again with the MEASURED current occupancy (optimize_grid_dims
+        max_capacity) — finer cells lower per-cell occupancy by the
+        volume ratio, so the fused Pallas hot loop survives the whole
+        ablation instead of falling back to the general engine.
+
+        Returns the re-binned Scene (sharded when a mesh is active), or
+        None when no feasible grid exists / re-gridding cannot help —
+        the caller then falls back to the general engine.
+        """
+        from imd_tpu.ops.geometry import optimize_grid_dims
+        flat = scene.flatten_atoms()
+        mask = np.asarray(flat["mask"])
+        pos = np.asarray(flat["pos"], np.float64)[mask]
+        got = optimize_grid_dims(
+            self.box, self.grid.cutoff, self.grid.skin, pos,
+            dtype=self.dtype, dims_multiple=self._grid_dims_multiple,
+            headroom_slots=2, max_capacity=max_capacity)
+        if got is None:
+            return None
+        dims, cap = got
+        same_dims = tuple(dims) == tuple(self.grid.dims)
+        if same_dims and cap <= self.grid.capacity:
+            return None            # nothing a re-bin could change
+        new_grid = CellGrid(box=self.box, dims=tuple(dims),
+                            capacity=int(cap), cutoff=self.grid.cutoff,
+                            skin=self.grid.skin)
+        kw = dict(mom=np.asarray(flat["mom"])[mask],
+                  mass=np.asarray(flat["mass"])[mask],
+                  type=np.asarray(flat["type"])[mask],
+                  vtype=np.asarray(flat["vtype"])[mask],
+                  id=np.asarray(flat["id"])[mask],
+                  dtype=self.dtype)
+        new_scene = make_scene(new_grid, pos, **kw)
+        while int(new_scene.overflow) > 0:
+            # occupancy measurement and binning should agree; defend
+            # against one-ulp boundary flips like the setup path does
+            cap = ((cap + 8 + 7) // 8) * 8
+            if cap > max_capacity:
+                return None
+            new_grid = new_grid.replace(capacity=cap)
+            new_scene = make_scene(new_grid, pos, **kw)
+        print(f"# density re-grid: {tuple(self.grid.dims)} cap "
+              f"{self.grid.capacity} -> {tuple(dims)} cap {cap} "
+              f"({len(pos)} atoms)", flush=True)
+        if self.mesh is not None:
+            from imd_tpu.parallel.mesh import (check_grid_divisible,
+                                               shard_scene)
+            check_grid_divisible(new_grid.dims, self.mesh)
+            new_scene = shard_scene(self.mesh, new_scene)
+        return new_scene
+
     def _grow_cells(self, state: SimState, extra: int = 8) -> SimState:
         """Grow the cell capacity after an in-run overflow and return the
         (pre-overflow) state re-padded for the new capacity.
@@ -2434,6 +2497,7 @@ class Simulation:
         done = 0
         state = None
         grow_tries = 0
+        regrid_at = -1      # block offset of the last density re-grid
         while done < steps:
             prev_carry = carry
             b = min(block, steps - done)
@@ -2459,16 +2523,40 @@ class Simulation:
                       f"{new_cap} and retrying the block", flush=True)
                 if new_cap > 32:
                     # the Pallas sweeps cap at cap<=32 ([cap,cap,B] VMEM
-                    # tiles); denser compression (strong ablation
-                    # shocks) falls back to the general XLA engine and
-                    # CONTINUES — the reference's alloc_cell never fails
+                    # tiles).  First try density-adaptive re-gridding:
+                    # re-derive the cell grid for the compressed
+                    # distribution (finer cells lower occupancy) exactly
+                    # as the reference re-cells on geometry change
+                    # (imd_geom_3d.c:118-170) — the fused Pallas loop
+                    # then survives the whole ablation
+                    sc_prev = cl_to_scene(prev_carry[0], template)
+                    sc_prev = sc_prev.replace(
+                        overflow=jnp.zeros((), jnp.int32))
+                    if regrid_at != done:
+                        regridded = self._regrid_scene(sc_prev)
+                        if regridded is not None:
+                            regrid_at = done
+                            grow_tries = 0
+                            template = regridded
+                            self.grid = regridded.grid
+                            self.scene = regridded
+                            self._select_engine()
+                            carry, run_block, observe, filt_apply = \
+                                build(template,
+                                      prev_carry[1] if ttm_on else None,
+                                      self.step_count + done,
+                                      cstate=(prev_carry[3]
+                                              if has_aux0 else None),
+                                      vstate=(prev_carry[3 + has_aux0]
+                                              if has_vlat else None))
+                            continue
+                    # even re-gridding can't fit cap<=32: fall back to
+                    # the general XLA engine and CONTINUE — the
+                    # reference's alloc_cell never fails
                     # (imd_alloc.c:551), so neither do we
                     print("# fused-path capacity cap reached: "
                           "continuing on the general engine "
                           f"(capacity {old} -> {new_cap})", flush=True)
-                    sc_prev = cl_to_scene(prev_carry[0], template)
-                    sc_prev = sc_prev.replace(
-                        overflow=jnp.zeros((), jnp.int32))
                     grown = grow_capacity(sc_prev, new_cap)
                     self.grid = grown.grid
                     self.scene = grown
@@ -2615,6 +2703,38 @@ class Simulation:
                           "repartitioning again", flush=True)
                     sc_pre = sc_pre.replace(
                         overflow=jnp.zeros((), jnp.int32))
+                    if new_cap > 32:
+                        # try the density re-grid before surrendering
+                        # the fused path (same protocol as the in-loop
+                        # overflow above)
+                        regridded = self._regrid_scene(sc_pre)
+                        if regridded is not None:
+                            template = regridded
+                            self.grid = regridded.grid
+                            self.scene = regridded
+                            self._select_engine()
+                            carry, run_block, observe, filt_apply = \
+                                build(template,
+                                      carry[1] if ttm_on else None,
+                                      self.step_count + done,
+                                      cstate=(carry[3]
+                                              if has_aux0 else None),
+                                      vstate=(carry[3 + has_aux0]
+                                              if has_vlat else None))
+                            sc_lb = lb.repartition_x(
+                                cl_to_scene(carry[0], template))
+                            if int(sc_lb.overflow) > 0:
+                                raise RuntimeError(
+                                    "LB repartition still overflows "
+                                    "after density re-grid")
+                            cl_lb = scene_to_cl(sc_lb)
+                            if ttm_on:
+                                carry = (cl_lb, carry[1],
+                                         -jnp.ones_like(carry[2]),
+                                         *carry[3:])
+                            else:
+                                carry = (cl_lb,)
+                            continue
                     grown = grow_capacity(sc_pre, new_cap)
                     self.grid = grown.grid
                     self.scene = grown

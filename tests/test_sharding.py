@@ -19,8 +19,8 @@ from imd_tpu.scene import make_scene, rebin
 from imd_tpu.utils.generate import fcc
 
 
-def _scene(dims_multiple=(1, 1, 1)):
-    pos, typ, box_diag = fcc((18, 6, 6), 1.5874)
+def _scene(dims_multiple=(1, 1, 1), nc=(18, 6, 6)):
+    pos, typ, box_diag = fcc(nc, 1.5874)
     rng = np.random.default_rng(5)
     pos = pos + rng.normal(scale=0.05, size=pos.shape)
     box = Box.create([box_diag[0], 0, 0], [0, box_diag[1], 0],
@@ -48,6 +48,63 @@ def test_sharded_forces_match_single_device():
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(float(res_shard.virial),
                                float(res_single.virial), rtol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("shape", [(1, 8, 1), (2, 2, 2)])
+def test_sharded_forces_and_step_non_x_meshes(shape):
+    """Non-x decompositions (VERDICT r3 #4): the general GSPMD engine
+    must be correct on y-slab and full 3-D meshes — the reference's 3-D
+    Cartesian torus (imd_geom_mpi_3d.c:32-90).  The FUSED shard path is
+    x-only by design (its half-stencil halo protocol needs dx in {0,+1});
+    shardable() rejects these meshes and the driver uses this engine."""
+    # box long enough along every decomposed axis for >= shape cells
+    nc = tuple(max(6, 3 * s) for s in shape)
+    scene, pot = _scene(dims_multiple=shape, nc=nc)
+    mesh = make_mesh(shape)
+    check_grid_divisible(scene.grid.dims, mesh)
+    from imd_tpu.parallel.fused_shard import shardable
+    assert not shardable(scene.grid, mesh)   # fused path: x-only
+
+    f = jax.jit(lambda s: compute_pair_forces(s, pot, ntypes=1))
+    res_single = f(scene)
+    res_shard = f(shard_scene(mesh, scene))
+    np.testing.assert_allclose(np.asarray(res_shard.force),
+                               np.asarray(res_single.force),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(res_shard.virial),
+                               float(res_single.virial), rtol=1e-12)
+
+    # full step + rebin equivalence
+    params = integrate.IntegratorParams(timestep=jnp.float64(0.004))
+    sc = integrate.maxwell(scene, 0.03, jax.random.PRNGKey(2))
+
+    @jax.jit
+    def step(s):
+        res = compute_pair_forces(s, pot, ntypes=1)
+        s = s.replace(force=res.force, epot=res.epot)
+        s, stats = integrate.nve(s, params)
+        return rebin(s), stats.tot_kin_energy
+
+    s1, s2 = sc, shard_scene(mesh, sc)
+    for _ in range(5):
+        s1, e1 = step(s1)
+        s2, e2 = step(s2)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos),
+                               rtol=1e-12, atol=1e-12)
+    assert int(s2.overflow) == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_check_grid_divisible_per_axis():
+    """check_grid_divisible rejects every non-divisible axis by name."""
+    mesh = make_mesh((2, 2, 2))
+    check_grid_divisible((4, 2, 6), mesh)
+    for bad, axname in (((5, 2, 2), "'x'"), ((2, 5, 2), "'y'"),
+                        ((2, 2, 5), "'z'")):
+        with pytest.raises(ValueError, match=axname):
+            check_grid_divisible(bad, mesh)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
