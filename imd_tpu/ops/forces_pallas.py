@@ -848,6 +848,88 @@ def _mt_eval(x, consts_list, w_list, mode):
     return v_tot, g_tot
 
 
+def _mt_axes(ti_f, tj_f, nt):
+    """Per-axis one-hot factors: wi[p] = [ci,1,b] (i-slot type == p),
+    wj[q] = [1,cj,b].  The full [ci,cj,b] col weight is wi[p]*wj[q];
+    building the factors once lets the structured evaluators below skip
+    whole products (source-only rho needs only one axis)."""
+    wi = [(ti_f[:, None, :] == float(p)).astype(ti_f.dtype)
+          for p in range(nt)]
+    wj = [(tj_f[None, :, :] == float(q)).astype(ti_f.dtype)
+          for q in range(nt)]
+    return wi, wj
+
+
+def mt_structure(pair_cs, rho_cs, nt):
+    """Host-side column-structure detection over baked consts.
+
+    - ``rho_src``: every rho column depends only on its SOURCE type
+      (col s*nt+h identical across h) — true for every eam.alloy-style
+      potential and for bench's tiled tables; the density sums then
+      need nt polynomial evaluations instead of nt² and only ONE-AXIS
+      weights (imd_forces_nbl.c pays ~nothing for type dispatch; this
+      is the TPU counterpart).
+    - ``pair_sym``: phi columns symmetric (the physical norm; ASYMPOT
+      is the documented exception and runs the oracle engine) — pair
+      needs nt(nt+1)/2 evaluations.
+    """
+    rho_src = all(rho_cs[s * nt + h] == rho_cs[s * nt]
+                  for s in range(nt) for h in range(nt))
+    pair_sym = all(pair_cs[a * nt + b] == pair_cs[b * nt + a]
+                   for a in range(nt) for b in range(a + 1, nt))
+    return rho_src, pair_sym
+
+
+def _mt_pair_eval(x, pair_cs, wi, wj, nt, mode, pair_sym):
+    """Pair-table select: Σ_cols poly_col(x)·wi[ti]·wj[tj].
+
+    Symmetric tables evaluate each distinct column once; for nt == 2
+    the cross weight falls out of partition-of-unity (wi/wj each sum
+    to 1 over types) as 1 - w00 - w11 — no extra products."""
+    if not pair_sym:
+        w = [wi[p] * wj[q] for p in range(nt) for q in range(nt)]
+        return _mt_eval(x, pair_cs, w, mode)
+    if nt == 2:
+        w00, w11 = wi[0] * wj[0], wi[1] * wj[1]
+        return _mt_eval(x, [pair_cs[0], pair_cs[3], pair_cs[1]],
+                        [w00, w11, 1.0 - w00 - w11], mode)
+    ws, cs = [], []
+    for a in range(nt):
+        for b in range(a, nt):
+            cs.append(pair_cs[a * nt + b])
+            ws.append(wi[a] * wj[a] if a == b
+                      else wi[a] * wj[b] + wi[b] * wj[a])
+    return _mt_eval(x, cs, ws, mode)
+
+
+def _mt_rho_eval(x, rho_cs, wi, wj, nt, mode, rho_src):
+    """Density-table select, BOTH orientations from one set of
+    polynomial evaluations.
+
+    Returns (r_ij, r_ji): r_ij is the density at the i slot from the j
+    slot (col tj*nt+ti → weight wi[q]·wj[p] for col (p,q)), r_ji the
+    reverse.  Source-only tables need one poly per SOURCE type and a
+    single-axis weight (no [ci,cj,b] weight products at all)."""
+    if rho_src:
+        ij = ji = None
+        for s in range(nt):
+            p = (_horner_v(x, rho_cs[s * nt]) if mode == "v"
+                 else _horner_g(x, rho_cs[s * nt]))
+            ij = p * wj[s] if ij is None else ij + p * wj[s]
+            ji = p * wi[s] if ji is None else ji + p * wi[s]
+        return ij, ji
+    ij = ji = None
+    for p in range(nt):
+        for q in range(nt):
+            v = (_horner_v(x, rho_cs[p * nt + q]) if mode == "v"
+                 else _horner_g(x, rho_cs[p * nt + q]))
+            wt = wi[q] * wj[p]            # col (p,q) seen from i
+            w = wi[p] * wj[q]             # col (p,q) seen from j
+            ij = v * wt if ij is None else ij + v * wt
+            ji = v * w if ji is None else ji + v * w
+    return ij, ji
+
+
 def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
                       count_neighbors: bool = False,
                       neigh_r2: float = 0.0,
@@ -913,13 +995,7 @@ def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
         tj = jax.lax.broadcasted_iota(jnp.int32, (cap, cap, 1), 1)
         return ti < tj
 
-    def weights(ti_f, tj_f):
-        """nt*nt one-hot [ci,cj,b] weights, order col = p*nt + q."""
-        wi = [(ti_f[:, None, :] == float(p)).astype(ti_f.dtype)
-              for p in range(nt)]
-        wj = [(tj_f[None, :, :] == float(q)).astype(ti_f.dtype)
-              for q in range(nt)]
-        return [wi[p] * wj[q] for p in range(nt) for q in range(nt)]
+    rho_src, pair_sym = mt_structure(pair_cs, rho_cs, nt)
 
     def sweep_a(xi_x, xi_y, xi_z, ti_f, xj, tj_f, tri):
         dx = xi_x[:, None, :] - xj[:, 0, :][None, :, :]
@@ -930,20 +1006,22 @@ def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
         if tri is not None:
             inside = inside & tri
         insf = inside.astype(dx.dtype)
-        w = weights(ti_f, tj_f)                      # col = ti*nt + tj
-        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
+        wi, wj = _mt_axes(ti_f, tj_f, nt)
         out = {}
         if need_energy:
-            phi, grad = _mt_eval(r2, pair_cs, w, "vg")
+            phi, grad = _mt_pair_eval(r2, pair_cs, wi, wj, nt, "vg",
+                                      pair_sym)
             phi = phi * insf
             out["e_i"] = 0.5 * jnp.sum(phi, 1)
             out["e_j"] = 0.5 * jnp.sum(phi, 0)
         else:
-            grad = _mt_eval(r2, pair_cs, w, "g")
+            grad = _mt_pair_eval(r2, pair_cs, wi, wj, nt, "g", pair_sym)
         grad = grad * insf
-        # rho_i += col(tj,ti) -> transposed weights; rho_j += col(ti,tj)
-        rv_ij = _mt_eval(r2, rho_cs, wT, "v") * insf
-        rv_ji = _mt_eval(r2, rho_cs, w, "v") * insf
+        # rho_i += col(tj,ti); rho_j += col(ti,tj) — one poly eval per
+        # distinct column, both orientations combined (_mt_rho_eval)
+        rv_ij, rv_ji = _mt_rho_eval(r2, rho_cs, wi, wj, nt, "v", rho_src)
+        rv_ij = rv_ij * insf
+        rv_ji = rv_ji * insf
         out["rho_i"] = jnp.sum(rv_ij, 1)
         out["rho_j"] = jnp.sum(rv_ji, 0)
         if count_neighbors:
@@ -1055,10 +1133,9 @@ def eam_kernels_cl_mt(xi, typ, mask, eam, grid, ntypes: int,
         if tri is not None:
             inside = inside & tri
         insf = inside.astype(dx.dtype)
-        w = weights(ti_f, tj_f)
-        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
-        g_ij = _mt_eval(r2, rho_cs, wT, "g")   # drho_{col(tj,ti)}
-        g_ji = _mt_eval(r2, rho_cs, w, "g")    # drho_{col(ti,tj)}
+        wi, wj = _mt_axes(ti_f, tj_f, nt)
+        # drho_{col(tj,ti)} / drho_{col(ti,tj)} from one eval per column
+        g_ij, g_ji = _mt_rho_eval(r2, rho_cs, wi, wj, nt, "g", rho_src)
         grad = (dfi[:, None, :] * g_ij + dfj[None, :, :] * g_ji) * insf
         out = {"fx_i": -jnp.sum(grad * dx, 1),
                "fy_i": -jnp.sum(grad * dy, 1),

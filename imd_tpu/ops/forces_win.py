@@ -487,7 +487,8 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
     caller folds halos and does the per-type embedding select between
     the two passes).
     """
-    from imd_tpu.ops.forces_pallas import _mt_eval
+    from imd_tpu.ops.forces_pallas import (_mt_axes, _mt_pair_eval,
+                                           _mt_rho_eval, mt_structure)
 
     nt = ntypes
     layout = WinLayout(grid, block=block)
@@ -532,12 +533,7 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
         return [jnp.where(dead, lad, wins[w0][:, c, :])
                 for c in range(3)]
 
-    def weights(ti_f, tj_f):
-        wi = [(ti_f[:, None, :] == float(p)).astype(dtype)
-              for p in range(nt)]
-        wj = [(tj_f[None, :, :] == float(q)).astype(dtype)
-              for q in range(nt)]
-        return [wi[p] * wj[q] for p in range(nt) for q in range(nt)]
+    rho_src, pair_sym = mt_structure(pair_cs, rho_cs, nt)
 
     # ---------------- kernel R: host density (+ neighbor count) ----------
     def sweep_r(xi3, ti_f, xj3, tj_f, tri):
@@ -549,10 +545,10 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
         if tri is not None:
             inside = inside & tri
         insf = inside.astype(dtype)
-        w = weights(ti_f, tj_f)
-        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
-        rv_ij = _mt_eval(r2, rho_cs, wT, "v") * insf
-        rv_ji = _mt_eval(r2, rho_cs, w, "v") * insf
+        wi, wj = _mt_axes(ti_f, tj_f, nt)
+        rv_ij, rv_ji = _mt_rho_eval(r2, rho_cs, wi, wj, nt, "v", rho_src)
+        rv_ij = rv_ij * insf
+        rv_ji = rv_ji * insf
         out = {"rho_i": jnp.sum(rv_ij, 1), "rho_j": jnp.sum(rv_ji, 0)}
         if count_neighbors:
             near = (insf if nr2 >= rcut2
@@ -660,11 +656,9 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
         if tri is not None:
             inside = inside & tri
         insf = inside.astype(dtype)
-        w = weights(ti_f, tj_f)
-        wT = [w[q * nt + p] for p in range(nt) for q in range(nt)]
-        pg = _mt_eval(r2, pair_cs, w, "g")
-        g_ij = _mt_eval(r2, rho_cs, wT, "g")
-        g_ji = _mt_eval(r2, rho_cs, w, "g")
+        wi, wj = _mt_axes(ti_f, tj_f, nt)
+        pg = _mt_pair_eval(r2, pair_cs, wi, wj, nt, "g", pair_sym)
+        g_ij, g_ji = _mt_rho_eval(r2, rho_cs, wi, wj, nt, "g", rho_src)
         grad = (pg + dfi[:, None, :] * g_ij
                 + dfj[None, :, :] * g_ji) * insf
         gdx, gdy, gdz = grad * dx, grad * dy, grad * dz

@@ -48,14 +48,18 @@ SRC_TTM = SRC_COMMON + ["imd_interpol.c", "fminbnd3.c", "imd_ttm.c",
                         "imd_tmm.c"]
 
 
-def _build(tmp, sources, flags, out):
+def _build(tmp, sources, flags, out, src_override=None):
+    """Compile the reference sources (optionally diverting single files
+    to patched copies — see tools/refbuild/patch_ttm.py) + the mini-MPI
+    shim into a runnable binary."""
     objs = []
     for f in sources:
         o = tmp / (f[:-2] + ".o")
+        src = (src_override or {}).get(f, str(REF / f))
         subprocess.run(
             ["gcc", "-O2", "-fcommon", f"-I{RB}", f"-I{REF}"] + flags
             + ["-Wno-implicit-function-declaration", "-Wno-unused",
-               "-c", str(REF / f), "-o", str(o)],
+               "-c", str(src), "-o", str(o)],
             check=True, capture_output=True)
         objs.append(str(o))
     shim = tmp / "mpistub2.o"
