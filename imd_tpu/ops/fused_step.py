@@ -199,10 +199,16 @@ def make_fused_step(template: Scene, eam_run, timestep,
         d2 = jnp.sum(d * d, axis=1)
         need = jnp.max(jnp.where(cl.alive, d2, 0.0)) > skin2
 
-        def do_rebin(cl):
-            sc = cl_to_scene(cl, template)
-            sc = rebin(sc)
-            return scene_to_cl(sc)
+        if mesh is None:
+            # sort-free migration rebin (ops/rebin_cl.py): ~20x cheaper
+            # than the global-sort Scene round-trip at 1M atoms
+            from imd_tpu.ops.rebin_cl import make_rebin_cl
+            do_rebin = make_rebin_cl(grid)
+        else:
+            def do_rebin(cl):
+                sc = cl_to_scene(cl, template)
+                sc = rebin(sc)
+                return scene_to_cl(sc)
 
         cl = jax.lax.cond(need, do_rebin, lambda c: c, cl)
         return cl, nn
@@ -371,11 +377,19 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         d2 = jnp.sum(d * d, axis=1)
         need = jnp.max(jnp.where(cl.alive, d2, 0.0)) > skin2
 
-        def do_rebin(args):
-            cl, fdi = args
-            sc = cl_to_scene(cl, template)
-            sc = rebin(sc)
-            return scene_to_cl(sc), -jnp.ones_like(fdi)
+        if mesh is None:
+            from imd_tpu.ops.rebin_cl import make_rebin_cl
+            rb = make_rebin_cl(grid)
+
+            def do_rebin(args):
+                cl, fdi = args
+                return rb(cl), -jnp.ones_like(fdi)
+        else:
+            def do_rebin(args):
+                cl, fdi = args
+                sc = cl_to_scene(cl, template)
+                sc = rebin(sc)
+                return scene_to_cl(sc), -jnp.ones_like(fdi)
 
         cl, fdi = jax.lax.cond(need, do_rebin, lambda a: a, (cl, fdi))
         return cl, tgrid, fdi, cs, vs, k + 1

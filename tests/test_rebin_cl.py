@@ -1,0 +1,123 @@
+"""Sort-free migration rebin (ops/rebin_cl.py) == the sort rebin.
+
+Same binning, same atom set per cell (slot ORDER differs: migration is
+stay-first, the sort keeps original-index order — no kernel cares).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imd_tpu.ops.fused_step import cl_to_scene, scene_to_cl
+from imd_tpu.ops.geometry import Box, choose_grid
+from imd_tpu.ops.rebin_cl import make_rebin_cl
+from imd_tpu.scene import make_scene, rebin
+from imd_tpu.utils.generate import fcc
+
+
+def _mkscene(pbc=(1, 1, 1), nc=(6, 5, 4), jitter=0.05, cap=None,
+             dtype=jnp.float64):
+    pos, _, bd = fcc(nc, 2.86)
+    rng = np.random.default_rng(4)
+    pos = pos + rng.normal(scale=jitter, size=pos.shape)
+    box = Box.create([bd[0], 0, 0], [0, bd[1], 0], [0, 0, bd[2]],
+                     pbc=pbc, dtype=dtype)
+    grid = choose_grid(box, 2.5, skin=0.4, n_atoms=len(pos))
+    if cap:
+        grid = grid.replace(capacity=cap)
+    mom = rng.normal(size=pos.shape)
+    scene = make_scene(grid, pos, mom=mom,
+                       mass=rng.uniform(1.0, 2.0, len(pos)),
+                       type=rng.integers(0, 2, len(pos)),
+                       dtype=dtype)
+    return scene
+
+
+def _bags(cl, dims):
+    """Per-cell frozenset of ids + id -> (pos, mom, typ, mass) maps."""
+    ids = np.asarray(cl.ids)
+    alive = np.asarray(cl.alive)
+    xi = np.asarray(cl.xi)
+    mom = np.asarray(cl.mom)
+    cells = {}
+    vals = {}
+    cap, _, NC = xi.shape
+    for c in range(NC):
+        s = frozenset(int(i) for k in range(cap)
+                      for i in [ids[k, c]] if alive[k, c])
+        cells[c] = s
+        for k in range(cap):
+            if alive[k, c]:
+                vals[int(ids[k, c])] = (xi[:, :, c][k], mom[:, :, c][k],
+                                        int(np.asarray(cl.typ)[k, c]),
+                                        float(np.asarray(cl.mass)[k, c]))
+    return cells, vals
+
+
+@pytest.mark.parametrize("pbc,use_pallas", [
+    ((1, 1, 1), False), ((0, 1, 1), False), ((0, 0, 0), False),
+    # the Pallas compaction kernel runs interpreted on CPU (slow):
+    # one representative case; TPU runs exercise it for real
+    ((1, 1, 1), True),
+])
+def test_migration_matches_sort_rebin(pbc, use_pallas):
+    # cap 24: the drift below packs a worst cell to 18 — overflow-free
+    # so the atom BAGS must match exactly (overflow victim selection
+    # differs by slot order and is covered by the capacity test)
+    scene = _mkscene(pbc=pbc, cap=24)
+    template = scene
+    cl = scene_to_cl(scene)
+    # drift atoms enough to cross cell boundaries (but < one edge)
+    rng = np.random.default_rng(9)
+    drift = jnp.asarray(rng.normal(scale=0.45, size=(1, 3, 1)) +
+                        rng.normal(scale=0.3, size=cl.xi.shape))
+    xi2 = jnp.where(cl.alive[:, None, :], cl.xi + drift, cl.xi)
+    cl = cl.replace(xi=xi2)
+
+    fast = jax.jit(make_rebin_cl(scene.grid, use_pallas=use_pallas))
+    a = fast(cl)
+    b = scene_to_cl(rebin(cl_to_scene(cl, template)))
+
+    assert int(a.overflow) == int(b.overflow) == 0
+    dims = scene.grid.dims
+    ca, va = _bags(a, dims)
+    cb, vb = _bags(b, dims)
+    assert ca == cb                      # same atoms in same cells
+    assert set(va) == set(vb)
+    for i in va:
+        np.testing.assert_allclose(va[i][0], vb[i][0], rtol=1e-12,
+                                   atol=1e-12)       # wrapped positions
+        np.testing.assert_allclose(va[i][1], vb[i][1], rtol=1e-12)
+        assert va[i][2] == vb[i][2]
+        assert va[i][3] == pytest.approx(vb[i][3])
+    # ref positions reset
+    np.testing.assert_array_equal(np.asarray(a.ref_xi), np.asarray(a.xi))
+
+
+def test_migration_counts_capacity_overflow():
+    # bin a comfortably-fitting scene, then re-bin it under a SMALLER
+    # capacity: dense cells overflow, every drop is counted, nothing is
+    # silently duplicated or misplaced
+    scene = _mkscene(cap=16)
+    cl = scene_to_cl(scene)
+    tight = scene.grid.replace(capacity=4)
+    out = make_rebin_cl(tight, use_pallas=False)(cl)
+    assert int(out.overflow) > 0
+    n0 = int(jnp.sum(cl.alive))
+    assert int(jnp.sum(out.alive)) + int(out.overflow) == n0
+    assert out.alive.shape[0] == 4
+
+
+def test_far_mover_is_dropped_loudly():
+    scene = _mkscene()
+    cl = scene_to_cl(scene)
+    # teleport one atom by two cells (not physically reachable between
+    # skin-triggered rebins) — must be counted, never misplaced
+    edge = np.diag(np.asarray(scene.grid.box.h))[0] / scene.grid.dims[0]
+    k, c = 0, 0
+    assert bool(cl.alive[k, c])
+    xi = cl.xi.at[k, 0, c].add(2.2 * edge)
+    out = make_rebin_cl(scene.grid, use_pallas=False)(cl.replace(xi=xi))
+    assert int(out.overflow) == 1
+    assert int(jnp.sum(out.alive)) == int(jnp.sum(cl.alive)) - 1

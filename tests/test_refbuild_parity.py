@@ -103,16 +103,27 @@ def test_two_rank_reference_matches_serial_golden_nve(tmp_path):
     assert np.abs(a - b).max() / np.abs(a).max() < 1e-10
 
 
-def test_reference_ttm_tmm_interop(tmp_path):
+def _interop(tmp_path, neutralized: bool):
+    """Shared TTM+TMM cross-run: build the reference (optionally with
+    its two root-caused defects neutralized — patch_ttm.py), restart
+    both codes from the same imd_tpu-written step-5 files, run to step
+    45, return aligned .eng columns."""
+    import subprocess as sp
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
+    override = None
+    if neutralized:
+        patched = tmp_path / "imd_ttm_fixed.c"
+        sp.run([sys.executable, str(RB / "patch_ttm.py"), str(patched)],
+               check=True, capture_output=True)
+        override = {"imd_ttm.c": str(patched)}
     exe = _build(tmp_path, SRC_TTM,
                  ["-DMPI", "-DMPI2", "-DNBL", "-DEAM2", "-DTTM",
                   "-DTTM1D", "-DTMM"],
-                 tmp_path / "imd_ttm2")
+                 tmp_path / "imd_ttm2", src_override=override)
     run = tmp_path / "run"
     run.mkdir()
     # fixture (writes EOS/bb/K12 tables to tmp_path, inputs to run/)
@@ -190,5 +201,24 @@ vlatdim 1
     us = _read_eng(run / "run.eng")
     ea, eb = _align(ref, us, 1)
     ta, tb = _align(ref, us, 2)
+    return ea, eb, ta, tb
+
+
+def test_reference_ttm_tmm_interop(tmp_path):
+    """UNMODIFIED reference: agreement bounded by its own two defects
+    (tools/refbuild/README.md) — Epot 1e-4, lattice T 2e-2."""
+    ea, eb, ta, tb = _interop(tmp_path, neutralized=False)
     assert np.abs(ea - eb).max() / np.abs(ea).max() < 1e-4
     assert np.abs(ta - tb).max() / np.abs(ta).max() < 2e-2
+
+
+def test_reference_ttm_tmm_parity_neutralized(tmp_path):
+    """VERDICT r3 #3: with the reference's two root-caused defects
+    neutralized (patch_ttm.py: do_DIFF VLATTICE neighbor override +
+    post-restart advection glitch), the coupled TTM+TMM 40-step energy
+    agreement must reach the 1e-6 north star."""
+    ea, eb, ta, tb = _interop(tmp_path, neutralized=True)
+    e_err = np.abs(ea - eb).max() / np.abs(ea).max()
+    t_err = np.abs(ta - tb).max() / np.abs(ta).max()
+    assert e_err < 1e-6, (e_err, t_err)
+    assert t_err < 2e-3, (e_err, t_err)
