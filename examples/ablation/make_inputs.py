@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--alat", type=float, default=4.05)
     ap.add_argument("--vacuum", type=float, default=0.6,
                     help="vacuum fraction of box_x in front of the film")
+    ap.add_argument("--rear-vacuum", type=float, default=0.08,
+                    help="vacuum fraction BEHIND the film: the NRB "
+                         "boundary absorbs the shock but the film "
+                         "creeps backward under sustained recoil; "
+                         "without rear room the drifting atoms clamp "
+                         "into the last cell plane and blow up its "
+                         "occupancy (the reference keeps vacuum at "
+                         "both box ends for the same reason).  The "
+                         "NRB detector keys on the atoms' own x-max, "
+                         "so the boundary layer is still found")
     ap.add_argument("--out", default=".")
     args = ap.parse_args()
 
@@ -48,10 +58,9 @@ def main():
 
     pos, typ, box_diag = fcc(tuple(args.film_cells), args.alat)
     film_x = box_diag[0]
-    box_x = film_x / (1.0 - args.vacuum)
-    x0 = box_x - film_x
+    box_x = film_x / (1.0 - args.vacuum - args.rear_vacuum)
+    x0 = box_x * args.vacuum
     pos = pos + np.array([x0, 0.0, 0.0])
-    # keep the rear layer strictly inside the box (open x boundary)
     pos[:, 0] = np.minimum(pos[:, 0], box_x - 1e-3)
 
     n = len(pos)
@@ -68,8 +77,10 @@ def main():
         have_vel=True,
     )
     write_chkpt(os.path.join(args.out, "start.chkpt"), d)
-    print(f"wrote start.chkpt: {n} atoms, film x=[{x0:.1f},{box_x:.1f}] A "
-          f"of box_x={box_x:.1f} A (vacuum {args.vacuum:.0%})")
+    print(f"wrote start.chkpt: {n} atoms, film x=[{x0:.1f},"
+          f"{x0 + film_x:.1f}] A of box_x={box_x:.1f} A "
+          f"(front vacuum {args.vacuum:.0%}, rear "
+          f"{args.rear_vacuum:.0%})")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ def _dims(grid):
 
 
 def write_ttm(path: str, grid, colrad_c=None, vlat=None,
-              colrad_p=None) -> None:
+              colrad_p=None, ref_ranks: int = 1) -> None:
     """Write a TTM grid (host transfer) in the reference's layout.
 
     ``colrad_c`` [n, nlev]: COLRAD level populations appended as extra
@@ -33,7 +33,15 @@ def write_ttm(path: str, grid, colrad_c=None, vlat=None,
 
     ``vlat`` (VlatState): virtual-lattice cells appended as extra rows
     with the reference's natoms = -2 sentinel (imd_ttm.c:1926-1947),
-    so the file restarts reference runs with VLATTICE enabled."""
+    so the file restarts reference runs with VLATTICE enabled.
+
+    ``ref_ranks``: write the proc column as the owning rank of an
+    N-rank reference run (x-block decomposition, imd_ttm.c:963) — the
+    reference's restart reader routes rows by ``buf[l].proc == myid``
+    (ttm_read copy loop), so a reference with cpu_dim N needs real rank
+    numbers here.  The vlat rows carry the rank owning the last active
+    cell (cur_vlattice_proc is read from the file) and that cell's
+    density (FILLMESH feeds vlat dens to the EOS)."""
     nx, ny, nz = _dims(grid)
     n = nx * ny * nz
     vcom = np.asarray(grid.vcom).reshape(n, 3)
@@ -64,6 +72,11 @@ def write_ttm(path: str, grid, colrad_c=None, vlat=None,
         for k, key in enumerate(POWER_KEYS[:pp.shape[1]]):
             names.append(key)
             cols[key] = pp[:, k]
+    per_rank = max(1, nx // max(1, ref_ranks))
+    active = np.nonzero(cols["natoms"] > 0)[0]
+    last_dens = float(cols["dens"][active[-1]]) if len(active) else 0.0
+    last_rank = (min(int(active[-1] // (ny * nz)) // per_rank,
+                     ref_ranks - 1) if len(active) else 0)
     with open(path, "w") as f:
         f.write("#" + " ".join(names) + "\n")
         for i in range(n):
@@ -72,7 +85,7 @@ def write_ttm(path: str, grid, colrad_c=None, vlat=None,
             vals = [str(ix), str(iy), str(iz), str(int(cols["natoms"][i]))]
             for name in names[4:]:
                 if name == "proc":
-                    vals.append("0")
+                    vals.append(str(min(ix // per_rank, ref_ranks - 1)))
                 else:
                     vals.append("%e" % float(cols[name][i]))
             f.write(" ".join(vals) + "\n")
@@ -82,7 +95,13 @@ def write_ttm(path: str, grid, colrad_c=None, vlat=None,
             for k in range(len(te)):
                 row = [str(nx + k), "0", "0", "-2", "%e" % te[k],
                        "%e" % ti[k]]
-                row += ["0.000000e+00"] * (len(names) - 6)
+                for name in names[6:]:
+                    if name == "dens":
+                        row.append("%e" % last_dens)
+                    elif name == "proc":
+                        row.append(str(last_rank))
+                    else:
+                        row.append("0.000000e+00")
                 f.write(" ".join(row) + "\n")
 
 

@@ -102,6 +102,62 @@ def aluminium_states(max_z: int = 3, nlev: int = 4) -> States:
                   np.asarray(AL_CHI[:max_z + 2], float), ground)
 
 
+def read_states(dirname: str, element: str = "Al",
+                chi_fallback=AL_CHI) -> States:
+    """Read the reference's atomic state tables (colrad_read_states,
+    imd_colrad.c:523): one ``{element}{z}_states.txt`` per charge stage,
+    six tab-separated columns per line — the reference consumes
+    col 2 = level energy (eV, CUMULATIVE scale: cross-stage differences
+    are ionization energies, imd_colrad.c:1920 groundstate_ioniz),
+    col 3 = statistical weight, col 4 = orbital quantum number (the
+    allowed-transition kronecker, imd_colrad.c:2509), col 5 = principal
+    quantum number (Einstein/Stark widths).
+
+    Maps onto the framework's States: per-stage energies relative to
+    the stage ground, stage ionization energies from the ground-to-
+    ground deltas; the stage after the last file gets ``chi_fallback``.
+    """
+    import os
+    stages = []
+    z = 0
+    while True:
+        path = os.path.join(dirname, f"{element}{z}_states.txt")
+        if not os.path.exists(path):
+            break
+        rows = np.loadtxt(path, ndmin=2)
+        if rows.shape[1] != 6:
+            raise ValueError(
+                f"{path}: expected 6 columns, got {rows.shape[1]}")
+        stages.append(rows)
+        z += 1
+    if not stages:
+        raise FileNotFoundError(
+            f"no {element}0_states.txt under {dirname}")
+    max_z = len(stages) - 1
+    zs, es, gs = [], [], []
+    ground = np.full(max_z + 2, -1, np.int64)
+    chi = []
+    for zi, rows in enumerate(stages):
+        e0 = rows[0, 2]
+        ground[zi] = len(zs)
+        for r in rows:
+            zs.append(zi)
+            es.append(float(r[2] - e0))
+            gs.append(float(r[3]))
+        if zi + 1 < len(stages):
+            chi.append(float(stages[zi + 1][0, 2] - e0))
+        else:
+            chi.append(float(chi_fallback[min(zi,
+                                              len(chi_fallback) - 1)]))
+    ground[max_z + 1] = len(zs)
+    zs.append(max_z + 1)
+    es.append(0.0)
+    gs.append(1.0)
+    chi.append(float(chi_fallback[min(max_z + 1, len(chi_fallback) - 1)]))
+    return States(np.asarray(zs), np.asarray(es, float),
+                  np.asarray(gs, float), np.asarray(chi, float), ground)
+
+
 # ---------------------------------------------------------------------------
 # rate coefficients (host-side tables over log T_e)
 # ---------------------------------------------------------------------------
@@ -156,8 +212,36 @@ class ColradTables(struct.PyTreeNode):
 
 
 def build_tables(st: States, te_lo: float = 0.02, te_hi: float = 1000.0,
-                 nt: int = 256, dtype=jnp.float32) -> ColradTables:
+                 nt: int = 256, dtype=jnp.float32,
+                 rates: str = "fit",
+                 ref_ne: float = 1.8e29) -> ColradTables:
+    """Precompute the rate tables over a log-Te grid.
+
+    ``rates``: "fit" (default) uses the van-Regemorter/Lotz closed
+    forms; "ref" integrates the REFERENCE's Mott cross sections over
+    the Fermi-Dirac distribution with its Sommerfeld chemical potential
+    (models/colrad_ref.py — the defining integrals of colrad_GetCoeffs,
+    imd_colrad.c:2279) evaluated at electron density ``ref_ne`` (the
+    tables are Te-only, so the degeneracy/Pauli corrections are frozen
+    at that density; default ~3 conduction electrons per Al atom at
+    solid density, matching the regime the reference targets).
+    """
     te = np.logspace(math.log10(te_lo), math.log10(te_hi), nt)
+    if rates == "ref":
+        from imd_tpu.models import colrad_ref as cr
+
+        def rate_exc(de, te):
+            return np.array([cr.k_exc_ref(ref_ne, t * units.EV_TO_K,
+                                          de * EV, n=4001)
+                             for t in te])
+
+        def rate_ion(chi, te):
+            return np.array([cr.k_ion_ref(ref_ne, t * units.EV_TO_K,
+                                          chi * EV, n_outer=401,
+                                          n_inner=101)
+                             for t in te])
+    else:
+        rate_exc, rate_ion = _k_exc, _k_ion
     nlev = len(st.z)
     exc_i, exc_j, exc_de, kexc = [], [], [], []
     ion_i, ion_j, ion_chi, kion, krr = [], [], [], [], []
@@ -168,7 +252,7 @@ def build_tables(st: States, te_lo: float = 0.02, te_hi: float = 1000.0,
                 exc_i.append(i)
                 exc_j.append(j)
                 exc_de.append(de)
-                kexc.append(_k_exc(de, te))
+                kexc.append(rate_exc(de, te))
         zi = int(st.z[i])
         if zi + 1 < len(st.ground) and st.ground[zi + 1] >= 0 \
                 and zi < len(st.chi_ev):
@@ -177,7 +261,7 @@ def build_tables(st: States, te_lo: float = 0.02, te_hi: float = 1000.0,
                 ion_i.append(i)
                 ion_j.append(int(st.ground[zi + 1]))
                 ion_chi.append(chi)
-                kion.append(_k_ion(chi, te))
+                kion.append(rate_ion(chi, te))
                 krr.append(_k_rr(zi + 1, chi, te))
     return ColradTables(
         log_te=jnp.asarray(np.log10(te), dtype),

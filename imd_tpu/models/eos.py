@@ -132,8 +132,10 @@ class TabulatedEOS:
     """
     rho_grid: jnp.ndarray        # [nr]
     tsq_grid: jnp.ndarray        # [nt]  sqrt(T[K]) samples
-    ee: jnp.ndarray              # [nr, nt]  J/kg
-    cve: jnp.ndarray             # [nr, nt]  eV/(eV A^3)
+    ee: jnp.ndarray              # [nr, nt]  J/kg (reference native unit)
+    cve: jnp.ndarray             # [nr, nt]  J/(K kg) (reference native
+    #   unit, EOS_cve_from_r_te imd_ttm.c:2586; ce() converts to the
+    #   internal eV/(eV A^3) with the same *dens chain the reference uses
     atomic_mass: float
 
     def tree_flatten(self):
@@ -161,7 +163,10 @@ class TabulatedEOS:
 
     def ce(self, dens, ne, Te_eV):
         tsq = jnp.sqrt(jnp.maximum(Te_eV, 1e-10) * EV_TO_K)
-        return self._interp2(self.cve, dens, tsq)
+        cve_kg = self._interp2(self.cve, dens, tsq)   # J/(K kg)
+        # J/(K kg) -> eV/(eV A^3): * dens * 11604.5 * 1e-30 * J2eV
+        # (the reference's exact chain, imd_ttm.c:2586-2589)
+        return cve_kg * dens * (EV_TO_K * 1e-30 * units.J_TO_EV)
 
     def u_from_te(self, dens, ne, Te_eV):
         tsq = jnp.sqrt(jnp.maximum(Te_eV, 1e-10) * EV_TO_K)

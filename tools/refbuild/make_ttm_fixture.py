@@ -84,8 +84,17 @@ def write_nn(path, xs, ys, zfun):
 
 EV_TO_K = wr.EV_TO_K
 def cve(r, tK):
+    # the reference's native table unit is J/(K*kg): it converts
+    # *r*11604.5*1e-30*J2eV to its internal eV/(eV*A^3)
+    # (EOS_cve_from_r_te, imd_ttm.c:2586-2589).  eos.ce returns the
+    # internal unit, so divide the conversion back out.  (Round-4 fix:
+    # writing the internal unit raw fed the reference a ~4000x too
+    # small Ce — the root cause of its 'Te collapse' and 1e5-substep
+    # CFL blow-ups in every earlier coupled comparison.)
     ne = Z * r / m_kg
-    return float(eos.ce(jnp.float64(r), jnp.float64(ne), jnp.float64(tK / EV_TO_K)))
+    ce_imd = float(eos.ce(jnp.float64(r), jnp.float64(ne),
+                          jnp.float64(tK / EV_TO_K)))
+    return ce_imd / (r * EV_TO_K * 1e-30 * units.J_TO_EV)
 write_nn(f"{OUT}/EOS_cve_from_r_te.txt", rho, Te_K, cve)
 
 tsq = np.sqrt(Te_K)
