@@ -226,3 +226,43 @@ def test_dirichlet_lateral_bath():
                                rtol=0, atol=1e-7)
     np.testing.assert_allclose(t_dir[1, :, :], t_ad[1, :, :],
                                rtol=0, atol=1e-7)
+
+
+def test_param_file_ttm3d_restart_continuity(tmp_path):
+    """3-D TTM restart: the .chkpt/.itr/.ttm written mid-run restore
+    the electron grid and the continued trajectory matches the
+    uninterrupted one (the capability the REFERENCE's 1-D restart
+    reader silently lacks — tools/refbuild/README.md defect C; the
+    3-D reader imd_ttm_3D.c:1290 shares the same shape bookkeeping)."""
+    from imd_tpu.config import SimConfig, parse_param_text
+    from imd_tpu.simulation import Simulation
+
+    base = PARAM_TTM3D.replace("checkpt_int 0", "checkpt_int 15")
+    # uninterrupted 30-step run
+    out_a = str(tmp_path / "full")
+    cfg = SimConfig.from_params(parse_param_text(base.format(out=out_a)))
+    sim = Simulation(cfg, workdir=str(tmp_path), dtype=jnp.float64)
+    st_a = sim.run()
+
+    # 15 steps, then restart from the step-15 files to 30
+    out_b = str(tmp_path / "half")
+    cfg1 = SimConfig.from_params(parse_param_text(
+        base.format(out=out_b).replace("maxsteps    30",
+                                       "maxsteps    15")))
+    Simulation(cfg1, workdir=str(tmp_path), dtype=jnp.float64).run()
+    cfg2 = SimConfig.from_params(parse_param_text(base.format(out=out_b)))
+    cfg2.coordname = out_b + ".00001.chkpt"
+    cfg2.itrname = out_b + ".00001.itr"
+    cfg2.restart_base = out_b + ".00001"
+    sim2 = Simulation(cfg2, workdir=str(tmp_path), dtype=jnp.float64)
+    st_b = sim2.run()
+
+    assert int(st_b.step) == 30
+    act = np.asarray(st_a.ttm_grid.natoms) >= 5
+    te_a = np.asarray(st_a.ttm_grid.temp)[act]
+    te_b = np.asarray(st_b.ttm_grid.temp)[act]
+    # same seed, deterministic f64: the restart must continue the same
+    # trajectory (checkpoint round-trip precision bounds the residual)
+    np.testing.assert_allclose(te_b, te_a, rtol=5e-5)
+    assert abs(float(st_a.epot_total) - float(st_b.epot_total)) < \
+        1e-6 * abs(float(st_a.epot_total))
