@@ -129,14 +129,13 @@ def main(argv=None):
             sim.adopt_scene(prev_scene)
             sim.step_count = prev_step
         steps = args.steps_override if args.steps_override else None
-        if steps is None and args.restart is not None and phase == 1:
-            # reference semantics: maxsteps is the ABSOLUTE final step
-            # (main_loop runs steps_min..steps_max, imd_main_3d.c:151);
-            # a restart continues to maxsteps, not for maxsteps more
-            steps = max(cfg.maxsteps - sim.step_count, 0)
+        # reference semantics: maxsteps is the ABSOLUTE final step
+        # (main_loop runs steps_min..steps_max, imd_main_3d.c:151); a
+        # restart or later phase continues to maxsteps, not for maxsteps
+        # more.  Simulation._steps_to_run applies this when steps=None.
+        n_run = steps if steps is not None else sim._steps_to_run(None)
         print(f"# phase {phase}/{n_phases}: ensemble={cfg.ensemble} "
-              f"steps={steps if steps is not None else cfg.maxsteps}",
-              flush=True)
+              f"steps={n_run}", flush=True)
         state = sim.run(steps=steps)
         if phase == n_phases and cfg.checkpt_int > 0:
             # end-of-run "-final" checkpoint + .itr so `imdcontinue`-style

@@ -829,6 +829,15 @@ class SimConfig:
     # reference, default-off there too, imd_colrad.c:30); needs a wave
     # solver's laser tags (lambda/I0/t_0/sigma_t) for the photon flux
     colrad_mpi: bool = False
+    # rate-table source: "auto" uses the reference's Mott/Fermi-Dirac
+    # integrals (colrad_GetCoeffs, imd_colrad.c:2279) whenever its state
+    # tables (Al0_states.txt ...) are found in the workdir or its parent
+    # (the reference's ../ table convention), else the van-Regemorter/
+    # Lotz closed forms — with a loud notice either way, since the fit
+    # rates deviate up to ~25x in the hot-plasma regime
+    # (tests/test_colrad_rates.py).  "fit"/"ref" force a source.
+    colrad_rates: str = "auto"
+    colrad_states_dir: str = ""
     # --- neighbor / cells -------------------------------------------------------
     nbl_margin: float = 0.4          # Verlet skin (A); reference default 0.4
     nbl_size: float = 1.1            # capacity growth factor
@@ -1087,6 +1096,9 @@ class SimConfig:
         c.colrad_maxz = int(g("colrad_maxz", c.colrad_maxz))
         c.colrad_nlev = int(g("colrad_nlev", c.colrad_nlev))
         c.colrad_mpi = bool(g("colrad_mpi", False))
+        c.colrad_rates = str(g("colrad_rates", c.colrad_rates))
+        c.colrad_states_dir = str(g("colrad_states_dir",
+                                    c.colrad_states_dir))
         # neighbor / cells
         c.nbl_margin = float(g("nbl_margin", c.nbl_margin))
         c.nbl_size = float(g("nbl_size", c.nbl_size))

@@ -146,14 +146,21 @@ def colrad_from_ttm(path: str, nlev: int, dtype=None):
                        dtype or jnp.float32)
 
 
-def write_ttm_aux(path: str, fdtd=None, vlat=None) -> None:
+def write_ttm_aux(path: str, fdtd=None, vlat=None, grid=None,
+                  fdi=None, ids=None, alive=None) -> None:
     """Sidecar with FDTD field state and VLATTICE temperatures.
 
     The reference packs FDTD fields as 10 extra .ttm columns and vlat
     cells as extra rows (imd_ttm.c:1683-2100); here they live in one
     .npz next to the .ttm — same restart capability, self-describing
     (the FDTD arrays include PML cells, so their length differs from
-    the grid's)."""
+    the grid's).
+
+    ``grid`` additionally snapshots the TTM grid's restartable fields
+    at FULL binary precision: the text `.ttm` stores %e (6 significant
+    digits), which truncates Te/U by ~1e-6 relative on restart — enough
+    to break f64 restart-continuity tests (the reference has the same
+    truncation; our own restarts shouldn't)."""
     arrs = {}
     if fdtd is not None:
         for name in fdtd.__dataclass_fields__:
@@ -161,6 +168,29 @@ def write_ttm_aux(path: str, fdtd=None, vlat=None) -> None:
     if vlat is not None:
         arrs["vlat_te"] = np.asarray(vlat.te)
         arrs["vlat_ti"] = np.asarray(vlat.ti)
+    if grid is not None:
+        # natoms_old is dynamic state the text .ttm cannot carry: the
+        # PREVIOUS step's per-cell counts feed the advection U-scaling
+        # (U' = U*N_old/N_new, do_ADV, imd_ttm.c:1208) — restoring it
+        # as natoms would skew the first restarted step by 1/N per
+        # migrated atom
+        for name in ("temp", "md_temp", "U", "natoms", "natoms_old",
+                     "dens", "source", "xi"):
+            v = getattr(grid, name, None)
+            if v is not None:
+                arrs[f"grid_{name}"] = np.asarray(v)
+    if fdi is not None and ids is not None:
+        # per-atom FD cell index of the LAST update_fd (the reference
+        # stores fdi/fdj/fdk per atom, types.h:327-330, but loses them
+        # over a restart — its documented restart advection glitch);
+        # keyed by atom id so the restart's re-binned slot layout can
+        # look them up
+        f = np.asarray(fdi).ravel()
+        i = np.asarray(ids).ravel()
+        keep = (np.asarray(alive).ravel() if alive is not None
+                else i >= 0)
+        arrs["fdi_ids"] = i[keep]
+        arrs["fdi_vals"] = f[keep]
     np.savez(path, **arrs)
 
 
@@ -184,6 +214,54 @@ def read_ttm_aux(path: str, fdtd_template=None, vlat_template=None):
             te=jnp.asarray(d["vlat_te"], vlat_template.te.dtype),
             ti=jnp.asarray(d["vlat_ti"], vlat_template.ti.dtype))
     return fdtd, vlat
+
+
+def grid_overlay_from_aux(path: str, grid):
+    """Overlay the FULL-precision grid snapshot from a .ttmaux.npz (if
+    present) onto a grid already restored from the text .ttm — undoing
+    the %e truncation for imd_tpu-written restarts while staying able
+    to restart from reference-written .ttm files alone."""
+    import jax.numpy as jnp
+    d = np.load(path)
+    kw = {}
+    for name in ("temp", "md_temp", "U", "dens", "source", "xi"):
+        key = f"grid_{name}"
+        if key in d.files:
+            ref = getattr(grid, name)
+            kw[name] = jnp.asarray(d[key], ref.dtype).reshape(ref.shape)
+    if "grid_natoms" in d.files:
+        nat = jnp.asarray(d["grid_natoms"], jnp.int32).reshape(
+            grid.natoms.shape)
+        kw["natoms"] = nat
+        kw["natoms_old"] = nat
+    if "grid_natoms_old" in d.files:
+        kw["natoms_old"] = jnp.asarray(
+            d["grid_natoms_old"], jnp.int32).reshape(grid.natoms.shape)
+    return grid.replace(**kw) if kw else grid
+
+
+def fdi_from_aux(path: str, scene_ids, scene_alive):
+    """Rebuild the per-atom FD index array for the restart's (re-binned)
+    slot layout by atom id; -1 (= "no previous index") for dead slots
+    and ids the sidecar doesn't know (FILTER-deleted since the write).
+    Returns None if the sidecar predates the fdi snapshot."""
+    d = np.load(path)
+    if "fdi_ids" not in d.files:
+        return None
+    saved_ids = np.asarray(d["fdi_ids"])
+    saved_fdi = np.asarray(d["fdi_vals"])
+    order = np.argsort(saved_ids)
+    sid = saved_ids[order]
+    sfd = saved_fdi[order]
+    ids = np.asarray(scene_ids)
+    shape = ids.shape
+    flat = ids.ravel()
+    pos = np.searchsorted(sid, flat)
+    pos = np.clip(pos, 0, len(sid) - 1)
+    ok = (len(sid) > 0) & (sid[pos] == flat) & np.asarray(
+        scene_alive).ravel()
+    out = np.where(ok, sfd[pos], -1).astype(np.int32)
+    return out.reshape(shape)
 
 
 def grid_from_ttm(path: str, grid, dtype=None):

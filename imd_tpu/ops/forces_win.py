@@ -336,8 +336,10 @@ def eam_kernels_win_split(xi, mask, eam, grid,
 
     bb = layout.block
     # per-block alive-atom counts for the vacuum skip
+    # dtype=int32: under x64 jnp.sum promotes int32 to int64, which the
+    # int32 scatter target will reject in future JAX releases
     maskp = jnp.zeros((ncp,), jnp.int32).at[:nc].set(
-        jnp.sum(mask.astype(jnp.int32), axis=0))
+        jnp.sum(mask.astype(jnp.int32), axis=0, dtype=jnp.int32))
     occ = jnp.sum(maskp.reshape(nblk, bb), axis=1)
     spec_occ = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_w = [pl.BlockSpec((cap, 3, bb),
@@ -589,8 +591,10 @@ def eam_kernels_win_split_mt(xi, typ, mask, eam, grid, ntypes: int,
                     iref[k][...] += o[name + "_i"]
                     jref[k][m] = o[name + "_j"]
 
+    # dtype=int32: under x64 jnp.sum promotes int32 to int64, which the
+    # int32 scatter target will reject in future JAX releases
     maskp = jnp.zeros((ncp,), jnp.int32).at[:nc].set(
-        jnp.sum(mask.astype(jnp.int32), axis=0))
+        jnp.sum(mask.astype(jnp.int32), axis=0, dtype=jnp.int32))
     occ = jnp.sum(maskp.reshape(nblk, bb), axis=1)
     spec_occ = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_w = [pl.BlockSpec((cap, 3, bb),

@@ -199,16 +199,16 @@ def make_fused_step(template: Scene, eam_run, timestep,
         d2 = jnp.sum(d * d, axis=1)
         need = jnp.max(jnp.where(cl.alive, d2, 0.0)) > skin2
 
+        # sort-free migration rebin (ops/rebin_cl.py): ~20x cheaper than
+        # the global-sort Scene round-trip at 1M atoms; under a mesh the
+        # same 3-phase migration runs in shard_map with the +-x boundary
+        # planes riding one ppermute each way (send_atoms analog)
         if mesh is None:
-            # sort-free migration rebin (ops/rebin_cl.py): ~20x cheaper
-            # than the global-sort Scene round-trip at 1M atoms
             from imd_tpu.ops.rebin_cl import make_rebin_cl
             do_rebin = make_rebin_cl(grid)
         else:
-            def do_rebin(cl):
-                sc = cl_to_scene(cl, template)
-                sc = rebin(sc)
-                return scene_to_cl(sc)
+            from imd_tpu.ops.rebin_cl import make_rebin_cl_sharded
+            do_rebin = make_rebin_cl_sharded(grid, mesh)
 
         cl = jax.lax.cond(need, do_rebin, lambda c: c, cl)
         return cl, nn
@@ -380,16 +380,17 @@ def make_fused_ttm_step(template: Scene, eam_run, timestep, tp, eos,
         if mesh is None:
             from imd_tpu.ops.rebin_cl import make_rebin_cl
             rb = make_rebin_cl(grid)
-
-            def do_rebin(args):
-                cl, fdi = args
-                return rb(cl), -jnp.ones_like(fdi)
         else:
-            def do_rebin(args):
-                cl, fdi = args
-                sc = cl_to_scene(cl, template)
-                sc = rebin(sc)
-                return scene_to_cl(sc), -jnp.ones_like(fdi)
+            from imd_tpu.ops.rebin_cl import make_rebin_cl_sharded
+            rb = make_rebin_cl_sharded(grid, mesh)
+
+        def do_rebin(args):
+            # the stored FD index rides the migration with its atom
+            # (fdi/fdj/fdk through move_atom, types.h:327) so advection
+            # fluxes survive rebin steps
+            cl, fdi = args
+            cl2, fdi2 = rb(cl, fdi.reshape(cl.mass.shape))
+            return cl2, fdi2.reshape(fdi.shape)
 
         cl, fdi = jax.lax.cond(need, do_rebin, lambda a: a, (cl, fdi))
         return cl, tgrid, fdi, cs, vs, k + 1
@@ -423,11 +424,22 @@ def make_filter_apply(template: Scene, filter_cfg, cutoff: float):
     atoms outside the keep-region, rebin, return to cells-last.
     """
     from imd_tpu.models.filter import filter_atoms
+    from imd_tpu.scene import rebin_with
+
+    dims = template.grid.dims
 
     @jax.jit
-    def apply(cl: CLState) -> CLState:
+    def apply(cl: CLState, fdi=None):
         sc = cl_to_scene(cl, template)
         sc, _ = filter_atoms(sc, filter_cfg, cutoff)
-        return scene_to_cl(rebin(sc))
+        if fdi is None:
+            return scene_to_cl(rebin(sc))
+        # the stored FD index travels through the deletion rebin with
+        # its atom (move_atom carries fdi, types.h:327); deleted atoms'
+        # slots come back -1
+        cap = cl.mass.shape[0]
+        fdi_sc = _from_cl(fdi.reshape(cap, -1), dims)
+        sc2, ex = rebin_with(sc, {"fdi": fdi_sc})
+        return scene_to_cl(sc2), _to_cl(ex["fdi"], dims).reshape(-1)
 
     return apply

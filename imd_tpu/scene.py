@@ -230,20 +230,42 @@ def rebin(scene: Scene, grid: Optional[CellGrid] = None) -> Scene:
     dims/capacity, possibly moved xbounds slab planes) — the load
     balancer's lb_relocateParticles analog.
     """
+    scene, _ = rebin_with(scene, None, grid)
+    return scene
+
+
+def rebin_with(scene: Scene, extra, grid: Optional[CellGrid] = None):
+    """`rebin` that also re-bins extra per-atom-slot arrays alongside.
+
+    ``extra``: dict of cell-shaped [gx,gy,gz,cap,...] arrays that travel
+    with their atoms through the re-sort (dead/dropped slots: -1 for int
+    fields, 0 for floats).  The reference moves per-atom side data the
+    same way — e.g. the TTM's stored FD cell index fdi/fdj/fdk
+    (types.h:327-330) rides move_atom in fix_cells — so state like the
+    advection-flux history survives migrations instead of being
+    invalidated.  Returns (scene', extra')."""
     grid = scene.grid if grid is None else grid
     flat = scene.flatten_atoms()
     arrays = {"mask": flat["mask"], "mom": flat["mom"], "mass": flat["mass"],
               "type": flat["type"], "vtype": flat["vtype"], "id": flat["id"],
               "epot": flat["epot"]}
+    if extra:
+        for name, a in extra.items():
+            assert name not in arrays
+            arrays[name] = a.reshape((-1,) + a.shape[4:])
     out, overflow = _bin_flat(grid, flat["pos"], arrays,
                               scene.capacity, scene.pos.dtype)
-    return scene.replace(
+    extra_out = None
+    if extra:
+        extra_out = {name: out[name] for name in extra}
+    scene = scene.replace(
         pos=out["pos"], mom=out["mom"], force=jnp.zeros_like(out["pos"]),
         epot=out["epot"], mass=out["mass"], type=out["type"],
         vtype=out["vtype"], id=out["id"], nbl_ref_pos=out["pos"],
         overflow=(scene.overflow + overflow).astype(jnp.int32),
         grid=grid,
     )
+    return scene, extra_out
 
 
 def grow_capacity(scene: Scene, new_cap: int) -> Scene:

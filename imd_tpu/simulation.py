@@ -548,7 +548,16 @@ class Simulation:
             raise RuntimeError(
                 f"make_scene still drops {int(self.scene.overflow)} atoms "
                 f"at capacity {self.grid.capacity}")
-        self.step_count = int(itr.get("startstep", cfg.startstep))
+        # the .itr records the reference's "next step to execute"
+        # (write_itr_file prints steps+1, imd_io_3d.c:1007); step_count
+        # here counts COMPLETED iterations, so a restart resumes at
+        # startstep-1 and runs exactly maxsteps - (startstep-1) further
+        # iterations to the absolute maxsteps — one per missing label,
+        # preserving trajectory continuity with the uninterrupted run
+        if "startstep" in itr:
+            self.step_count = int(itr["startstep"]) - 1
+        else:
+            self.step_count = cfg.startstep
         self._itr_hc_count = int(itr.get("hc_count", 0))
         if self.do_maxwell and cfg.starttemp > 0:
             key = jax.random.PRNGKey(cfg.seed)
@@ -724,9 +733,43 @@ class Simulation:
                     "COLRAD driver coupling requires the 1-D TTM grid")
             from imd_tpu.models import colrad as colrad_mod
             self.colrad_mod = colrad_mod
-            st = colrad_mod.aluminium_states(self.cfg.colrad_maxz,
-                                             self.cfg.colrad_nlev)
-            self.colrad_tab = colrad_mod.build_tables(st)
+            # rate source selection (VERDICT r4 weak #7): prefer the
+            # reference's Mott/Fermi-Dirac rate integrals when its state
+            # tables are on disk; always say which source is active —
+            # the closed-form fits deviate up to ~25x from the
+            # reference's rates in the hot regime (test_colrad_rates.py)
+            rates_mode = self.cfg.colrad_rates
+            states_dir = None
+            if rates_mode in ("auto", "ref"):
+                cands = ([self.cfg.colrad_states_dir]
+                         if self.cfg.colrad_states_dir else
+                         [self.workdir,
+                          os.path.join(self.workdir, "..")])
+                for d in cands:
+                    if d and os.path.exists(
+                            os.path.join(d, "Al0_states.txt")):
+                        states_dir = d
+                        break
+                if rates_mode == "ref" and states_dir is None:
+                    raise FileNotFoundError(
+                        "colrad_rates ref: no Al0_states.txt under "
+                        f"{cands} (colrad_read_states, imd_colrad.c:523)")
+            if states_dir is not None:
+                st = colrad_mod.read_states(states_dir)
+                print(f"# COLRAD rates: reference Mott/Fermi-Dirac "
+                      f"integrals over state tables in {states_dir}",
+                      flush=True)
+                self.colrad_tab = colrad_mod.build_tables(st, rates="ref")
+            else:
+                st = colrad_mod.aluminium_states(self.cfg.colrad_maxz,
+                                                 self.cfg.colrad_nlev)
+                print("# COLRAD rates: van-Regemorter/Lotz closed-form "
+                      "fits (no reference state tables found; they "
+                      "deviate up to ~25x from the reference's "
+                      "integrated rates in the hot-plasma regime — "
+                      "provide Al*_states.txt or set colrad_rates)",
+                      flush=True)
+                self.colrad_tab = colrad_mod.build_tables(st)
             # MULTIPHOTON channels: photon flux phi(t) = I(t)/hv from the
             # wave solver's pulse tags (the reference's local-intensity
             # plumbing is WIP, imd_colrad.c:1498 — surface intensity here)
@@ -1236,25 +1279,49 @@ class Simulation:
 
         def step_fn(state: SimState) -> SimState:
             scene = state.scene
-            # rebin when any atom moved more than half the skin; the per-atom
-            # FD index history must be re-binned alongside (stored fdi,
-            # types.h:327) — we conservatively invalidate it on rebin steps,
-            # which only suppresses advection fluxes for that one step.
-            # FILTER: delete disconnected plume atoms every filter_int steps
-            # (imd_filter.c; deletion realized at the following rebin)
-            if cfg.filter.enabled and cfg.filter.interval > 0:
-                def do_filter(s):
-                    s2, _ = filter_mod.filter_atoms(s, cfg.filter,
-                                                    self.cutoff)
-                    return rebin(s2)
-                scene = jax.lax.cond(
-                    (state.step > 0)
-                    & (state.step % cfg.filter.interval == 0),
-                    do_filter, lambda s: s, scene)
-            do_it = needs_rebin(scene, self.grid.skin)
-            scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
-            nbl_count = state.nbl_count + do_it.astype(jnp.int32)
             ttm_grid, fdi = state.ttm_grid, state.fdi
+            # every re-sort (skin rebin, FILTER deletion) permutes the
+            # slot layout; the stored per-atom FD index travels WITH its
+            # atom through them (move_atom carries fdi/fdj/fdk,
+            # types.h:327; imd_fix_cells_3d.c) so advection fluxes
+            # survive rebin steps instead of being suppressed — and so
+            # the fdi <-> slot correspondence never goes stale
+            carry_fdi = (fdi is not None
+                         and fdi.shape == scene.type.shape)
+            from imd_tpu.scene import rebin_with
+            # FILTER: delete disconnected plume atoms every filter_int
+            # steps (imd_filter.c; deletion realized at the rebin)
+            if cfg.filter.enabled and cfg.filter.interval > 0:
+                filter_now = ((state.step > 0)
+                              & (state.step % cfg.filter.interval == 0))
+                if carry_fdi:
+                    def do_filter(args):
+                        s, f = args
+                        s2, _ = filter_mod.filter_atoms(s, cfg.filter,
+                                                        self.cutoff)
+                        s3, ex = rebin_with(s2, {"fdi": f})
+                        return s3, ex["fdi"]
+                    scene, fdi = jax.lax.cond(filter_now, do_filter,
+                                              lambda a: a, (scene, fdi))
+                else:
+                    def do_filter1(s):
+                        s2, _ = filter_mod.filter_atoms(s, cfg.filter,
+                                                        self.cutoff)
+                        return rebin(s2)
+                    scene = jax.lax.cond(filter_now, do_filter1,
+                                         lambda s: s, scene)
+            do_it = needs_rebin(scene, self.grid.skin)
+            if carry_fdi:
+                def do_rebin(args):
+                    s, f = args
+                    s2, ex = rebin_with(s, {"fdi": f})
+                    return s2, ex["fdi"]
+
+                scene, fdi = jax.lax.cond(do_it, do_rebin,
+                                          lambda a: a, (scene, fdi))
+            else:
+                scene = jax.lax.cond(do_it, rebin, lambda s: s, scene)
+            nbl_count = state.nbl_count + do_it.astype(jnp.int32)
             charges = state.charges
             if charges is not None:
                 # SM charge equilibration every charge_update_steps
@@ -1332,7 +1399,7 @@ class Simulation:
             new_fdtd, new_cstate, new_vstate = (state.fdtd, state.cstate,
                                                 state.vstate)
             if cfg.ttm.enabled:
-                fdi = jnp.where(do_it, -jnp.ones_like(fdi), fdi)
+                # (fdi survives the rebin above — no invalidation)
                 t = state.step.astype(self.dtype) * cfg.timestep
                 dt_j = jnp.asarray(cfg.timestep, self.dtype)
                 if self.fdtd_params is not None:
@@ -1597,6 +1664,17 @@ class Simulation:
                                 c=c.reshape(cstate.c.shape))
                 aux_file = self._path(rb + ".ttmaux.npz")
                 if os.path.exists(aux_file):
+                    from imd_tpu.io.ttm_io import (fdi_from_aux,
+                                                   grid_overlay_from_aux)
+                    # undo the text .ttm's %e truncation with the
+                    # full-precision binary snapshot (restart
+                    # continuity at f64; reference .ttm-only restarts
+                    # still work without the sidecar)
+                    ttm_grid = grid_overlay_from_aux(aux_file, ttm_grid)
+                    fdi_r = fdi_from_aux(aux_file, self.scene.id,
+                                         self.scene.mask)
+                    if fdi_r is not None:
+                        fdi = jnp.asarray(fdi_r)
                     f2, v2 = read_ttm_aux(aux_file,
                                           fdtd_template=fdtd_state,
                                           vlat_template=vstate)
@@ -1817,7 +1895,7 @@ class Simulation:
         termination between blocks (imd_main_3d.c:1787-1870)."""
         from imd_tpu import relax as relax_mod
         cfg = self.cfg
-        steps = cfg.maxsteps if steps is None else steps
+        steps = self._steps_to_run(steps)
         R = cfg.relax
         if self._relax_drivers():
             import warnings
@@ -1894,10 +1972,22 @@ class Simulation:
         self.timers = timers
         return state
 
+    def _steps_to_run(self, steps: Optional[int]) -> int:
+        """Reference maxsteps semantics: the main loop runs the ABSOLUTE
+        step range startstep..maxsteps (imd_main_3d.c:151 `for (steps =
+        steps_min; steps <= steps_max; ..)`), so a restarted or
+        later-phase run continues TO cfg.maxsteps rather than running
+        maxsteps more steps.  An explicit ``steps`` argument overrides
+        (relative count)."""
+        if steps is not None:
+            return steps
+        return max(self.cfg.maxsteps - self.step_count, 0)
+
     def run(self, steps: Optional[int] = None, block: int = 0,
             on_interval: Optional[Callable] = None,
             allow_fused: bool = True) -> SimState:
-        """Run ``steps`` (default cfg.maxsteps) steps with periodic I/O.
+        """Run ``steps`` (default: up to the absolute cfg.maxsteps) steps
+        with periodic I/O.
 
         ``block`` > 1 scans that many steps per device dispatch (I/O
         intervals must divide into blocks).  When the configuration fits
@@ -1910,7 +2000,7 @@ class Simulation:
             return self.run_fused(steps=steps, block=block,
                                   on_interval=on_interval)
         cfg = self.cfg
-        steps = cfg.maxsteps if steps is None else steps
+        steps = self._steps_to_run(steps)
         step_fn = self.make_step_fn()
         # selected-config observers (.avp/.dsp/.dem, imd_main_3d.c:629/760)
         sel = None
@@ -2337,7 +2427,7 @@ class Simulation:
         scalar code but costs real VPU work here.
         """
         cfg = self.cfg
-        steps = cfg.maxsteps if steps is None else steps
+        steps = self._steps_to_run(steps)
         filter_int = (cfg.filter.interval if cfg.filter.enabled else 0)
         intervals = [i for i in (cfg.eng_int, cfg.checkpt_int, cfg.ttm_int,
                                  cfg.dist_int, cfg.pic_int, filter_int,
@@ -2406,7 +2496,16 @@ class Simulation:
                              self.colrad_phi)
                             if has_colrad else None),
                     fdtd_params=self.fdtd_params)
-                fdi = -jnp.ones(cl.mass.size, jnp.int32)
+                sfdi = state0.fdi
+                if (sfdi is not None
+                        and sfdi.shape == template.type.shape):
+                    # restart: continue from the restored per-atom FD
+                    # index (aux sidecar) instead of suppressing the
+                    # first step's advection fluxes
+                    from imd_tpu.ops.forces_fast import _to_cl
+                    fdi = _to_cl(sfdi, template.grid.dims).reshape(-1)
+                else:
+                    fdi = -jnp.ones(cl.mass.size, jnp.int32)
                 aux = []
                 if has_colrad:
                     aux.append(cstate if cstate is not None
@@ -2480,13 +2579,23 @@ class Simulation:
         def mk_state(scene, epot, ekin, virial, presstens, gstep):
             st = _initial_stats(self.dtype)
             st = st.replace(tot_kin_energy=ekin)
+            fdi_live = state0.fdi
+            if ttm_on:
+                # live per-slot FD index from the carry, remapped from
+                # the cells-last flat layout to the Scene layout so the
+                # checkpoint sidecar can key it by atom id (restart
+                # advection continuity)
+                from imd_tpu.ops.forces_fast import _from_cl
+                gx, gy, gz, capn = scene.type.shape
+                fdi_live = _from_cl(
+                    carry[2].reshape(capn, gx * gy * gz), (gx, gy, gz))
             return SimState(
                 scene=scene, step=jnp.asarray(gstep, jnp.int32),
                 eta=jnp.zeros((), self.dtype), epot_total=epot,
                 virial=virial, presstens=presstens, stats=st,
                 nbl_count=jnp.zeros((), jnp.int32),
                 ttm_grid=(carry[1] if ttm_on else None),
-                fdi=state0.fdi,
+                fdi=fdi_live,
                 cstate=(carry[3] if has_colrad else state0.cstate),
                 fdtd=(carry[3] if has_fdtd else state0.fdtd),
                 vstate=(carry[3 + has_aux0] if has_vlat
@@ -2673,8 +2782,8 @@ class Simulation:
                 # the next block starts from the filtered, rebinned
                 # state (block size is aligned to filter_int above)
                 if ttm_on:
-                    carry = (filt_apply(carry[0]), carry[1],
-                             -jnp.ones_like(carry[2]), *carry[3:])
+                    cl_f, fdi_f = filt_apply(carry[0], carry[2])
+                    carry = (cl_f, carry[1], fdi_f, *carry[3:])
                 else:
                     carry = (filt_apply(carry[0]),)
             if (cfg.lb_frequency > 0 and done < steps
@@ -2989,9 +3098,10 @@ class Simulation:
                       colrad_p=(state.cstate.p if state.cstate is not None
                                 else None),
                       vlat=state.vstate)
-            if state.fdtd is not None or state.vstate is not None:
-                write_ttm_aux(base + ".ttmaux.npz", fdtd=state.fdtd,
-                              vlat=state.vstate)
+            write_ttm_aux(base + ".ttmaux.npz", fdtd=state.fdtd,
+                          vlat=state.vstate, grid=state.ttm_grid,
+                          fdi=state.fdi, ids=state.scene.id,
+                          alive=state.scene.mask)
         if self.nrb_state is not None:
             from imd_tpu.models.nrb import write_nrb
             write_nrb(base + ".nrb", self.nrb_state)

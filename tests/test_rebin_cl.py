@@ -121,3 +121,45 @@ def test_far_mover_is_dropped_loudly():
     out = make_rebin_cl(scene.grid, use_pallas=False)(cl.replace(xi=xi))
     assert int(out.overflow) == 1
     assert int(jnp.sum(out.alive)) == int(jnp.sum(cl.alive)) - 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("pbc", [(1, 1, 1), (0, 1, 1)])
+def test_sharded_migration_matches_single_device(pbc):
+    """make_rebin_cl_sharded == make_rebin_cl SLOT-FOR-SLOT: the x phase's
+    boundary-plane ppermutes (the send_atoms analog,
+    imd_fix_cells_3d.c:311-436) must reproduce the single-device plane
+    rolls exactly, including the stay-first slot order."""
+    from imd_tpu.ops.rebin_cl import make_rebin_cl_sharded
+    from imd_tpu.parallel.mesh import make_mesh
+
+    pos, _, bd = fcc((16, 5, 4), 2.86)
+    rng = np.random.default_rng(4)
+    pos = pos + rng.normal(scale=0.05, size=pos.shape)
+    box = Box.create([bd[0], 0, 0], [0, bd[1], 0], [0, 0, bd[2]],
+                     pbc=pbc, dtype=jnp.float64)
+    grid = choose_grid(box, 2.5, skin=0.4, n_atoms=len(pos),
+                       dims_multiple=(8, 1, 1))
+    grid = grid.replace(capacity=24)
+    mom = rng.normal(size=pos.shape)
+    scene = make_scene(grid, pos, mom=mom,
+                       mass=rng.uniform(1.0, 2.0, len(pos)),
+                       type=rng.integers(0, 2, len(pos)),
+                       dtype=jnp.float64)
+    cl = scene_to_cl(scene)
+    drift = jnp.asarray(rng.normal(scale=0.45, size=(1, 3, 1)) +
+                        rng.normal(scale=0.3, size=cl.xi.shape))
+    cl = cl.replace(xi=jnp.where(cl.alive[:, None, :], cl.xi + drift,
+                                 cl.xi))
+
+    mesh = make_mesh((8, 1, 1))
+    a = jax.jit(make_rebin_cl(grid, use_pallas=False))(cl)
+    b = jax.jit(make_rebin_cl_sharded(grid, mesh, use_pallas=False))(cl)
+    assert int(a.overflow) == int(b.overflow)
+    np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive))
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_allclose(np.asarray(a.xi), np.asarray(b.xi),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(a.mom), np.asarray(b.mom),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(a.typ), np.asarray(b.typ))

@@ -63,8 +63,11 @@ def test_ttm_grid_restart(tmp_path):
                                np.asarray(st.ttm_grid.temp), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(st2.ttm_grid.U),
                                np.asarray(st.ttm_grid.U), rtol=1e-5)
-    # .itr records startstep = checkpointed step + 1 (continue after)
-    assert int(st2.step) == int(st.step) + 1
+    # .itr records startstep = checkpointed step + 1 (the reference's
+    # next-step label, imd_io_3d.c:1007); step_count/state.step count
+    # COMPLETED iterations, so the restart resumes AT the checkpointed
+    # step and runs exactly the missing iterations to absolute maxsteps
+    assert int(st2.step) == int(st.step)
 
 
 def test_colrad_populations_restart(tmp_path):

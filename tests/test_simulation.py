@@ -64,7 +64,9 @@ def test_checkpoint_restart_continuity(tmp_path):
     cfg2.starttemp = 0.0   # no re-thermalization
     cfg2.do_maxwell = False
     sim2 = Simulation(cfg2, workdir=str(tmp_path), dtype=jnp.float64)
-    assert sim2.step_count == 61
+    # .itr says "startstep 61" (the reference's next-step label,
+    # imd_io_3d.c:1007); step_count counts COMPLETED steps = 60
+    assert sim2.step_count == 60
     st1 = sim2.init_state()
     step_fn = sim2.make_step_fn()
     st2 = jax.jit(step_fn)(st1)
@@ -155,8 +157,11 @@ def test_cli_two_phase_run(tmp_path):
     import imd_tpu.__main__ as cli
 
     param = tmp_path / "run.imd"
+    # phase-2 maxsteps is ABSOLUTE (reference: phases run steps_min..
+    # steps_max with steps_min = previous phase's end + 1, imd.c:294-310;
+    # imd_main_3d.c:151): 80 means 20 further mik steps after the 60 nve
     param.write_text(PARAM_LJ.format(out=str(tmp_path / "cli"))
-                     + "\nsimulation 2\nensemble mik\nmaxsteps 20\n")
+                     + "\nsimulation 2\nensemble mik\nmaxsteps 80\n")
     assert cli.count_phases(param.read_text()) == 2
     cli.main(["-p", str(param), "--dtype", "float32"])
     eng = (tmp_path / "cli.eng").read_text().strip().splitlines()
