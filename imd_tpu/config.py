@@ -666,6 +666,11 @@ class SimConfig:
     # '' = auto-detect from the tag group; 'tersoffmod' forces the MOD
     # form of the shared ters_* tags (the reference uses compile flags)
     interaction: str = ""
+    # covalent neighbor-list engine (imd_tpu extension; ops/neighbors.py):
+    # -1 auto (neighbor lists once the system outgrows the O(N^2)
+    # oracle), 0 force the all-pairs oracle, >0 force lists with K
+    # slots per atom (the reference sizes neigh_len the same way)
+    covalent_nbl: int = -1
     # Frenkel-Ladd free-energy integration (imd_fefl.c; models/fefl.py)
     spring_rate: Tuple[float, ...] = ()      # per-type Einstein k
     fefl_lambda: float = 0.0                 # tag 'lambda' when FEFL active

@@ -291,6 +291,99 @@ def tersoffmod_multi_energy(pos, types, box=None, mask=None,
     return jnp.sum(fc * phi)
 
 
+# ---------------------------------------------------------------------------
+# neighbor-list (large-N) variants: the same energies over the fixed-K
+# per-atom lists of ops/neighbors.py instead of the O(N^2) masks — the
+# TPU analog of the reference's do_neightab/do_forces2 two-pass scheme
+# (imd_forces_covalent.c:60-180 builds neightab once, the force loop
+# walks it at O(N*k)).  Work is blocked over atoms with `lax.map` so
+# the [B, K, K] angular scratch stays VMEM/HBM-bounded at any N.
+# ---------------------------------------------------------------------------
+
+def _blocked_sum(fn, arrs, block: int):
+    """sum(fn(*rows)) over row blocks of ``block`` atoms (lax.map)."""
+    M = arrs[0].shape[0]
+    nb = max(1, -(-M // block))
+    pad = nb * block - M
+    xs = tuple(
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (nb, block) + a.shape[1:])
+        for a in arrs)
+    return jnp.sum(jax.lax.map(lambda t: fn(*t), xs))
+
+
+def _sw_block(dr, r, nmask, P: SWParams, ternbcc: bool):
+    """SW energy of one atom block over its neighbor rows."""
+    r = jnp.where(nmask, r, 1.0)
+    rc = P.a * P.sigma
+    inside = nmask & (r < rc)
+    x = r / P.sigma
+    expf = jnp.where(
+        inside, jnp.exp(1.0 / jnp.where(inside, x - P.a, -1.0)), 0.0)
+    v2 = P.A * P.epsilon * (P.B * x ** -P.p - x ** -P.q) * expf
+    e2 = 0.5 * jnp.sum(jnp.where(inside, v2, 0.0))
+
+    a3 = jnp.where(P.a2 > 0, P.a2, P.a)
+    in3 = nmask & (r < a3 * P.sigma)
+    g = jnp.where(in3, jnp.exp(P.gamma / jnp.where(in3, x - a3, -1.0)),
+                  0.0)
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    hjk = _ternbcc_g(cosjk) if ternbcc else (cosjk - P.cos0) ** 2
+    wjk = g[:, :, None] * g[:, None, :]
+    K = r.shape[1]
+    valid3 = in3[:, :, None] & in3[:, None, :] \
+        & ~jnp.eye(K, dtype=bool)[None]
+    e3 = 0.5 * P.lam * P.epsilon * jnp.sum(
+        jnp.where(valid3, hjk * wjk, 0.0))
+    return e2 + e3
+
+
+def sw_energy_nbr(pos, nbr, box, P: SWParams = SWParams(),
+                  ternbcc: bool = False, block: int = 4096):
+    """SW total energy over a NeighborList; == sw_energy at large N
+    (every in-range pair/triple listed), O(N*K^2) instead of O(N^3)."""
+    from imd_tpu.ops.neighbors import gather_neighbors
+    P = SWParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r = gather_neighbors(pos, box, nbr)
+    return _blocked_sum(
+        lambda d, rr, m: _sw_block(d, rr, m, P, ternbcc),
+        (dr, r, nbr.mask), block)
+
+
+def _tersoff_block(dr, r, nmask, P: TersoffParams):
+    r = jnp.where(nmask, r, 1.0)
+    rc_hi = P.R + P.D
+    inside = nmask & (r < rc_hi)
+    fc = jnp.where(r < P.R - P.D, 1.0,
+                   jnp.where(r < rc_hi,
+                             0.5 - 0.5 * jnp.sin(0.5 * math.pi
+                                                 * (r - P.R) / P.D), 0.0))
+    fc = jnp.where(inside, fc, 0.0)
+    f_rep = P.A * jnp.exp(-P.lam1 * r)
+    f_att = -P.B * jnp.exp(-P.lam2 * r)
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    gth = 1.0 + (P.c / P.d) ** 2 - P.c ** 2 / (P.d ** 2
+                                               + (P.h - cosjk) ** 2)
+    K = r.shape[1]
+    valid3 = inside[:, :, None] & inside[:, None, :] \
+        & ~jnp.eye(K, dtype=bool)[None]
+    zeta = jnp.sum(jnp.where(valid3, fc[:, None, :] * gth, 0.0), axis=2)
+    bij = (1.0 + (P.beta * jnp.maximum(zeta, 0.0)) ** P.n) ** (-0.5 / P.n)
+    return 0.5 * jnp.sum(fc * (f_rep + bij * f_att))
+
+
+def tersoff_energy_nbr(pos, nbr, box, P: TersoffParams = TersoffParams(),
+                       block: int = 4096):
+    """Tersoff total energy over a NeighborList (== tersoff_energy)."""
+    from imd_tpu.ops.neighbors import gather_neighbors
+    P = TersoffParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r = gather_neighbors(pos, box, nbr)
+    return _blocked_sum(lambda d, rr, m: _tersoff_block(d, rr, m, P),
+                        (dr, r, nbr.mask), block)
+
+
 def covalent_forces(energy_fn, pos, box=None, mask=None, params=None):
     """(F, E) via autodiff (replaces do_forces2's hand-derived 3-body
     force assembly, imd_forces_covalent.c)."""
@@ -448,3 +541,38 @@ def tersoffmod_energy(pos, box=None, mask=None,
     b = (1.0 + jnp.maximum(zeta, 0.0) ** P.eta) ** (-P.delta)
     phi = 0.5 * (P.A * jnp.exp(-P.la * r) - b * P.B * jnp.exp(-P.mu * r))
     return jnp.sum(fc * phi)
+
+
+def _tersoffmod_block(dr, r, nmask, P: TersoffModParams, beta: int):
+    r = jnp.where(nmask, r, 1.0)
+    inside = nmask & (r < P.r_cut)
+    fc = jnp.where(inside, _tersoffmod_fc(r, P.r0, P.r_cut), 0.0)
+    cosjk = jnp.einsum("ijc,ikc->ijk", dr, dr) / (r[:, :, None]
+                                                  * r[:, None, :])
+    ht = P.h - cosjk
+    g = P.c1 + P.c2 * ht * ht / (P.c3 + ht * ht) \
+        * (1.0 + P.c4 * jnp.exp(-P.c5 * ht * ht))
+    drik = r[:, :, None] - r[:, None, :]
+    ex = jnp.exp(P.alpha * drik ** beta)
+    K = r.shape[1]
+    valid3 = inside[:, :, None] & inside[:, None, :] \
+        & ~jnp.eye(K, dtype=bool)[None]
+    zeta = jnp.sum(jnp.where(valid3, fc[:, None, :] * g * ex, 0.0),
+                   axis=2)
+    b = (1.0 + jnp.maximum(zeta, 0.0) ** P.eta) ** (-P.delta)
+    phi = 0.5 * (P.A * jnp.exp(-P.la * r) - b * P.B * jnp.exp(-P.mu * r))
+    return jnp.sum(fc * phi)
+
+
+def tersoffmod_energy_nbr(pos, nbr, box,
+                          P: TersoffModParams = TersoffModParams(),
+                          block: int = 4096):
+    """MOD-Tersoff total energy over a NeighborList
+    (== tersoffmod_energy once every in-range pair is listed)."""
+    from imd_tpu.ops.neighbors import gather_neighbors
+    beta = int(P.beta)
+    P = TersoffModParams(*[jnp.asarray(v, pos.dtype) for v in P])
+    dr, r = gather_neighbors(pos, box, nbr)
+    return _blocked_sum(
+        lambda d, rr, m: _tersoffmod_block(d, rr, m, P, beta),
+        (dr, r, nbr.mask), block)

@@ -108,6 +108,11 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
 
         def efn(pos, types, mask, box):
             return cov.sw_energy(pos, box, mask, P, ternbcc=tern)
+
+        # large-N form: same energy over the fixed-K neighbor lists
+        # (the do_neightab/do_forces2 analog, ops/neighbors.py)
+        efn.nbr = lambda pos, types, mask, box, nbr: \
+            cov.sw_energy_nbr(pos, nbr, box, P, ternbcc=tern)
         return ("stiweb" if not tern else "stiweb-ternbcc",
                 float(cut), efn, False)
 
@@ -220,6 +225,9 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
 
             def efn(pos, types, mask, box):
                 return cov.tersoffmod_energy(pos, box, mask, P)
+
+            efn.nbr = lambda pos, types, mask, box, nbr: \
+                cov.tersoffmod_energy_nbr(pos, nbr, box, P)
             return ("tersoffmod", float(P.r_cut), efn, False)
         d = cov.TersoffParams()
         # IMD fc window runs ter_r0..ter_r_cut -> R = mid, D = half-width
@@ -237,6 +245,9 @@ def select_flat_interaction(cfg, dtype, pair_table=None):
 
         def efn(pos, types, mask, box):
             return cov.tersoff_energy(pos, box, mask, P)
+
+        efn.nbr = lambda pos, types, mask, box, nbr: \
+            cov.tersoff_energy_nbr(pos, nbr, box, P)
         return ("tersoff", float(r_hi), efn, False)
 
     if (any((cfg.meam_t1, cfg.meam_r0, cfg.meam_beta0, cfg.meam_e,
@@ -385,10 +396,16 @@ def make_adp_interaction(cfg, eam, u_tab, w_tab):
     return ("adp", r_cut, efn, False)
 
 
-def flat_force_result(scene, energy_fn, ntypes: int):
+def flat_force_result(scene, energy_fn, ntypes: int, nbr=None):
     """Evaluate a flat-interaction energy over the padded slot arrays
     and package a ForceResult: autodiff forces, exact strain-derivative
-    virial, per-atom-average epot (the models return totals)."""
+    virial, per-atom-average epot (the models return totals).
+
+    ``nbr`` (a NeighborList + an energy_fn carrying the ``.nbr``
+    attribute) switches to the O(N*K^2) neighbor-list form — the
+    large-N covalent path (do_forces2 over neightab,
+    imd_forces_covalent.c); the neighbor wraps scale with the box, so
+    the strain-derivative virial stays exact."""
     import jax
 
     from imd_tpu.ops.forces import ForceResult
@@ -400,6 +417,9 @@ def flat_force_result(scene, energy_fn, ntypes: int):
     types = jnp.clip(scene.type, 0, max(ntypes - 1, 0)).reshape(-1)
     box = scene.grid.box
     dtype = scene.pos.dtype
+    e_fn = energy_fn
+    if nbr is not None:
+        e_fn = lambda p, t, m, b: energy_fn.nbr(p, t, m, b, nbr)  # noqa
 
     def etot(p, s):
         # uniform strain: scale positions AND box vectors by 1+s (the
@@ -407,7 +427,7 @@ def flat_force_result(scene, energy_fn, ntypes: int):
         # scales inversely, so fractional coordinates are invariant)
         lam = 1.0 + s
         box_s = box.replace(h=box.h * lam, inv_h=box.inv_h / lam)
-        return energy_fn(p * lam, types, mask, box_s)
+        return e_fn(p * lam, types, mask, box_s)
 
     s0 = jnp.zeros((), dtype)
     e, (fgrad, vgrad) = jax.value_and_grad(etot, argnums=(0, 1))(pos, s0)

@@ -113,6 +113,13 @@ class CellGrid(struct.PyTreeNode):
             ijk = jnp.concatenate([ix[..., None], ijk[..., 1:]], axis=-1)
         return ijk
 
+    def cell_edge_min(self) -> float:
+        """Smallest perpendicular cell extent (host scalar): the reach a
+        27-stencil sweep covers.  Uniform-partition value (the LB slab
+        constraint keeps xbounds slabs at least this wide too)."""
+        h = self.box.heights()
+        return float(min(h[ax] / self.dims[ax] for ax in range(3)))
+
     def cell_index(self, pos):
         """Flat cell id for (wrapped) cartesian positions [N,3] -> [N]."""
         gy, gz = self.dims[1], self.dims[2]

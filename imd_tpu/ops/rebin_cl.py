@@ -63,32 +63,36 @@ def _compact_xla(tgt, fields, cap, fills):
     return outs
 
 
-def _compact_kernel(cap, K, nf_f, nf_i, tgt_ref, *refs):
+def _compact_kernel(cap, K, tgt_ref, ff_ref, fi_ref, of_ref, oi_ref):
     """One-hot slot select: out[s] = candidate row k with tgt[k] == s.
 
     All VPU selects over VMEM-resident rows — no gather/scatter.  ``tgt``
-    is cap for dropped/invalid candidates (matches no slot).
+    is cap for dropped/invalid candidates (matches no slot).  The float
+    and int travel fields are STACKED along a sublane axis ([K, nf,
+    block]) so one select moves every field of a candidate at once —
+    a [nf, block] tile keeps the VPU's (8, 128) lanes busy where
+    per-field [1, block] selects used 1/8 of the sublanes (this was
+    the 27 ms -> single-digit-ms lever on the in-loop rebin).
     """
-    ins = refs[:nf_f + nf_i]
-    outs = refs[nf_f + nf_i:]
     t = tgt_ref[...]
     for s in range(cap):
-        accs = []
-        for i, ref in enumerate(ins):
-            fill = -1 if i >= nf_f else 0
-            accs.append(jnp.full_like(ref[0], fill))
+        acc_f = jnp.zeros_like(ff_ref[0])
+        acc_i = jnp.full_like(fi_ref[0], -1)
         for k in range(K):
-            sel = t[k] == s
-            for i, ref in enumerate(ins):
-                accs[i] = jnp.where(sel, ref[k], accs[i])
-        for i, o in enumerate(outs):
-            o[s, :] = accs[i]
+            sel = (t[k] == s)[None, :]
+            acc_f = jnp.where(sel, ff_ref[k], acc_f)
+            acc_i = jnp.where(sel, fi_ref[k], acc_i)
+        of_ref[s] = acc_f
+        oi_ref[s] = acc_i
 
 
-def _compact_pallas(tgt, fields, cap, fills, block=512):
-    if jax.default_backend() == "cpu":
-        # the interpreter walks cap*K*13 vector ops per block (minutes
-        # + GBs at toy sizes); the XLA scatter reference is exact
+def _compact_pallas(tgt, fields, cap, fills, block=512,
+                    force_interpret=False):
+    if jax.default_backend() == "cpu" and not force_interpret:
+        # the interpreter walks cap*K vector ops per block (slow at
+        # scale); the XLA scatter reference is exact.  force_interpret
+        # runs the real kernel through the interpreter anyway — the
+        # CPU-side regression hook for the kernel logic itself
         return _compact_xla(tgt, fields, cap, fills)
     K, NC = tgt.shape
     pad = (-NC) % block
@@ -97,29 +101,38 @@ def _compact_pallas(tgt, fields, cap, fills, block=512):
         fields = [jnp.pad(f, ((0, 0), (0, pad))) for f in fields]
     ncp = NC + pad
     nblk = ncp // block
-    f_f = [f for f in fields if not jnp.issubdtype(f.dtype, jnp.integer)]
-    f_i = [f for f in fields if jnp.issubdtype(f.dtype, jnp.integer)]
-    spec_in = pl.BlockSpec((K, block), lambda i: (0, i),
-                           memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((cap, block), lambda i: (0, i),
+    # stack per dtype group: every float fill is 0.0, every int fill -1
+    # (_bin_fields) — one [K, nf, ncp] array per group
+    f_f = jnp.stack([f for f in fields
+                     if not jnp.issubdtype(f.dtype, jnp.integer)], axis=1)
+    f_i = jnp.stack([f for f in fields
+                     if jnp.issubdtype(f.dtype, jnp.integer)], axis=1)
+    nf_f, nf_i = f_f.shape[1], f_i.shape[1]
+    spec_t = pl.BlockSpec((K, block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+
+    def spec3(k, nf):
+        return pl.BlockSpec((k, nf, block), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
-    shapes = ([jax.ShapeDtypeStruct((cap, ncp), f.dtype) for f in f_f]
-              + [jax.ShapeDtypeStruct((cap, ncp), f.dtype) for f in f_i])
-    kern = functools.partial(_compact_kernel, cap, K, len(f_f), len(f_i))
-    outs = pl.pallas_call(
+
+    kern = functools.partial(_compact_kernel, cap, K)
+    out_f, out_i = pl.pallas_call(
         kern, grid=(nblk,),
-        in_specs=[spec_in] * (1 + len(f_f) + len(f_i)),
-        out_specs=[spec_out] * (len(f_f) + len(f_i)),
-        out_shape=shapes,
-        interpret=jax.default_backend() == "cpu",
-    )(tgt, *f_f, *f_i)
+        in_specs=[spec_t, spec3(K, nf_f), spec3(K, nf_i)],
+        out_specs=[spec3(cap, nf_f), spec3(cap, nf_i)],
+        out_shape=[jax.ShapeDtypeStruct((cap, nf_f, ncp), f_f.dtype),
+                   jax.ShapeDtypeStruct((cap, nf_i, ncp), f_i.dtype)],
+        interpret=jax.default_backend() == "cpu" or force_interpret,
+    )(tgt, f_f, f_i)
     # restore caller order (floats then ints were regrouped)
-    out_f = list(outs[:len(f_f)])
-    out_i = list(outs[len(f_f):])
-    res = []
+    res, ci, cf = [], 0, 0
     for f in fields:
-        src = out_i if jnp.issubdtype(f.dtype, jnp.integer) else out_f
-        res.append(src.pop(0)[:, :NC])
+        if jnp.issubdtype(f.dtype, jnp.integer):
+            res.append(out_i[:, ci, :NC])
+            ci += 1
+        else:
+            res.append(out_f[:, cf, :NC])
+            cf += 1
     return res
 
 

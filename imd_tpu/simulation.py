@@ -341,6 +341,44 @@ class Simulation:
               + (" + SM charge equilibration"
                  if "sm" in self.coulomb else ""), flush=True)
 
+    def _select_covalent_nbl(self):
+        """Decide the covalent engine form: O(N^2) oracle vs fixed-K
+        neighbor lists (ops/neighbors.py — the do_neightab/do_forces2
+        analog, imd_forces_covalent.c:60-180).
+
+        Auto rule (covalent_nbl = -1): lists once the padded slot count
+        outgrows the oracle's O(N^2) scratch (> 4096 slots).  K is sized
+        from the initial configuration's true max neighbor count with
+        reference-style headroom (neigh_len growth, imd_alloc.c);
+        covalent_nbl > 0 forces that K, 0 forces the oracle."""
+        self._cov_nbr_K = 0
+        name, cut, efn, additive = self.flat_inter
+        if additive or not hasattr(efn, "nbr"):
+            return
+        knob = int(getattr(self.cfg, "covalent_nbl", -1))
+        n_slots = int(np.prod(self.scene.pos.shape[:4]))
+        if knob == 0 or (knob < 0 and n_slots <= 4096):
+            return
+        if self.grid.cell_edge_min() < cut:
+            print(f"# interaction: {name} cell edge "
+                  f"{self.grid.cell_edge_min():.2f} < cutoff {cut:.2f}; "
+                  f"neighbor lists need cutoff-covering cells — "
+                  f"falling back to the all-pairs oracle", flush=True)
+            return
+        from imd_tpu.ops.neighbors import neighbor_list, suggest_K
+        rc2 = float(cut) ** 2
+        cap27 = 27 * self.scene.capacity
+        if knob > 0:
+            K = min(knob, cap27)
+        else:
+            probe = neighbor_list(self.scene.pos, self.scene.mask,
+                                  self.grid, rc2, min(8, cap27))
+            K = suggest_K(int(probe.max_count), cap27)
+        self._cov_nbr_K = K
+        self._cov_nbr_rc2 = rc2
+        print(f"# interaction: {name} neighbor-list engine K={K} "
+              f"(O(N*K^2); {n_slots} slots)", flush=True)
+
     def _select_engine(self):
         """Pick the force engine.  The Pallas blocked kernels require the
         per-cell [cap, cap, 128] pair tiles to fit VMEM, which caps the
@@ -351,6 +389,7 @@ class Simulation:
             # standalone analytic interaction: no table engines
             self.use_pallas = False
             self.eam_run = self.pair_run = None
+            self._select_covalent_nbl()
             return
         use_pallas = (self.engine == "pallas"
                       or (self.engine == "auto"
@@ -907,7 +946,15 @@ class Simulation:
         if self.flat_inter is not None:
             from imd_tpu.models.interactions import flat_force_result
             name, _, efn, additive = self.flat_inter
-            res, _ = flat_force_result(scene, efn, self.cfg.ntypes)
+            nbr = None
+            if getattr(self, "_cov_nbr_K", 0):
+                # large-N covalent path: fixed-K neighbor lists
+                # (do_neightab/do_forces2 analog, ops/neighbors.py)
+                from imd_tpu.ops.neighbors import neighbor_list
+                nbr = neighbor_list(scene.pos, scene.mask, scene.grid,
+                                    self._cov_nbr_rc2, self._cov_nbr_K)
+            res, _ = flat_force_result(scene, efn, self.cfg.ntypes,
+                                       nbr=nbr)
             if not additive:
                 return res
             # TTBP: 3-body term on top of the tabulated pair engine
@@ -3132,10 +3179,47 @@ class Simulation:
         if self.cfg.getmin and last >= 0.0 > pxf:
             self._write_named_config(state, "min", gstep)
 
+    def _write_laser_log(self, state: SimState, gstep: int):
+        """Per-interval laser-energy accounting — the reference's
+        per-step printf (imd_ttm.c:150-155: step, I_t, Eabs, t-t0,
+        Refl, laser_active) as a `.laser` log file.  Eabs is the
+        cumulative absorbed fluence (grid.eabs over the y*z spot
+        area, eV -> J/m^2); I_t and the TMM reflectivity come from a
+        diagnostic tmm_solve on the CURRENT grid profile."""
+        from imd_tpu import units
+        cfg = self.cfg
+        g = getattr(state, "ttm_grid", None)
+        if g is None:
+            return
+        t_si = gstep * float(cfg.timestep) * units.TIME_UNIT_S
+        it = refl = float("nan")
+        active = ""
+        if getattr(self, "tmm_params", None) is not None:
+            from imd_tpu.models import tmm as tmm_mod
+            _, diag = tmm_mod.do_tmm(g, self.ttm_params, self.tmm_params,
+                                     t_si)
+            it = float(diag["I_t"])
+            refl = float(diag["refl"])
+            active = f" {int(diag['laser_active'])}"
+        hts = self.box.heights()
+        area = float(hts[1] * hts[2]) * 1e-20          # A^2 -> m^2
+        eabs = float(g.eabs) * units.EV_TO_J / max(area, 1e-300)
+        path = self._path(cfg.outfiles + ".laser")
+        header = not os.path.exists(path)
+        with open(path, "a") as f:
+            if header:
+                f.write("# step t_fs I_t_Wm2 Eabs_Jm2 refl"
+                        + (" laser_active" if active else "") + "\n")
+            f.write(f"{gstep} {t_si * 1e15:.4f} {it:.6e} {eabs:.6e} "
+                    f"{refl:.6e}{active}\n")
+
     def _write_periodic_extras(self, state: SimState, gstep: int):
         """Periodic `.wf` force dumps (WRITEF, imd_main_3d.c:436-440)
         and `.nb` coordination-filtered configs (NNBR, 750-752)."""
         cfg = self.cfg
+        if (cfg.ttm.enabled and cfg.eng_int > 0
+                and gstep % cfg.eng_int == 0):
+            self._write_laser_log(state, gstep)
         wf_due = cfg.force_int > 0 and gstep % cfg.force_int == 0
         nb_due = (cfg.nb_checkpt_int > 0 and any(cfg.nb_rcut)
                   and gstep % cfg.nb_checkpt_int == 0)
