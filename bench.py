@@ -203,11 +203,19 @@ def main():
     params = integrate.IntegratorParams(
         timestep=jnp.asarray(0.1, dtype))  # ~1 fs
 
+    # --compress measures the SUSTAINED post-shock regime: the jittered
+    # start relaxes violently for ~25 steps (CFL substeps 10-26,
+    # near-every-step rebins) before settling into the steady hot-matter
+    # cadence (~1 rebin / 4-5 steps, 2-5 substeps).  Warm up past the
+    # transient or the bench reports the relaxation spike instead of
+    # the regime it names.
+    warmup = args.warmup if not args.compress else max(args.warmup, 40)
+
     def timed_repeat(run_block, carry, sync):
         """Warmup once, then time ``--repeat`` blocks; returns the final
         carry and every wall-clock sample (median reported — the remote
         tunnel shows ~±8% run-to-run variance)."""
-        carry = run_block(carry, args.warmup)
+        carry = run_block(carry, warmup)
         sync(carry)
         walls = []
         for _ in range(max(1, args.repeat)):

@@ -63,27 +63,34 @@ def _compact_xla(tgt, fields, cap, fills):
     return outs
 
 
-def _compact_kernel(cap, K, tgt_ref, ff_ref, fi_ref, of_ref, oi_ref):
+def _compact_kernel(cap, K, nf_f, nf_i, tgt_ref, *refs):
     """One-hot slot select: out[s] = candidate row k with tgt[k] == s.
 
     All VPU selects over VMEM-resident rows — no gather/scatter.  ``tgt``
-    is cap for dropped/invalid candidates (matches no slot).  The float
-    and int travel fields are STACKED along a sublane axis ([K, nf,
-    block]) so one select moves every field of a candidate at once —
-    a [nf, block] tile keeps the VPU's (8, 128) lanes busy where
-    per-field [1, block] selects used 1/8 of the sublanes (this was
-    the 27 ms -> single-digit-ms lever on the in-loop rebin).
+    is cap for dropped/invalid candidates (matches no slot).  Loop
+    structure: candidates OUTER, all cap destination slots vectorized
+    in [cap, block] accumulators — one iota compare + nf selects on
+    well-shaped (cap x block) tiles per candidate, K iterations total.
+    (The s-outer/k-inner variant emits cap*K scalar-row [1, block]
+    selects — measured 48 ms/rebin at 1M atoms vs this layout; a
+    stacked-field [K, nf, block] variant paid the stack relayout and
+    was slower still.)
     """
+    ins = refs[:nf_f + nf_i]
+    outs = refs[nf_f + nf_i:]
     t = tgt_ref[...]
-    for s in range(cap):
-        acc_f = jnp.zeros_like(ff_ref[0])
-        acc_i = jnp.full_like(fi_ref[0], -1)
-        for k in range(K):
-            sel = (t[k] == s)[None, :]
-            acc_f = jnp.where(sel, ff_ref[k], acc_f)
-            acc_i = jnp.where(sel, fi_ref[k], acc_i)
-        of_ref[s] = acc_f
-        oi_ref[s] = acc_i
+    block = t.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, block), 0)
+    accs = []
+    for i in range(nf_f + nf_i):
+        fill = -1 if i >= nf_f else 0
+        accs.append(jnp.full((cap, block), fill, ins[i].dtype))
+    for k in range(K):
+        m = t[k][None, :] == iota                  # [cap, block]
+        for i, ref in enumerate(ins):
+            accs[i] = jnp.where(m, ref[k][None, :], accs[i])
+    for i, o in enumerate(outs):
+        o[...] = accs[i]
 
 
 def _compact_pallas(tgt, fields, cap, fills, block=512,
@@ -101,52 +108,72 @@ def _compact_pallas(tgt, fields, cap, fills, block=512,
         fields = [jnp.pad(f, ((0, 0), (0, pad))) for f in fields]
     ncp = NC + pad
     nblk = ncp // block
-    # stack per dtype group: every float fill is 0.0, every int fill -1
-    # (_bin_fields) — one [K, nf, ncp] array per group
-    f_f = jnp.stack([f for f in fields
-                     if not jnp.issubdtype(f.dtype, jnp.integer)], axis=1)
-    f_i = jnp.stack([f for f in fields
-                     if jnp.issubdtype(f.dtype, jnp.integer)], axis=1)
-    nf_f, nf_i = f_f.shape[1], f_i.shape[1]
-    spec_t = pl.BlockSpec((K, block), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)
-
-    def spec3(k, nf):
-        return pl.BlockSpec((k, nf, block), lambda i: (0, 0, i),
+    f_f = [f for f in fields if not jnp.issubdtype(f.dtype, jnp.integer)]
+    f_i = [f for f in fields if jnp.issubdtype(f.dtype, jnp.integer)]
+    spec_in = pl.BlockSpec((K, block), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((cap, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-
-    kern = functools.partial(_compact_kernel, cap, K)
-    out_f, out_i = pl.pallas_call(
+    shapes = ([jax.ShapeDtypeStruct((cap, ncp), f.dtype) for f in f_f]
+              + [jax.ShapeDtypeStruct((cap, ncp), f.dtype) for f in f_i])
+    kern = functools.partial(_compact_kernel, cap, K, len(f_f), len(f_i))
+    outs = pl.pallas_call(
         kern, grid=(nblk,),
-        in_specs=[spec_t, spec3(K, nf_f), spec3(K, nf_i)],
-        out_specs=[spec3(cap, nf_f), spec3(cap, nf_i)],
-        out_shape=[jax.ShapeDtypeStruct((cap, nf_f, ncp), f_f.dtype),
-                   jax.ShapeDtypeStruct((cap, nf_i, ncp), f_i.dtype)],
+        in_specs=[spec_in] * (1 + len(f_f) + len(f_i)),
+        out_specs=[spec_out] * (len(f_f) + len(f_i)),
+        out_shape=shapes,
         interpret=jax.default_backend() == "cpu" or force_interpret,
-    )(tgt, f_f, f_i)
+    )(tgt, *f_f, *f_i)
     # restore caller order (floats then ints were regrouped)
-    res, ci, cf = [], 0, 0
+    out_f = list(outs[:len(f_f)])
+    out_i = list(outs[len(f_f):])
+    res = []
     for f in fields:
-        if jnp.issubdtype(f.dtype, jnp.integer):
-            res.append(out_i[:, ci, :NC])
-            ci += 1
-        else:
-            res.append(out_f[:, cf, :NC])
-            cf += 1
+        src = out_i if jnp.issubdtype(f.dtype, jnp.integer) else out_f
+        res.append(src.pop(0)[:, :NC])
     return res
 
 
 def _bin_fields(xi, mom, mass, typ, vtyp, ids, xbounds, grid):
-    """Wrap positions, bin to (global) ijk, pack the 13 travel fields."""
+    """Wrap positions, bin to (global) ijk, pack the 13 travel fields.
+
+    COMPONENT form on the cells-last layout: the box transforms run as
+    per-axis VPU FMAs over [cap, NC] planes instead of matmuls over a
+    transposed [cap, NC, 3] — the two `moveaxis` minor-dim relayouts
+    cost ~26 ms/rebin at 1M atoms (the binning math itself is <1 ms),
+    and elementwise f32 FMAs don't need the HIGHEST-precision matmul
+    workaround.  Semantics mirror box.wrap + cell_ijk exactly: frac ->
+    wrap periodic axes -> cartesian -> re-derive frac -> floor to ijk
+    (the cartesian round trip is what scene.rebin's path does too).
+    """
     grid_l = grid.replace(xbounds=xbounds) if xbounds is not None else grid
-    p = jnp.moveaxis(xi, 1, -1)                  # [cap, NC, 3]
-    wrapped = grid_l.box.wrap(p)
-    ijk = grid_l.cell_ijk(wrapped)               # [cap, NC, 3]
-    wrapped = jnp.moveaxis(wrapped, -1, 1)       # [cap, 3, NC]
-    fields = [wrapped[:, 0], wrapped[:, 1], wrapped[:, 2],
+    box = grid_l.box
+    dt = xi.dtype
+    inv = box.inv_h.astype(dt)
+    h = box.h.astype(dt)
+    x = (xi[:, 0], xi[:, 1], xi[:, 2])           # [cap, NC] each
+
+    def mat3(v, m):
+        return [v[0] * m[0, c] + v[1] * m[1, c] + v[2] * m[2, c]
+                for c in range(3)]
+
+    frac = mat3(x, inv)
+    for c in range(3):
+        if box.pbc[c]:
+            frac[c] = frac[c] - jnp.floor(frac[c])
+    wrapped = mat3(frac, h)
+    frac2 = mat3(wrapped, inv)
+    dims = grid_l.dims
+    ijk = [jnp.clip(jnp.floor(frac2[c] * dims[c]).astype(jnp.int32),
+                    0, dims[c] - 1) for c in range(3)]
+    if grid_l.xbounds is not None:
+        ix = jnp.searchsorted(grid_l.xbounds.astype(dt), frac2[0],
+                              side="right") - 1
+        ijk[0] = jnp.clip(ix.astype(jnp.int32), 0, dims[0] - 1)
+    fields = [wrapped[0], wrapped[1], wrapped[2],
               mom[:, 0], mom[:, 1], mom[:, 2],
               mass,
-              ijk[..., 0], ijk[..., 1], ijk[..., 2],
+              ijk[0], ijk[1], ijk[2],
               typ, vtyp, ids]
     fills = [0.0] * 7 + [-1] * 6
     return fields, fills
