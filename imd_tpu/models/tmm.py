@@ -308,8 +308,17 @@ def solve_layers(k0, eps, cell_on, fd_h_x, it, absorption_threshold):
         jnp.stack([0.5 * (1.0 - rho) * a, 0.5 * (1.0 + rho) / a], -1),
     ], -2)                                        # [nx-1, 2, 2]
 
-    # all prefix products W_i = M_i ... M_0 in log depth
-    w = jax.lax.associative_scan(lambda x, y: jnp.matmul(y, x), m, axis=0)
+    # all prefix products W_i = M_i ... M_0 in log depth.  HIGHEST
+    # precision is load-bearing: the prefix entries grow like
+    # e^{+kappa x/2} while the physical amplitudes are their
+    # e^{-kappa x/2} CANCELLATION — TPU's default reduced-precision
+    # matmul (bf16 mantissa, eps ~ 4e-3) amplifies to eps * e^{kappa L}
+    # garbage past a few absorption lengths (a 1000 A Al film absorbed
+    # 1e5x the incident energy before this fix; see the f32-matmul
+    # pitfall note in ops/geometry.Box.to_frac)
+    w = jax.lax.associative_scan(
+        lambda x, y: jnp.matmul(y, x, precision=jax.lax.Precision.HIGHEST),
+        m, axis=0)
 
     w11 = w[:, 1, 1]
     safe = jnp.where(jnp.abs(w11) > 0, w11, 1.0)
@@ -317,8 +326,15 @@ def solve_layers(k0, eps, cell_on, fd_h_x, it, absorption_threshold):
     bt_i = w[:, 0, 0] + w[:, 0, 1] * br_i         # per-prefix transmission
     bt2 = jnp.abs(bt_i) ** 2
 
+    # the cancellation also floors the computed bt2 at ~eps^2 e^{kappa x}
+    # — in f32 the e^-threshold crossing itself becomes undetectable
+    # past ~8 amplitude lengths.  The accumulated optical depth
+    # 2 Im(k) dx is exact at any thickness, so the cutoff is the OR of
+    # both criteria (the reference integrates left-to-right and cuts on
+    # its running transmission the same way, imd_tmm.c:365)
     thresh = jnp.exp(-absorption_threshold)
-    below = bt2 < thresh
+    depth = jnp.cumsum(2.0 * jnp.imag(kl) * d)
+    below = (bt2 < thresh) | (depth > absorption_threshold)
     ok = jnp.any(below)
     first = jnp.argmax(below)                     # index of matrix M_first
     ecut = jnp.where(ok, first + 1, nx - 1)
@@ -331,7 +347,10 @@ def solve_layers(k0, eps, cell_on, fd_h_x, it, absorption_threshold):
 
     # per-layer amplitudes: F_j = W_{j-1} (1, BR)^T, F_0 = (1, BR)
     f0 = jnp.stack([jnp.asarray(1.0 + 0.0j, eps.dtype), br])
-    f = jnp.concatenate([f0[None], jnp.einsum("nij,j->ni", w, f0)], 0)
+    f = jnp.concatenate([f0[None],
+                         jnp.einsum("nij,j->ni", w, f0,
+                                    precision=jax.lax.Precision.HIGHEST)],
+                        0)
     bp = f[:nx, 0]
     bm = f[:nx, 1]
 

@@ -165,3 +165,32 @@ def test_calc_ttm_with_tmm_heats_electrons():
     assert float(jnp.max(grid2.temp)) > 10 * te0
     assert float(grid2.eabs) > 0.0
     assert np.isfinite(float(jnp.max(grid2.temp)))
+
+
+def test_thick_film_f32_energy_conservation():
+    """Optically THICK films in f32: the prefix-product entries grow
+    e^{+kappa x/2} while the physical amplitudes are their cancellation
+    — without HIGHEST-precision matmuls (TPU) and the optical-depth
+    ecut fallback, a ~40-optical-depth film absorbed ORDERS more energy
+    than arrived (the 1M-atom ablation run read 1e5x; solve_layers
+    docstring).  In f32 the bt2 threshold crossing itself is numerically
+    undetectable at this depth, so this pins the depth-based cutoff."""
+    tmm = _params()
+    nx, nvac = 320, 10
+    eps = jnp.ones((nx,), jnp.complex64)
+    eps = eps.at[nvac:].set(complex(-60.0, 40.0))
+    on = jnp.arange(nx) >= nvac
+    k0 = jnp.float32(tmm.k0_per_a)
+    it = jnp.float32(1e16)
+    res = T.solve_layers(k0, eps, on, jnp.float32(10.0), it,
+                         jnp.float32(20.0))
+    # the cutoff must engage well inside the film
+    assert int(res["ecut"]) < nx - 1
+    absorbed_flux = float(jnp.sum(res["qabs_wm3"])) * 10.0 * 1e-10
+    incident = float(it)
+    # absorbed can never exceed what arrives; and must match
+    # (1 - R - T) I to f32-level accuracy
+    assert absorbed_flux < incident
+    want = incident * float(res["absorb"])
+    assert absorbed_flux == pytest.approx(want, rel=5e-3)
+    assert 0.0 < float(res["refl"]) < 1.0
