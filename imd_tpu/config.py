@@ -250,6 +250,13 @@ class TTMConfig:
     atomic_mass: float = 26.9815     # amu
     max_substeps: int = 65536        # backstop on CFL diffusion substeps
     cfl_safety: float = 0.9          # dt <= cfl_safety * min(C dx^2 / 2k)
+    # diffusion time integrator (imd_tpu extension; models/ttm.py):
+    # "explicit" = the reference's CFL-substepped scheme (do_DIFF);
+    # "implicit" = unconditionally stable backward-Euler tridiagonal
+    # solves, ttm_substeps per MD step — at multi-eV Te the explicit
+    # CFL demands O(1e3-1e5) substeps/step (production-ablation killer)
+    solver: str = "explicit"
+    n_sub: int = 10                  # ttm_substeps: implicit substeps/step
     vlatdim: int = 0                 # virtual-lattice continuum tail cells
     vlatbuffer: int = 0
     elecpress: bool = False          # electron blast-pressure force (ELECPRESS)
@@ -1178,6 +1185,10 @@ class SimConfig:
         T.wide_range = bool(g("wide_range", False))
         if g("ttm_max_substeps") is not None:
             T.max_substeps = int(g("ttm_max_substeps"))
+        T.solver = str(g("ttm_solver", T.solver)).lower()
+        if T.solver not in ("explicit", "implicit"):
+            raise ValueError(f"ttm_solver {T.solver}: explicit|implicit")
+        T.n_sub = int(g("ttm_substeps", T.n_sub))
         T.eos_dir = str(g("eos_dir", "."))
         if g("atomic_z") is not None:
             T.atomic_z = float(g("atomic_z"))

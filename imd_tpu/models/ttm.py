@@ -69,6 +69,10 @@ class TTMParams(struct.PyTreeNode):
     const_ce: float = struct.field(pytree_node=False, default=0.0)
     fix_t_el: bool = struct.field(pytree_node=False, default=False)
     omega_laser: float = struct.field(pytree_node=False, default=0.0)
+    # diffusion integrator: "explicit" (reference do_DIFF CFL substeps)
+    # or "implicit" (backward-Euler tridiagonal, n_sub substeps/step)
+    solver: str = struct.field(pytree_node=False, default="explicit")
+    n_sub: int = struct.field(pytree_node=False, default=10)
 
 
 class TTMGrid(struct.PyTreeNode):
@@ -125,6 +129,8 @@ def make_params(cfg_ttm, box, cutoff: float, dtype=jnp.float32) -> TTMParams:
         cfl_safety=cfg_ttm.cfl_safety,
         const_kappa=cfg_ttm.fd_k, const_gamma=cfg_ttm.fd_g,
         const_ce=cfg_ttm.fd_c, fix_t_el=cfg_ttm.fix_t_el,
+        solver=getattr(cfg_ttm, "solver", "explicit"),
+        n_sub=getattr(cfg_ttm, "n_sub", 10),
     )
 
 
@@ -412,6 +418,89 @@ def diff_step(grid: TTMGrid, params: TTMParams, tau, substeps,
     return grid.replace(temp=T2, U=U2, xi=grid.xi + dxi, eabs=eabs)
 
 
+def _thomas(a, b, c, d):
+    """Tridiagonal solve (Thomas algorithm) via two lax.scans.
+
+    a/c are the sub-/super-diagonal coefficients (a[0] and c[-1]
+    ignored-by-construction: callers zero them).  Diagonally dominant
+    systems only (b >= |a| + |c| — true for backward-Euler diffusion)."""
+    def fwd(carry, abcd):
+        cp_prev, dp_prev = carry
+        ai, bi, ci, di = abcd
+        denom = bi - ai * cp_prev
+        cp = ci / denom
+        dp = (di - ai * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    z = jnp.zeros((), d.dtype)
+    _, (cps, dps) = jax.lax.scan(fwd, (z, z), (a, b, c, d))
+
+    def bwd(x_next, cpdp):
+        cp, dp = cpdp
+        x = dp - cp * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, z, (cps, dps), reverse=True)
+    return xs
+
+
+def diff_step_implicit(grid: TTMGrid, params: TTMParams, tau, substeps,
+                       laser_active) -> TTMGrid:
+    """One UNCONDITIONALLY STABLE backward-Euler diffusion substep.
+
+    The TPU-native alternative to the reference's explicit CFL
+    substepping (do_DIFF, imd_ttm.c:1473): at multi-eV electron
+    temperatures the metallic kappa/Ce diffusivity demands
+    O(1e3-1e5) explicit substeps per MD step (CFL_maxdt,
+    imd_ttm.c:2444 — the reference pays exactly this in its ablation
+    runs), while one tridiagonal solve integrates the same
+    conservative variable-kappa stencil implicitly:
+
+        (Ce/tau + cm + cp + g) T' - cm T'_m - cp T'_p
+            = Ce/tau T + g T_i + S
+
+    with the face conductivities cm/cp = (k + k_nbr)/2 dx^-2 zeroed at
+    inactive neighbors (the explicit scheme's mirror boundary) and at
+    the array ends (the FD grid is non-periodic, like the reference's).
+    Coefficients lag at the substep start; n_sub substeps per MD step
+    resolve the nonlinearity.  Energy/xi/eabs bookkeeping matches
+    diff_step exactly.
+    """
+    act = active_mask(grid, params)
+    T = grid.temp
+    k = grid.fd_k
+    act_p = jnp.roll(act, -1)
+    act_m = jnp.roll(act, 1)
+    k_p = jnp.roll(k, -1)
+    k_m = jnp.roll(k, 1)
+    inv_dx2 = 1.0 / params.fd_h_x ** 2
+    nx = T.shape[0]
+    idx = jnp.arange(nx)
+    cp = jnp.where(act & act_p & (idx < nx - 1),
+                   (k + k_p) * 0.5 * inv_dx2, 0.0)
+    cm = jnp.where(act & act_m & (idx > 0),
+                   (k + k_m) * 0.5 * inv_dx2, 0.0)
+    Ce = jnp.maximum(grid.Ce, 1e-30)
+    g = grid.fd_g
+    a = jnp.where(act, -cm, 0.0)
+    c = jnp.where(act, -cp, 0.0)
+    b = jnp.where(act, Ce / tau + cm + cp + g, 1.0)
+    rhs = jnp.where(act, Ce / tau * T + g * grid.md_temp + grid.source, T)
+    T2 = T if params.fix_t_el else _thomas(a, b, c, rhs)
+    T2 = jnp.where(act, T2, T)
+    U2 = grid.U + jnp.where(act, (T2 - T) * Ce * params.fd_vol
+                            / jnp.maximum(grid.natoms, 1), 0.0)
+    xi_fac = params.atomic_mass * wr.AMU / 3.0 * 1e30 / jnp.maximum(substeps, 1)
+    dxi = jnp.where(act & (grid.md_temp > 1e-12) & (grid.dens > 0),
+                    (T2 - grid.md_temp) * xi_fac * grid.fd_g
+                    / jnp.maximum(grid.md_temp, 1e-12)
+                    / jnp.maximum(grid.dens, 1e-12), 0.0)
+    eabs = grid.eabs + jnp.where(
+        laser_active, jnp.sum(jnp.where(act, grid.source, 0.0))
+        * params.fd_vol * tau, 0.0)
+    return grid.replace(temp=T2, U=U2, xi=grid.xi + dxi, eabs=eabs)
+
+
 # ---------------------------------------------------------------------------
 # laser source (laser_rescale_ttm, imd_laser.c:715; mode 4)
 # ---------------------------------------------------------------------------
@@ -619,7 +708,15 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
     if laser_cfg is not None and laser_cfg.sigma_e > 0:
         grid, laser_active = lambert_beer_source(grid, params, laser_cfg, t)
     grid = fill_mesh(grid, params, eos, laser_active, keep_zne)
-    substeps, clamped = cfl_substeps(grid, params, dt, first)
+    if params.solver == "implicit":
+        # backward-Euler tridiagonal solves: a STATIC n_sub substeps
+        # per MD step regardless of the CFL demand (diff_step_implicit)
+        substeps = jnp.asarray(max(params.n_sub, 1), jnp.int32)
+        clamped = jnp.asarray(False)
+        step_fn = diff_step_implicit
+    else:
+        substeps, clamped = cfl_substeps(grid, params, dt, first)
+        step_fn = diff_step
 
     # (the vlat chain itself is implicit/unconditionally stable; only the
     # explicit MD-edge exchange rides the grid's own CFL count)
@@ -635,7 +732,7 @@ def calc_ttm(grid: TTMGrid, scene: Scene, params: TTMParams, eos: FEGEos,
             on = diag["laser_active"]
         else:
             on = laser_active
-        g = diff_step(g, params, tau, substeps, on)
+        g = step_fn(g, params, tau, substeps, on)
         if vparams is not None:
             g, vs = vlat_substep(g, vs, params, vparams, eos, tau)
         return fill_mesh(g, params, eos, on, keep_zne), vs

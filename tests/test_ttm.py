@@ -258,3 +258,59 @@ def test_vlattice_conducts_heat_out():
     # vlat lattice picked up energy from its electrons
     assert float(vs2.ti[0]) > float(vs.ti[0])
     assert np.all(np.isfinite(te2))
+
+
+def test_implicit_diffusion_matches_explicit():
+    """ttm_solver implicit (backward-Euler tridiagonal,
+    diff_step_implicit) must reproduce the explicit CFL-substepped
+    scheme on a smooth profile: same conservative variable-kappa
+    stencil, same mirror boundaries, same U/eabs bookkeeping.  The
+    implicit path exists because multi-eV Te makes the explicit CFL
+    demand O(1e3-1e5) substeps per MD step (imd_ttm.c:2444) — the
+    production-ablation wall-clock killer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imd_tpu.models import ttm as T
+
+    nx, dt = 40, 0.1
+    base = dict(nx=nx, fd_h_x=5.0, fd_vol=5.0 * 50 * 50, neigh_vol=500.0,
+                atomic_mass=27.0, atomic_z=13.0, fd_min_atoms=1,
+                const_kappa=2.0, const_gamma=0.05, const_ce=0.0)
+    pe = T.TTMParams(**base, solver="explicit")
+    pi = T.TTMParams(**base, solver="implicit", n_sub=20)
+    x = jnp.arange(nx, dtype=jnp.float64)
+    # moderate gradient + inactive tail cells (mirror boundary check)
+    Te0 = 0.03 + 0.02 * jnp.exp(-((x - 12.0) / 6.0) ** 2)
+    nat = jnp.where(x < 32, 100, 0).astype(jnp.int32)
+    g0 = T.make_grid(pe, jnp.float64).replace(
+        temp=Te0, md_temp=jnp.full(nx, 0.026),
+        natoms=nat, dens=jnp.where(x < 32, 2700.0, 0.0),
+        Ce=jnp.full(nx, 0.01), fd_k=jnp.full(nx, 2.0),
+        fd_g=jnp.full(nx, 0.05), init_done=jnp.asarray(True))
+
+    def run(g, p, nsteps):
+        for _ in range(nsteps):
+            if p.solver == "implicit":
+                subs = jnp.asarray(p.n_sub, jnp.int32)
+                fn = T.diff_step_implicit
+            else:
+                subs, _ = T.cfl_substeps(g, p, dt, jnp.asarray(False))
+                fn = T.diff_step
+            tau = dt / subs.astype(g.temp.dtype)
+            for _ in range(int(subs)):
+                g = fn(g, p, tau, subs, jnp.asarray(False))
+        return g
+
+    ge, gi = run(g0, pe, 30), run(g0, pi, 30)
+    np.testing.assert_allclose(np.asarray(gi.temp), np.asarray(ge.temp),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gi.U), np.asarray(ge.U),
+                               rtol=0, atol=1e-5)
+    # inactive cells untouched
+    assert np.array_equal(np.asarray(gi.temp[32:]), np.asarray(Te0[32:]))
+    # energy conservation of the implicit step: no source, no e-ph to a
+    # colder lattice changes sign bookkeeping — total electron energy
+    # decreases monotonically toward the bath
+    assert float(jnp.sum(gi.temp[:32])) < float(jnp.sum(Te0[:32]))
